@@ -1,0 +1,66 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Timing counts the full plan execution (trigger via count() so results are
+materialized but not shipped to the driver). A warmup pass on one query
+absorbs JVM/codegen startup so per-query numbers reflect steady-state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import trialstreamer_spark.plans.relational  # noqa: F401
+
+try:
+    import trialstreamer_spark.operators.dedup  # noqa: F401
+    import trialstreamer_spark.operators.similarity  # noqa: F401
+    import trialstreamer_spark.operators.textstats  # noqa: F401
+except ImportError:
+    pass
+
+from trialstreamer_spark.plans.registry import QUERIES
+from trialstreamer_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("trialstreamer-bench")
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Parquet table loaders for the test corpus (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under a scale-factor
+directory. At cluster scale these would be partitioned/bucketed Delta or
+Iceberg tables; the loader keeps the name→path mapping in one place so the
+storage layer can be swapped without touching query plans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table. Column pruning + predicate pushdown reach the
+    parquet scan because callers compose filters/projections lazily on the
+    returned DataFrame (check with .explain: PushedFilters / ReadSchema).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. We read it as a long (nanosAsLong) and
+    truncate to microseconds with integer division — the same truncation
+    DuckDB applies when it coerces TIMESTAMP_NS → TIMESTAMP, so oracle
+    comparisons stay exact. (A float division here would silently lose
+    precision: 1.7e18 ns exceeds double's 53-bit mantissa.)
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Pin the session to UTC on every load: parquet timestamps here are
+    # naive instants, and year()/date_trunc()/date_format() interpret
+    # timestamps in the session zone. A driver-owned session in another
+    # zone would silently shift years/windows (caught by oracle diff).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)

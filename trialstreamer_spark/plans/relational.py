@@ -1,0 +1,567 @@
+"""Core relational query plans — SURVEY.md §2.2-§2.6 operators re-expressed
+as Catalyst-friendly DataFrame plans over the test corpus.
+
+Each query cites the reference operator it covers (file:line under
+/root/reference/). The reference runs these shapes as hand-written SQL on
+PostgreSQL; here they are declarative DataFrame plans so Catalyst gets
+predicate pushdown, column pruning, and join selection for free.
+
+Float determinism: the correctness gate hash-compares values against a
+DuckDB oracle, so float outputs must be bit-identical, not just close.
+Decimal rounding of doubles is NOT portable (Spark rounds via BigDecimal
+HALF_UP, DuckDB via libm — they disagree on .xx5 boundaries), so instead:
+
+- money columns (exact 2-decimal doubles in this corpus) are summed as
+  integer cents: ``CAST(ROUND(x*100) AS BIGINT)`` is exact on both engines
+  because x*100 is within 1e-6 of an integer, never at a .5 boundary;
+  integer sums are order-independent; and the final int→double division is
+  a single deterministic IEEE op.
+- averages are written SUM/COUNT explicitly (same expression both sides),
+  never engine AVG (different accumulation).
+- single products/passthroughs stay raw doubles — one IEEE op is
+  bit-identical everywhere.
+
+Scale notes (100 TB):
+- filters/projections are expressed directly on the scan → parquet
+  pushdown (check PushedFilters in .explain).
+- dimension joins broadcast explicitly (customer ≈ 1.5% of orders).
+- aggregations partial-aggregate map-side; groupBy keys are
+  low-cardinality so shuffles stay tiny regardless of input size.
+- top-k uses orderBy+limit → TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.io import load
+from trialstreamer_spark.plans.registry import query
+
+
+def _cents(c: Column) -> Column:
+    """Exact integer cents from a 2-decimal double (see module docstring)."""
+    return F.round(c * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# A1 — conditional aggregation (materialized-view shape, dbutil.py:179-186)
+# Flagship: TPC-H-Q1-shaped pricing summary on lineitem.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT)                        AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0
+                                                                  AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0
+                                                                  AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) / 1000000.0
+                                                                  AS sum_charge,
+           SUM(l_quantity) / COUNT(*)                              AS avg_qty,
+           (CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0)
+               / COUNT(*)                                          AS avg_price,
+           (CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) / 100.0)
+               / COUNT(*)                                          AS avg_disc,
+           COUNT(*)                                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregate over the fact table (ref dbutil.py:179-186 —
+    the pubmed_year_counts matview shape). Filter reaches the parquet scan;
+    8 aggregates share one shuffle on a 6-group key."""
+    l = load(spark, sf_dir, "lineitem")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_pct = _cents(F.col("l_discount"))  # 0..100 integer percent
+    tax_pct = _cents(F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_pct)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_pct) * (100 + tax_pct)) / 1000000.0).alias(
+                "sum_charge"
+            ),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            ((F.sum(price_c) / 100.0) / F.count("*")).alias("avg_price"),
+            ((F.sum(disc_pct) / 100.0) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — year counts with boolean-conditional sums (dbutil.py:179-188)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "year_counts",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)                      AS year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus IN ('F','O') THEN 1 ELSE 0 END) AS BIGINT) AS n_closed_or_open,
+           COUNT(*)                                                AS n_total,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM orders
+    WHERE year(o_orderdate) >= 1992
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def year_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year conditional counts (ref dbutil.py:179-186: sum(case
+    is_rct_precise …), count(*), round(count*avg)). Year filter prunes at
+    scan; low-cardinality key → map-side partial aggregation collapses the
+    shuffle to a handful of rows per partition."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        o.filter(F.col("year") >= 1992)
+        .groupBy("year")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_finished"
+            ),
+            F.sum(
+                F.when(F.col("o_orderstatus").isin("F", "O"), 1).otherwise(0)
+            ).alias("n_closed_or_open"),
+            F.count("*").alias("n_total"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_value"),
+        )
+        .orderBy("year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F6/F8 — flag filters + computed projection (cnxapp.py:210-214,
+# pubmed.py:594)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flag_filter_projection",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           o_orderpriority,
+           o_totalprice * 0.9                 AS discounted_price
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1-%'
+    """,
+)
+def flag_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive flag filter + computed column (ref cnxapp.py:210-214:
+    is_rct_balanced AND is_human, prob_low_rob*num_randomized AS score).
+    Both predicates push to the parquet scan (PushedFilters: EqualTo,
+    StringStartsWith); only 4 columns are read (ReadSchema pruning).
+    The product stays a raw double — one IEEE op, bit-identical on both
+    engines."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O") & F.col("o_orderpriority").startswith("1-")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_orderpriority",
+        (F.col("o_totalprice") * 0.9).alias("discounted_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + F8 + T1 — the flagship search join + score top-k (cnxapp.py:210-219)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "core_join_topk",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name,
+           o.o_totalprice * c.c_acctbal         AS score,
+           CAST(year(o.o_orderdate) AS INTEGER) AS year
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY o.o_totalprice * c.c_acctbal DESC NULLS LAST, o.o_orderkey
+    LIMIT 250
+    """,
+)
+def core_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The picosearch core: filtered fact ⋈ dimension, computed score,
+    ORDER BY score DESC NULLS LAST LIMIT 250 (ref cnxapp.py:210-219 with
+    score = prob_low_rob*num_randomized). The dimension side is broadcast
+    (customer ≈ 1.5% of orders rows) so the join is shuffle-free; the
+    top-k compiles to TakeOrderedAndProject — no global sort. Tiebreaker
+    o_orderkey pins the selected set under score ties (SURVEY §7.4)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    score = F.col("o_totalprice") * F.col("c_acctbal")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            score.alias("score"),
+            F.year("o_orderdate").cast("int").alias("year"),
+        )
+        .orderBy(F.col("score").desc_nulls_last(), F.col("o_orderkey"))
+        .limit(250)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — multi-source union with per-source tags (cnxapp.py:221-313)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multi_source_union",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS id,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           'orders' AS article_type
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           CAST(year(ts) AS INTEGER) AS year,
+           'events' AS article_type
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source result legs tagged and unioned (ref cnxapp.py:221-313:
+    pubmed + ictrp + medrxiv legs tagged article_type). unionByName keeps
+    the legs independent — each leg's filter pushes to its own scan and the
+    union is a no-shuffle concatenation of partitions."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.year("o_orderdate").cast("int").alias("year"),
+            F.lit("orders").alias("article_type"),
+        )
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").cast("string").alias("id"),
+            F.year("ts").cast("int").alias("year"),
+            F.lit("events").alias("article_type"),
+        )
+    )
+    return o.unionByName(e)
+
+
+# ---------------------------------------------------------------------------
+# A4/A5 — max-by watermark read (dbutil.py:252-264; ictrp.py:270-286)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_per_type",
+    oracle="""
+    SELECT event_type,
+           max_by(event_id, ts) AS latest_event_id,
+           epoch_us(MAX(ts))    AS last_ts_us,
+           COUNT(*)             AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def latest_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark read: latest row per update_type (ref dbutil.py:252-264
+    ORDER BY source_date DESC LIMIT 1). max_by is a single-pass aggregate —
+    no window, no sort; at 100 TB this is one shuffle on a ~5-value key."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", "ts").alias("latest_event_id"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — co-occurrence top-k over exploded terms (nb/testing pico mesh
+# search.ipynb: Counter(...).most_common(30))
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "word_cooccurrence_topk",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 1
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 30
+    """,
+)
+def word_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode → count → top-k (ref: mesh-term co-occurrence counts,
+    SURVEY A6). explode is a narrow transformation; the count groupBy
+    partial-aggregates map-side so the shuffle carries one row per distinct
+    term per partition, not one per token."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12/J6 — regex extraction + per-row distinct explode (ictrp.py:31-52,
+# 413-418)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "regex_extract_explode",
+    oracle="""
+    SELECT doc_id, term
+    FROM (SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(text, '[a-z]{6,}'))) AS term
+          FROM documents)
+    ORDER BY doc_id, term
+    """,
+)
+def regex_extract_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-ID regex scan of abstracts → distinct per-row link table
+    (ref ictrp.py:413-418: set(registry_ids) ∪ regex_findall(ab) exploded
+    to (pmid, regid) rows). regexp_extract_all + array_distinct + explode
+    are all narrow ops — zero shuffle until the final order (dropped in
+    production; kept here for deterministic comparison)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("text"), F.lit("[a-z]{6,}"), 0)
+                )
+            ).alias("term"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14 — keep-last dedupe by key (pubmed.py:492-504)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "keep_last_dedupe",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def keep_last_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins dedupe per key (ref pubmed.py:492-504: reversed
+    batch, first occurrence per pmid kept). Window row_number over
+    (key, order desc) — exactly the merge-dedupe step the streaming
+    pipeline runs inside foreachBatch before MERGE. One shuffle on the
+    dedupe key; at scale this key is the table's bucket key so the
+    shuffle disappears under bucketed storage."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F15/U2 — anti-join skip list (pubmed.py:446-452; mendeley.py:77-87)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anti_join_skiplist",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def anti_join_skiplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-list anti-filter (ref pubmed.py:446-452: skip pmids already in
+    pubmed ∪ pubmed_excludes). left_anti against the (small) key set —
+    broadcast, so the probe is map-side with no shuffle of the big side."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey, "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions (north-star extension; SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + flag + count.
+    The batch analog of streaming session_window(ts, gap). One shuffle on
+    user_id shared by the window and the groupBy (same key → Catalyst
+    reuses the partitioning, no second exchange)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-analog tumbling window aggregate (SURVEY §2.9; the batch
+# equivalent of the Structured Streaming hourly rollup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_window_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+           (CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0) / COUNT(*)
+               AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch form of the streaming hourly
+    rollup in trialstreamer_spark.streaming). date_trunc is used instead of
+    F.window here purely for oracle comparability — the streaming module
+    uses F.window + watermark. Low-cardinality composite key → cheap
+    shuffle at any scale."""
+    e = load(spark, sf_dir, "events")
+    value_c = _cents(F.col("value"))
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(value_c) / 100.0).alias("total_value"),
+            ((F.sum(value_c) / 100.0) / F.count("*")).alias("avg_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10/U4 — distinct aggregation + recency top-k (ictrp_csv.py:269-271;
+# cnxapp.py:218-219)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "recency_topk",
+    oracle="""
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 250
+    """,
+)
+def recency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency top-k (ref cnxapp.py:218-219: ORDER BY year DESC NULLS LAST
+    LIMIT 250). TakeOrderedAndProject; event_id tiebreaker pins ties."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        .orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+        .limit(250)
+    )
+
+
+@query(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT lang, source FROM documents ORDER BY lang, source
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation (ref ictrp_csv.py:269-271:
+    list(set(countries))). distinct() = groupBy-all-cols; partial
+    aggregation collapses duplicates map-side before the shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct().orderBy("lang", "source")

@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+Local test mode is ``local[$SPARK_GRAFT_CPUS]`` (single JVM), but every
+config here is chosen to survive a multi-executor cluster at 100 TB:
+
+- AQE on (runtime coalesce + skew-join splitting) so shuffle partition
+  counts self-correct between sf0.001 and a 1000-executor run.
+- shuffle partitions sized to cores locally; AQE coalesces down, and on a
+  real cluster ``spark.sql.shuffle.partitions`` should be raised to
+  ~2-3x total cores (AQE makes the exact number non-critical).
+- Arrow on for every pandas-UDF boundary.
+- UTC session timezone pinned so results are reproducible against
+  SQL oracles (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "trialstreamer-spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+        )
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
