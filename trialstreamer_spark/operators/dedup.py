@@ -1,0 +1,360 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+
+Scale design (the point of each algorithm at 100 TB):
+
+- **exact**: one shuffle on the content fingerprint. The fingerprint is
+  md5 of normalized text, computed scan-side, so the shuffle carries
+  (16-byte key, doc_id) — not document bytes.
+- **MinHash+LSH**: shingling and signatures are narrow array expressions
+  (no explode until the signature is reduced to k integers); only the
+  (band_id, band_key) pairs shuffle — k·|docs| tiny rows. Candidate pairs
+  come from equi-joining band buckets, never from a crossJoin; the
+  verify step re-joins only candidates. This is the standard
+  shingle→minhash→band→bucket-join pipeline.
+- **SimHash**: one 16-bit signature per doc from token-hash sign sums —
+  again array expressions, one narrow pass, then near-dup candidates via
+  exact-bucket or bit_count(xor) ≤ r within buckets.
+- **n-gram Jaccard**: exact verification used on LSH candidates (or
+  standalone at small scale): distinct-shingle postings self-join.
+
+All hashing is md5-hex (identical across engines) so every operator here
+is oracle-checkable in DuckDB. Lexicographic MIN over hex strings is the
+minhash order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.io import load
+from trialstreamer_spark.operators.textstats import tokens_col
+from trialstreamer_spark.plans.registry import query
+
+N_HASHES = 8  # minhash signature length
+N_BANDS = 4  # bands of 2 rows each
+SHINGLE = 3  # word-shingle width
+
+
+def normalized_fp(text: Column) -> Column:
+    """Content fingerprint: lowercase → strip non-alnum → collapse
+    whitespace → md5 (same normalization as textstats.doc_fingerprint)."""
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+    )
+
+
+def shingles_col(text: Column, k: int = SHINGLE) -> Column:
+    """Distinct k-word shingles as an array expression (no explode):
+    transform over a 0..n-k index sequence, concat_ws over slices."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks))),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures as one codegen-friendly pass.
+
+    Shape chosen for scale: explode (doc, shingle) ONCE, compute exactly
+    two md5s per shingle, and slice each 128-bit digest into four 8-hex
+    (32-bit) chunks → 8 independent hash functions. The signature is then
+    8 MIN aggregates — partial-aggregated map-side, so the shuffle carries
+    one 8-column row per document regardless of document length. This
+    replaces a nested-lambda formulation (8 × array_min(transform(...)))
+    that re-built the shingle array per hash and fell off whole-stage
+    codegen (~100× slower at sf0.1).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
+    ).select(
+        "doc_id",
+        F.md5(F.col("shingle")).alias("m1"),
+        F.md5(F.concat(F.lit("x"), F.col("shingle"))).alias("m2"),
+    )
+    mins = [
+        F.min(F.substring(F.col(m), 8 * r + 1, 8)).alias(f"h{4 * mi + r}")
+        for mi, m in enumerate(("m1", "m2"))
+        for r in range(4)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def banded_keys(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band_id, band_key) rows: md5 over each band's signature
+    chunks (bands of N_HASHES/n_bands rows)."""
+    rows_per_band = N_HASHES // n_bands
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(keys).alias("band_id", "band_key")
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """shingle → minhash → band → bucket-join candidate pairs.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b. The join is an
+    equi-join on (band_id, band_key): Catalyst shuffles both sides on the
+    key, skew from degenerate buckets (e.g. empty docs) is handled by AQE
+    skew-join; at 100 TB, band keys are near-uniform md5s so buckets are
+    balanced by construction."""
+    banded = banded_keys(minhash_signatures(docs, id_col, text_col))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard over a shingle-postings self-join.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — a single division of exact
+    integers, so the value is bit-identical across engines. The postings
+    join only pairs documents that share ≥1 shingle; at scale, frequent
+    shingles are capped upstream (drop shingles with document frequency
+    above a cutoff — standard postings pruning) before the self-join."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash signature: for bit i, sum over tokens of ±1 by the i-th hex
+    digit of md5(token); bit set iff the sum is positive. Array fold —
+    narrow, scan-side."""
+    toks = tokens_col(text)
+
+    def bit_contrib(i: int):
+        # single-arg lambda (see minhash_signature note on index shadowing)
+        return F.transform(
+            toks,
+            lambda t: F.when(
+                F.substring(F.md5(t), i + 1, 1).isin(*"89abcdef"), 1
+            ).otherwise(-1),
+        )
+
+    bit_cols = []
+    for i in range(bits):
+        total = F.aggregate(bit_contrib(i), F.lit(0), lambda a, x: a + x)
+        bit_cols.append(F.when(total > 0, F.lit(2**i)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for c in bit_cols:
+        out = out + c
+    return out.cast("long")
+
+
+# ---------------------------------------------------------------------------
+# queries()/oracle_sql() registrations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint)   AS n_copies,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+    FROM fp
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text fingerprint, duplicate count
+    and canonical (min doc_id) per group via one window over the
+    fingerprint. At scale: shuffle carries (16B, id) pairs only."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", normalized_fp(F.col("text")).alias("fingerprint"))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .orderBy("doc_id")
+    )
+
+
+_DD_SHINGLES = """
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS shingles
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+          FROM documents)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (k=8 hashes, 4 bands × 2 rows).
+    See minhash_candidates for the scale argument."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_candidates(d).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs at threshold 0.2 via shingle-postings
+    self-join (the verify stage of the MinHash pipeline)."""
+    d = load(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((
+    """
+    + "\n+".join(
+        f"""CASE WHEN list_aggregate(list_transform(toks,
+                   x -> CASE WHEN substr(md5(x), {i + 1}, 1) IN
+                        ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END),
+                 'sum') > 0 THEN {2**i} ELSE 0 END"""
+        for i in range(16)
+    )
+    + """
+           ) AS BIGINT) AS simhash
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signatures (near-dup = small hamming
+    distance between signatures; the signature pass is the linear-cost
+    piece that must scale)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash_col(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")

@@ -1,0 +1,266 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+These generalize the reference's text surface (cleanup at ictrp.py:156-159,
+abstract handling at pmreader.py:86-104) into the corpus-hygiene operators a
+100 TB document pipeline needs. Everything is built-in column expressions —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path.
+
+Float determinism: ratios are single divisions of exact integer counts, so
+they are bit-identical across engines (see plans/relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.io import load
+from trialstreamer_spark.plans.registry import query
+
+# Tiny stopword profiles for the n-gram-free language-ID heuristic.
+# Real deployments would use character-trigram profiles; the mechanism
+# (score = |tokens ∩ profile| per language, argmax with deterministic
+# tie-break) is identical.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "un"),
+}
+
+STOPWORDS = ("a", "the", "of", "and", "to", "in")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal — the shared
+    tokenizer for every text operator (array expression, no explode)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def profile_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """|tokens ∩ profile| counting duplicates (integer, exact)."""
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds token/quality/lang-id/fingerprint columns to any document
+    DataFrame. All array higher-order functions — narrow, no shuffle."""
+    toks = tokens_col(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars_tok = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = profile_hits(toks, STOPWORDS)
+    n_distinct = F.size(F.array_distinct(toks))
+    scores = [
+        profile_hits(toks, words).alias(f"score_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    # argmax with deterministic tie-break: language order as listed
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    lang_pred = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_PROFILES:
+        lang_pred = lang_pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "), " +", " "
+    )
+    return (
+        df.withColumns(
+            {
+                "n_tokens": n_tokens,
+                "n_token_chars": n_chars_tok,
+                "n_stopwords": n_stop,
+                "n_distinct_tokens": n_distinct,
+            }
+        )
+        .select("*", *scores)
+        .withColumns(
+            {
+                "avg_token_len": F.col("n_token_chars")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                "stopword_ratio": F.col("n_stopwords")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                "distinct_ratio": F.col("n_distinct_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                "lang_pred": lang_pred.otherwise(F.lit("unknown")),
+                "fingerprint": F.md5(F.trim(normalized)),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries()/oracle_sql() registrations
+# ---------------------------------------------------------------------------
+
+# DuckDB fragment mirroring tokens_col + counts (kept in one place so the
+# oracle snippets below stay consistent).
+_DD_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_DD_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS INTEGER)
+               AS n_token_chars,
+           CAST(len(list_filter(toks, x -> lower(x) IN ('a','the','of','and','to','in'))) AS INTEGER)
+               AS n_stopwords,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS INTEGER)
+               / greatest(CAST(len(toks) AS INTEGER), 1) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> lower(x) IN ('a','the','of','and','to','in'))) AS INTEGER)
+               / greatest(CAST(len(toks) AS INTEGER), 1) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS INTEGER)
+               / greatest(CAST(len(toks) AS INTEGER), 1) AS distinct_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (token count, char count, stopword and
+    distinct ratios). Pure array expressions on the scan — no shuffle, no
+    UDF; scales linearly with input bytes."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = profile_hits(toks, STOPWORDS)
+    n_distinct = F.size(F.array_distinct(toks))
+    denom = F.greatest(n_tokens, F.lit(1))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_token_chars.alias("n_token_chars"),
+        n_stop.alias("n_stopwords"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_token_chars / denom).alias("avg_token_len"),
+        (n_stop / denom).alias("stopword_ratio"),
+        (n_distinct / denom).alias("distinct_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in'))) AS INTEGER) AS score_en,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y','los'))) AS INTEGER) AS score_es,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','ein'))) AS INTEGER) AS score_de,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','des','un'))) AS INTEGER) AS score_fr
+      FROM t
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'unknown'
+                WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                WHEN score_fr = greatest(score_en, score_es, score_de, score_fr) THEN 'fr'
+                ELSE 'unknown' END AS lang_pred
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax over per-language hit counts,
+    deterministic tie-break in profile order). The Spark plan is a single
+    projection of array expressions — the 100 TB cost is one pass over
+    text bytes."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        *[
+            profile_hits(toks, words).alias(f"score_{lang}")
+            for lang, words in LANG_PROFILES.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_PROFILES:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "*", pred.otherwise(F.lit("unknown")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')))) AS n_fingerprints
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprinting (lowercase → strip non-alnum →
+    collapse whitespace → md5), rolled up per source. The dedup pipeline
+    joins on this fingerprint; md5 hex is identical across engines.
+    COUNT(DISTINCT) shuffles on (source, fp) then re-aggregates — two
+    stages, both partial-aggregated."""
+    d = load(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        d.select("source", F.md5(normalized).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "token_count_by_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, {_DD_TOKS} AS toks FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(CAST(len(toks) AS INTEGER)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS INTEGER)) AS BIGINT)
+               AS alpha_tokens,
+           COUNT(*) AS n_docs
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language (whitespace tokens + a
+    BPE-ish alpha-token subset via regex). Integer sums — exact and
+    order-independent; one tiny shuffle on lang."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    return (
+        d.select("lang", F.size(toks).alias("nt"), F.size(alpha).alias("na"))
+        .groupBy("lang")
+        .agg(
+            F.sum("nt").alias("total_tokens"),
+            F.sum("na").alias("alpha_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
