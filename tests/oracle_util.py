@@ -7,18 +7,19 @@ from __future__ import annotations
 import math
 import os
 
+import glob
+
 import duckdb
 import pandas as pd
 
-from trialstreamer_spark.io import TABLES
-
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    """Register every parquet file under sf_dir as a view named after the
+    file, then run the oracle SQL (mirrors the driver's harness)."""
     con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.splitext(os.path.basename(path))[0]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con.execute(sql).fetchdf()
 
 

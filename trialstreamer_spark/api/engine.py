@@ -1,0 +1,377 @@
+"""The trialstreamer query surface re-expressed as DataFrame plans.
+
+Implements the reference API's five entry points (reference
+trialstreamer/cnxapp.py) against typed parquet/Delta tables:
+
+- picosearch     (cnxapp.py:169-324) — structured PICO concept search
+                 with ontology expansion, three source legs, top-k.
+- covid19        (cnxapp.py:126-154) — fixed COVID query, two legs.
+- meta           (cnxapp.py:107-123) — watermark + RCT count.
+- autocomplete   (cnxapp.py:74-104) — prefix → top-5 ranked suggestions.
+- get_trial      (cnxapp.py:327-402) — pmid → regid → doi fallback probe.
+
+Design notes (100 TB):
+- The reference expands the query CUI set driver-side from an in-memory
+  ontology DAG (cnxapp.py:53-62). Here the subtree comes from a closure
+  table (ancestor, descendant, depth) — tiny, collected once and reused;
+  the predicate is a Column tree over `exists(field_mesh, …)` so Catalyst
+  sees one conjunctive filter and pushes the pubmed flag filters to the
+  scan.
+- At parity scale `exists()` over the concept arrays is a full scan of
+  the (already flag-filtered) annotations. At 100 TB the same query is
+  served by the inverted postings design in
+  ``trialstreamer_spark.plans.postings`` (SURVEY §4): explode *_mesh into
+  a (cui, field, pmid) table bucketed by cui, semi-join back. Both paths
+  produce identical rows; pick by table-size hint.
+- Joins broadcast the filtered annotation side (≤ a few % of pubmed
+  after concept filtering); at scale both tables are bucketed by pmid so
+  the join is shuffle-free either way.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COVID_CUI = "TS-COV19"
+COVID_MESH_UI = "C000657245"
+PICO_FIELDS = ("population", "interventions", "outcomes")
+RESULT_CAP = 250  # per source leg (cnxapp.py:217-219,262,290)
+
+
+@dataclass
+class Tables:
+    """Handle to the engine's stored tables (parquet dir or registered
+    views). One place to swap storage format."""
+
+    spark: SparkSession
+    root: str
+
+    def t(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, f"{name}.parquet"))
+
+
+def subtree_cuis(tables: Tables, cui: str, levels: int = 1) -> list[str]:
+    """Subtree expansion via the closure table (ref cnxapp.py:53-62:
+    direct successors for levels=1, self-inclusive). The closure is a
+    dimension table — collected to the driver like the reference's
+    pickled DAG; the result is baked into the predicate as literals."""
+    rows = (
+        tables.t("cui_closure")
+        .filter(
+            (F.col("ancestor_cui") == cui) & (F.col("depth") <= levels)
+        )
+        .select("descendant_cui")
+        .collect()
+    )
+    out = {r.descendant_cui for r in rows}
+    out.add(cui)
+    return sorted(out)
+
+
+def terms_predicate(
+    tables: Tables, terms: list[dict], expand_terms: bool = True
+) -> Column:
+    """Build the conjunctive concept predicate (ref cnxapp.py:188-207):
+    each term expands to an OR over its subtree CUIs within one
+    `exists(field_mesh, x -> x.cui IN (…))`; terms are ANDed. Pure
+    Column tree — no UDF, Catalyst folds the literal IN list."""
+    conjuncts = []
+    for term in terms:
+        cuis = (
+            subtree_cuis(tables, term["cui"]) if expand_terms else [term["cui"]]
+        )
+        field_col = f"{term['field']}_mesh"
+        conjuncts.append(
+            F.exists(F.col(field_col), lambda x: x["cui"].isin(cuis))
+        )
+    return reduce(lambda a, b: a & b, conjuncts)
+
+
+def _cite(authors: Column, journal: Column, year: Column) -> Column:
+    """Citation string (ref cnxapp.py:157-161): 'Last et al., Journal.
+    Year' — first author's LastName, 'et al.' iff >1 author."""
+    first_last = F.element_at(authors, 1)["LastName"]
+    suffix = F.when(F.size(authors) > 1, F.lit(" et al.")).otherwise(F.lit(""))
+    with_authors = F.concat(
+        first_last, suffix, F.lit(", "), journal, F.lit(". "), year.cast("string")
+    )
+    return F.when(
+        F.coalesce(F.size(authors), F.lit(0)) >= 1, with_authors
+    ).otherwise(F.concat(journal, F.lit(". "), year.cast("string")))
+
+
+def picosearch(
+    tables: Tables,
+    terms: list[dict],
+    order: str = "score",
+    expand_terms: bool = True,
+) -> DataFrame:
+    """Structured PICO search, json-short retmode (cnxapp.py:169-324).
+
+    Returns the union of three tagged legs (pubmed / ictrp / covid
+    preprints), each capped at 250. Divergence from the reference,
+    declared per SURVEY §7.4: every leg carries a deterministic
+    tiebreaker (pmid / regid / doi) so top-k sets are stable under ties —
+    the reference's bare LIMIT is nondeterministic.
+    """
+    assert order in ("year", "score")
+    if not terms:
+        return tables.spark.createDataFrame(
+            [], "pmid string, ti string, year int, article_type string"
+        )
+    pred = terms_predicate(tables, terms, expand_terms)
+
+    pm = tables.t("pubmed").filter(
+        F.col("is_rct_balanced") & F.col("is_human")
+    )
+    pa = tables.t("pubmed_annotations").filter(pred)
+    score = F.col("prob_low_rob") * F.col("num_randomized")
+    joined = pm.join(F.broadcast(pa), "pmid").select(
+        "pmid",
+        "ti",
+        "year",
+        "punchline_text",
+        _cite(
+            F.col("pm_data.authors"), F.col("pm_data.journal"), F.col("year")
+        ).alias("citation"),
+        "population",
+        "interventions",
+        "outcomes",
+        F.col("pm_data.dois").alias("dois"),
+        "prob_low_rob",
+        "num_randomized",
+        score.alias("score"),
+        F.lit("journal article").alias("article_type"),
+    )
+    order_col = F.col("score") if order == "score" else F.col("year")
+    pubmed_leg = joined.orderBy(
+        order_col.desc_nulls_last(), F.col("pmid")
+    ).limit(RESULT_CAP)
+
+    ictrp_leg = (
+        tables.t("ictrp")
+        .filter(pred & (F.col("is_rct") == "RCT"))
+        .select(
+            F.col("regid").alias("pmid"),
+            "ti",
+            "year",
+            F.lit(None).cast("string").alias("punchline_text"),
+            F.lit(None).cast("string").alias("citation"),
+            "population",
+            "interventions",
+            "outcomes",
+            F.lit(None).cast("array<string>").alias("dois"),
+            F.lit(None).cast("float").alias("prob_low_rob"),
+            F.lit(None).cast("int").alias("num_randomized"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit("trial registration").alias("article_type"),
+        )
+        .orderBy("pmid")
+        .limit(RESULT_CAP)
+    )
+
+    legs = pubmed_leg.unionByName(ictrp_leg)
+
+    # COVID preprint leg triggers on the RAW query terms (not expansion):
+    # cnxapp.py:284
+    if any(t["cui"] == COVID_CUI and t["field"] == "population" for t in terms):
+        cov = (
+            tables.t("medrxiv_covid19")
+            .filter(pred & F.col("is_rct_balanced") & F.col("is_human"))
+            .select(
+                F.col("doi").alias("pmid"),
+                "ti",
+                "year",
+                "punchline_text",
+                F.concat(
+                    F.element_at(F.col("authors"), 1)["author_name"],
+                    F.when(F.size("authors") > 1, F.lit(" et al.")).otherwise(
+                        F.lit("")
+                    ),
+                    F.lit(", "),
+                    F.col("source"),
+                    F.lit(". "),
+                    F.col("year").cast("string"),
+                ).alias("citation"),
+                "population",
+                "interventions",
+                "outcomes",
+                F.array(F.col("doi")).alias("dois"),
+                F.col("prob_low_bias").alias("prob_low_rob"),
+                "num_randomized",
+                F.lit(None).cast("double").alias("score"),
+                F.lit("preprint").alias("article_type"),
+            )
+            .orderBy("pmid")
+            .limit(RESULT_CAP)
+        )
+        legs = legs.unionByName(cov)
+    return legs
+
+
+def covid19(tables: Tables) -> DataFrame:
+    """Fixed COVID query (cnxapp.py:126-154): pubmed leg matches
+    population_mesh on the mesh_ui key (literal containment), preprint
+    leg is medrxiv where is_rct_balanced. Tagged union instead of the
+    reference's keyed dict — same rows."""
+    pa = tables.t("pubmed_annotations").filter(
+        F.exists(
+            F.col("population_mesh"), lambda x: x["mesh_ui"] == COVID_MESH_UI
+        )
+    )
+    pm = tables.t("pubmed").filter(F.col("is_rct_balanced"))
+    published = pm.join(F.broadcast(pa), "pmid").select(
+        F.col("pmid").alias("id"),
+        "ti",
+        "year",
+        "punchline_text",
+        "num_randomized",
+        F.lit("trialstreamer_published").alias("result_set"),
+    )
+    preprints = (
+        tables.t("medrxiv_covid19")
+        .filter(F.col("is_rct_balanced"))
+        .select(
+            F.col("doi").alias("id"),
+            "ti",
+            "year",
+            "punchline_text",
+            "num_randomized",
+            F.lit("trialstreamer_preprint").alias("result_set"),
+        )
+    )
+    return published.unionByName(preprints)
+
+
+def meta(tables: Tables) -> DataFrame:
+    """Watermark + corpus size (cnxapp.py:107-123): latest
+    pubmed-update download_date and count of balanced RCTs. One row."""
+    last = (
+        tables.t("update_log")
+        .filter(F.col("update_type") == "pubmed_update")
+        .agg(F.max("download_date").alias("last_updated"))
+    )
+    count = (
+        tables.t("pubmed")
+        .filter(F.col("is_rct_balanced"))
+        .agg(F.count("*").alias("num_rcts"))
+    )
+    return last.crossJoin(count).select(
+        F.date_format("last_updated", "yyyy-MM-dd HH:mm:ss").alias("last_updated"),
+        F.format_number(F.col("num_rcts"), 0).alias("num_rcts"),
+    )
+
+
+def autocomplete(tables: Tables, q: str) -> DataFrame:
+    """Prefix autocomplete (cnxapp.py:74-104): <3 chars → first 5 by
+    prefix order (unranked); ≥3 chars → dedupe on cui_pico_display,
+    rank by count desc, top 5. Served from the precomputed suggestion
+    table (the batch analog of the reference's pickled trie); at scale
+    the table is range-partitioned on the string so the startswith
+    filter prunes files."""
+    s = tables.t("autocomplete_suggestions").filter(
+        F.lower(F.col("cui_str")).startswith(q.lower())
+    )
+    s = s.dropDuplicates(["cui_pico_display"])
+    if len(q) < 3:
+        return s.orderBy("cui_pico_display").limit(5)
+    return s.orderBy(F.col("count").desc(), F.col("cui_pico_display")).limit(5)
+
+
+def get_trial(tables: Tables, uuid: str) -> DataFrame:
+    """Existence probe with fallback (cnxapp.py:327-402): pubmed by
+    pmid, else ictrp by regid, else medrxiv by doi (with '-'→'/'
+    unescape on the last segment). Three pruned point lookups unioned;
+    at most one leg returns rows — equivalent to the reference's
+    sequential probing but a single Spark job."""
+    pm = (
+        tables.t("pubmed")
+        .filter(F.col("pmid") == uuid)
+        .select(
+            F.col("pmid").alias("id"), "ti", "year", F.lit("pubmed").alias("source_table")
+        )
+    )
+    ic = (
+        tables.t("ictrp")
+        .filter(F.col("regid") == uuid)
+        .select(
+            F.col("regid").alias("id"), "ti", "year", F.lit("ictrp").alias("source_table")
+        )
+    )
+    doi = uuid.replace("-", "/") if "-" in uuid and "/" not in uuid else uuid
+    mx = (
+        tables.t("medrxiv_covid19")
+        .filter((F.col("doi") == uuid) | (F.col("doi") == doi))
+        .select(
+            F.col("doi").alias("id"), "ti", "year", F.lit("medrxiv").alias("source_table")
+        )
+    )
+    return pm.unionByName(ic).unionByName(mx)
+
+
+def year_counts(tables: Tables) -> DataFrame:
+    """The pubmed_year_counts materialized view (ref dbutil.py:179-186):
+    per-year conditional counts + estimated RCT count, year >= 1948.
+    Recomputed in-pipeline after each ingest batch (ref pubmed.py:163-167
+    refresh). round(count*avg) is reproduced with an exact integer/1e6
+    fixed-point mean so the estimate is engine-portable."""
+    pm = tables.t("pubmed").filter(F.col("year") >= 1948)
+    prob_fp = F.floor(F.col("rct_probability").cast("double") * 1_000_000).cast(
+        "long"
+    )
+    return (
+        pm.groupBy("year")
+        .agg(
+            F.sum(F.when(F.col("is_rct_precise"), 1).otherwise(0)).alias(
+                "count_rct_precise"
+            ),
+            F.sum(F.when(F.col("is_rct_balanced"), 1).otherwise(0)).alias(
+                "count_rct_balanced"
+            ),
+            F.count("*").alias("count_rct_sensitive"),
+            F.sum(F.when(F.col("ptyp_rct") == 1, 1).otherwise(0)).alias(
+                "count_ptyp_rct"
+            ),
+            F.round(F.count("*") * (F.sum(prob_fp) / 1_000_000.0 / F.count("*")))
+            .cast("long")
+            .alias("est_rct_count"),
+        )
+        .orderBy("year")
+    )
+
+
+def rct_count(tables: Tables) -> DataFrame:
+    """pubmed_rct_count matview (ref dbutil.py:188): single-row count."""
+    return (
+        tables.t("pubmed")
+        .filter(F.col("is_rct_balanced"))
+        .agg(F.count("*").alias("count_rct_balanced"))
+    )
+
+
+def registry_links_build(tables: Tables) -> DataFrame:
+    """Rebuild the article↔registration link table (ref
+    ictrp.py:386-419): per article, union of pm_data.registry_ids and
+    registry-ID regex hits in the abstract, exploded to (pmid, regid)
+    rows. Narrow ops only — regex+explode happen scan-side."""
+    regex = (
+        r"(NCT\d{8}|ISRCTN\d{8}|ACTRN\d{14}|ChiCTR\d{10}|CTRI/\d{4}/\d{6})"
+    )
+    pm = tables.t("pubmed")
+    ids = F.array_union(
+        F.coalesce(F.col("pm_data.registry_ids"), F.array()),
+        F.coalesce(
+            F.array_distinct(F.regexp_extract_all(F.col("ab"), F.lit(regex), 1)),
+            F.array(),
+        ),
+    )
+    return (
+        pm.select("pmid", F.explode(ids).alias("regid"))
+        .select("regid", "pmid")
+        .distinct()
+    )
