@@ -1,0 +1,147 @@
+"""ICTRP registry source: CSV/JSONL parsing helpers, the rule-based RCT
+classifier, recruiting-status normalizer, and per-registry date parsing —
+all as column expressions (reference trialstreamer/ictrp.py:66-186,
+ictrp_csv.py:58-92,313-354).
+
+The classifier is substring search over a cleaned study_design string:
+non-RCT phrases first (definite no), then RCT phrases (likely yes), else
+unknown (ictrp.py:169-186). Phrase lists are engine config, not code —
+the sets below reproduce the reference's behavior classes and can be
+swapped wholesale. Everything compiles to `exists()` over literal arrays
+→ whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# behavior classes per ictrp.py:66-154 (definite-no list checked first)
+NON_RCT_PHRASES = (
+    "single arm",
+    "non randomized",
+    "non randomised",
+    "nonrandomized",
+    "not randomized",
+    "observational",
+    "single group assignment",
+    "case control",
+    "cohort",
+    "cross sectional",
+    "open label single arm",
+    "uncontrolled",
+    "historical control",
+    "before and after",
+    "pre post",
+)
+RCT_PHRASES = (
+    "randomized controlled trial",
+    "randomised controlled trial",
+    "randomized parallel",
+    "randomised parallel",
+    "parallel group rct",
+    "rct",
+    "random allocation",
+    "randomized crossover",
+    "double blind randomized",
+    "cluster randomized",
+    "randomized",
+    "randomised",
+)
+
+# per-registry date formats (ictrp_csv.py:73-92): registry prefix → strptime
+DATE_FORMATS = ("dd/MM/yyyy", "yyyy-MM-dd", "dd-MM-yyyy", "MM/dd/yyyy", "yyyyMMdd")
+
+
+def cleanup_col(raw: Column) -> Column:
+    """Strip non-alphanumerics → space, collapse runs (ictrp.py:156-159)."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(raw, "[^a-zA-Z0-9]", " "), r"\s\s+", " ")
+    )
+
+
+def is_rct_col(study_design: Column) -> Column:
+    """Rule-based RCT classifier (ictrp.py:169-186): null → unknown;
+    non-RCT phrase → non-RCT; RCT phrase → RCT; else unknown."""
+    clean = cleanup_col(F.lower(study_design))
+    non_hit = F.exists(
+        F.array(*[F.lit(p) for p in NON_RCT_PHRASES]), lambda p: clean.contains(p)
+    )
+    rct_hit = F.exists(
+        F.array(*[F.lit(p) for p in RCT_PHRASES]), lambda p: clean.contains(p)
+    )
+    return (
+        F.when(study_design.isNull(), F.lit("unknown"))
+        .when(non_hit, F.lit("non-RCT"))
+        .when(rct_hit, F.lit("RCT"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def is_recruiting_col(status: Column) -> Column:
+    """Recruiting normalizer (ictrp.py:161-167)."""
+    return (
+        F.when(status == "Recruiting", F.lit("recruiting"))
+        .when(status == "Not Recruiting", F.lit("not recruiting"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def parse_registry_date(raw: Column) -> Column:
+    """Per-registry date parse: coalesce over the format table
+    (ictrp_csv.py:73-92, 218-222). try_to_date returns null instead of
+    raising on mismatch, so the coalesce walks the formats."""
+    return F.coalesce(*[F.try_to_date(raw, fmt) for fmt in DATE_FORMATS])
+
+
+def target_size_col(raw: Column) -> Column:
+    """target_size guard (ictrp.py:226-231): int-parse, ≤10 chars, else
+    'unknown'."""
+    ok = raw.try_cast("int").isNotNull() & (F.length(raw) <= 10)
+    return F.when(ok, raw).otherwise(F.lit("unknown"))
+
+
+def split_multivalue(col: Column, sep: str = ";") -> Column:
+    """';'-separated multi-value field → trimmed distinct array
+    (ictrp_csv.py:269-271 list(set(countries.split(';'))))."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(F.split(col, sep), lambda x: F.trim(x)), lambda x: x != ""
+        )
+    )
+
+
+def read_ictrp_csv(
+    spark: SparkSession, path: str, columns: dict[int, str] | None = None
+) -> DataFrame:
+    """Positional-header CSV (ictrp_csv.py:58-71: 60 columns, 12 named).
+    Reads headerless with explicit positions → named projection, then
+    derives the classifier/normalizer/date columns."""
+    columns = columns or {
+        0: "regid",
+        1: "ti",
+        2: "scientific_title",
+        3: "study_design",
+        4: "recruitment_status",
+        5: "target_size",
+        6: "date_registered_raw",
+        7: "countries_raw",
+        8: "url",
+    }
+    n_cols = max(columns) + 1
+    raw = spark.read.csv(path, header=False, inferSchema=False)
+    cols = [F.col(f"_c{i}").alias(name) for i, name in sorted(columns.items())]
+    df = raw.select(*cols)
+    return (
+        df.withColumn("is_rct", is_rct_col(F.col("study_design")))
+        .withColumn("is_recruiting", is_recruiting_col(F.col("recruitment_status")))
+        .withColumn(
+            "date_registered", parse_registry_date(F.col("date_registered_raw"))
+        )
+        .withColumn(
+            "year", F.year("date_registered").cast("int")
+        )
+        .withColumn("target_size", target_size_col(F.col("target_size")))
+        .withColumn("countries", split_multivalue(F.col("countries_raw")))
+        .drop("date_registered_raw", "countries_raw")
+    )
