@@ -65,6 +65,52 @@ def shingles_col(text: Column, k: int = SHINGLE) -> Column:
     )
 
 
+def shingle_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exploded (doc_id, n_sh, shingle) postings, hash-partitioned by
+    doc_id BEFORE the shingle computation.
+
+    Two scale properties hang on the repartition placement:
+
+    - **Parallelism guard**: a small/compacted parquet input can scan as
+      very few splits; shingling (regex tokenize + slide + concat) is the
+      CPU-heavy step, so it must run after the exchange, on the narrow
+      (id, text) projection — never single-threaded on the scan side.
+    - **Partitioning reuse**: explode is narrow, so the postings inherit
+      hashpartitioning(doc_id) and every downstream per-document groupBy
+      (signatures, sizes) needs NO further shuffle.
+
+    n_sh rides along from the pre-explode array, so Jaccard needs no
+    separate sizes branch (and no re-join with them).
+
+    The partition count is pinned explicitly: with a bare
+    ``repartition(col)``, AQE sizes the exchange by BYTES and coalesces a
+    small text column back to one partition — serializing the CPU-heavy
+    shingling. Pinning to the session's parallelism keeps every core busy
+    regardless of input byte size.
+
+    Uses explode_outer, not explode: inner explode implies a
+    ``size(shingles) > 0`` predicate that Catalyst pushes below the
+    exchange INTO the file scan as a DataFilter — re-evaluating the whole
+    shingle expression single-threaded on the scan side, defeating the
+    repartition. shingles_col is never empty for non-null text, so outer
+    + a cheap pushable text-not-null guard is equivalent.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .where(F.col("text").isNotNull())
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -79,10 +125,7 @@ def minhash_signatures(
     that re-built the shingle array per hash and fell off whole-stage
     codegen (~100× slower at sf0.1).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
-    ).select(
+    sh = shingle_postings(docs, id_col, text_col).select(
         "doc_id",
         F.md5(F.col("shingle")).alias("m1"),
         F.md5(F.concat(F.lit("x"), F.col("shingle"))).alias("m2"),
@@ -155,29 +198,26 @@ def jaccard_pairs(
     integers, so the value is bit-identical across engines. The postings
     join only pairs documents that share ≥1 shingle; at scale, frequent
     shingles are capped upstream (drop shingles with document frequency
-    above a cutoff — standard postings pruning) before the self-join."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    above a cutoff — standard postings pruning) before the self-join.
+
+    Each posting carries its document's shingle count (n_sh), so set
+    sizes ride through the join as grouping keys — no separate sizes
+    aggregation, no re-join: one self-join + one aggregation total."""
+    sh = shingle_postings(docs, id_col, text_col)
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    out = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
