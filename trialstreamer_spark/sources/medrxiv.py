@@ -1,0 +1,146 @@
+"""MedRxiv COVID-19 preprint feed ingestion (reference
+trialstreamer/medrxiv_cov.py).
+
+The reference GETs a collection JSON, zips it with model predictions by
+position, and truncate-reloads the ``medrxiv_covid19`` table
+(medrxiv_cov.py:22-109). Spark-first shape:
+
+- the fetched feed lands as a file; ``spark.read.json`` parses it (S9);
+- the hand-curated ``manual_preprints.json`` extras union in via
+  ``unionByName`` (U4);
+- annotation flows through the pluggable Annotator boundary keyed by
+  doi — never positional zip (SURVEY J5);
+- the table is small by construction (one disease's preprints), so the
+  truncate-and-reload maps to ``overwrite`` (S17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# connect.medrxiv.org collection JSON: {"rels": [{rel_title, rel_abs,
+# rel_date, rel_doi, rel_link, rel_authors, rel_site}, ...]}
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "rels",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("rel_title", T.StringType()),
+                        T.StructField("rel_abs", T.StringType()),
+                        T.StructField("rel_date", T.StringType()),
+                        T.StructField("rel_doi", T.StringType()),
+                        T.StructField("rel_link", T.StringType()),
+                        T.StructField(
+                            "rel_authors",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "author_name", T.StringType()
+                                        ),
+                                        T.StructField(
+                                            "author_inst", T.StringType()
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                        T.StructField("rel_site", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+ARTICLE_COLS = ("ti", "ab", "date", "doi", "url", "year", "authors", "source")
+
+
+def read_feed(spark: SparkSession, path: str) -> DataFrame:
+    """Landed collection JSON → one row per preprint with the reference's
+    article+meta split flattened into one schema (medrxiv_cov.py:29-33).
+    year derives from rel_date — a column expression, not driver
+    strptime."""
+    feed = spark.read.json(path, schema=FEED_SCHEMA, multiLine=True)
+    rel = feed.select(F.explode("rels").alias("r"))
+    return rel.select(
+        F.col("r.rel_title").alias("ti"),
+        F.col("r.rel_abs").alias("ab"),
+        F.col("r.rel_date").alias("date"),
+        F.col("r.rel_doi").alias("doi"),
+        F.col("r.rel_link").alias("url"),
+        F.year(F.to_date("r.rel_date")).alias("year"),
+        F.transform("r.rel_authors", lambda a: a.author_name).alias("authors"),
+        F.col("r.rel_site").alias("source"),
+    )
+
+
+def read_manual_extras(spark: SparkSession, path: str) -> DataFrame:
+    """Hand-curated additions (medrxiv_cov.py:36-41): a JSON array of
+    objects already carrying the flattened article schema."""
+    extras = spark.read.json(path, multiLine=True)
+    cols = [
+        F.col(c).cast("int").alias(c) if c == "year" else F.col(c)
+        for c in ARTICLE_COLS
+    ]
+    return extras.select(*cols)
+
+
+def combined_articles(feed: DataFrame, extras: DataFrame | None) -> DataFrame:
+    """Feed ∪ manual extras (U4)."""
+    if extras is None:
+        return feed
+    return feed.select(*ARTICLE_COLS).unionByName(
+        extras.select(*ARTICLE_COLS), allowMissingColumns=True
+    )
+
+
+def sample_size_guard(num: Column) -> Column:
+    """'not found' or >1,000,000 → NULL (medrxiv_cov.py:83-85,
+    pubmed.py:611-613). try_cast handles the sentinel string."""
+    n = num.try_cast("int")
+    return F.when(n > 1_000_000, F.lit(None).cast("int")).otherwise(n)
+
+
+def build_covid_table(articles: DataFrame, annotator=None) -> DataFrame:
+    """Annotate the (small) feed and keep sensitive-threshold RCTs only
+    (medrxiv_cov.py:76-109). The doi key rides through the model
+    boundary; callers overwrite the medrxiv_covid19 table with the
+    result (S17 truncate-and-reload ≡ overwrite)."""
+    from trialstreamer_spark.functions.annotate import annotate_articles
+
+    keyed = articles.select(
+        F.col("doi").alias("pmid"),  # annotator interface key column
+        F.col("ti").alias("title"),
+        F.col("ab").alias("abstract_plaintext"),
+    )
+    ann = annotate_articles(keyed, annotator).withColumnRenamed("pmid", "doi")
+    return (
+        articles.join(ann, "doi")
+        .filter(F.col("is_rct_sensitive"))
+        .withColumn(
+            "num_randomized", sample_size_guard(F.col("num_randomized"))
+        )
+        .select(
+            "doi",
+            "url",
+            "year",
+            "date",
+            "ti",
+            "ab",
+            "is_rct_precise",
+            "is_rct_balanced",
+            "is_rct_sensitive",
+            "rct_probability",
+            "num_randomized",
+            "prob_low_rob",
+            "punchline_text",
+            "effect",
+            "authors",
+            "source",
+        )
+    )
