@@ -25,6 +25,8 @@ OPERATOR_QUERIES = [
     "ann_cosine_topk",
     "lsh_bucket_stats",
     "vector_centroids",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
 ]
 
 

@@ -251,3 +251,126 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("v_fp") / 1_000_000.0 / F.count("*")).alias("centroid"))
         .orderBy("label", "idx")
     )
+
+
+_DD_BUCKET = (
+    "array_to_string(list_transform(embedding[1:12], "
+    "x -> CASE WHEN x > 0 THEN '+' ELSE '-' END), '')"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_DD_BUCKET} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             CAST({_DD_DOT_FP.format(a="a.embedding", b="c.embedding")} AS BIGINT)
+               / SQRT(CAST(CAST({_DD_DOT_FP.format(a="a.embedding", b="a.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_DD_DOT_FP.format(a="c.embedding", b="c.embedding")} AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs
+    WHERE cosine >= 0.2
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: sign-LSH buckets generate
+    candidates, exact fixed-point cosine verifies — the embedding-space
+    member of the dedup family (exact/minhash/simhash/jaccard in
+    operators/dedup.py). Only (bucket, id, vec) shuffles; the verify is
+    an in-bucket equi-join, never corpus × corpus. Threshold is the
+    dedup aggressiveness knob (0.2 here so the synthetic fixture, which
+    has no true near-dups, still exercises the verify stage)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        lsh_candidate_pairs(e)
+        .filter(F.col("cosine") >= 0.2)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cc AS (
+      SELECT label, CAST(idx AS INTEGER) AS idx,
+             CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*) AS c
+      FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
+                   unnest(embedding) AS val
+            FROM embeddings)
+      GROUP BY label, idx
+    ),
+    cent AS (SELECT label, list(c ORDER BY idx) AS cvec FROM cc GROUP BY label),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    cells AS (
+      SELECT cent.label FROM cent, q
+      ORDER BY CAST({_DD_DOT_FP.format(a="cent.cvec", b="q.qvec")} AS BIGINT)
+                 / SQRT(CAST(CAST({_DD_DOT_FP.format(a="cent.cvec", b="cent.cvec")} AS BIGINT) AS DOUBLE)
+                        * CAST(CAST({_DD_DOT_FP.format(a="q.qvec", b="q.qvec")} AS BIGINT) AS DOUBLE)) DESC,
+               cent.label
+      LIMIT 2
+    )
+    SELECT e.vec_id AS neighbor_id, e.label,
+           CAST({_DD_DOT_FP.format(a="e.embedding", b="q.qvec")} AS BIGINT)
+             / SQRT(CAST(CAST({_DD_DOT_FP.format(a="e.embedding", b="e.embedding")} AS BIGINT) AS DOUBLE)
+                    * CAST(CAST({_DD_DOT_FP.format(a="q.qvec", b="q.qvec")} AS BIGINT) AS DOUBLE))
+             AS cosine
+    FROM embeddings e, q
+    WHERE e.label IN (SELECT label FROM cells) AND e.vec_id <> 0
+    ORDER BY cosine DESC, neighbor_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the scale path beyond brute force): coarse
+    quantizer = per-cell centroids (fixed-point means, deterministic);
+    probe the query's nprobe=2 nearest cells; exact-rerank only their
+    members. At 100 TB: centroids are a broadcast-sized sidecar, cell
+    membership prunes the scan (partition the vector table by cell id so
+    pruning happens at the file level), and the rerank is the brute-force
+    kernel over ~nprobe/K of the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("idx0", "val"))
+        .select(
+            "label",
+            (F.col("idx0") + 1).alias("idx"),
+            F.floor(F.col("val").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("v_fp"),
+        )
+        .groupBy("label", "idx")
+        .agg((F.sum("v_fp") / 1_000_000.0 / F.count("*")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "c"))),
+                lambda s: s.c,
+            ).alias("cvec")
+        )
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cells = (
+        cent.join(F.broadcast(q))
+        .select("label", cosine_fp(F.col("cvec"), F.col("qvec")).alias("ccos"))
+        .orderBy(F.col("ccos").desc(), "label")
+        .limit(2)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(cells), "label")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            cosine_fp(F.col("embedding"), F.col("qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "neighbor_id")
+        .limit(10)
+    )
