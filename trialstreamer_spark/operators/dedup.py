@@ -49,19 +49,30 @@ def normalized_fp(text: Column) -> Column:
     )
 
 
+_SHINGLE_RE = {
+    3: r"(?:^| )(?=(\S+ \S+ \S+))",
+}
+
+
 def shingles_col(text: Column, k: int = SHINGLE) -> Column:
-    """Distinct k-word shingles as an array expression (no explode):
-    transform over a 0..n-k index sequence, concat_ws over slices."""
-    toks = tokens_col(text)
-    n = F.size(toks)
+    """Distinct k-word shingles as one regex pass.
+
+    Overlapping k-grams via a zero-width lookahead capture anchored at
+    token starts (the consumed ``^|space`` keeps the scan on token
+    boundaries) over whitespace-normalized text. Chosen over the
+    equivalent ``transform(sequence(...), i -> concat_ws(slice(...)))``
+    formulation: nested higher-order functions evaluate on Spark's
+    interpreted expression path (no whole-stage codegen), which measured
+    ~1 ms/doc — ~9x slower than this single JVM-regex scan. Fewer-than-k
+    tokens fall back to the whole normalized string, matching
+    ``concat_ws(' ', tokens)``.
+    """
+    if k not in _SHINGLE_RE:
+        raise ValueError(f"unsupported shingle width {k}")
+    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    grams = F.regexp_extract_all(norm, F.lit(_SHINGLE_RE[k]), 1)
     return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks))),
+        F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
     )
 
 

@@ -38,7 +38,11 @@ def get_spark(app_name: str = "trialstreamer-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # single-JVM local mode: the driver heap IS the executor heap for
+        # all $SPARK_GRAFT_CPUS task threads — size it to the machine,
+        # not to a driver-only footprint (GC pressure on a small heap
+        # showed up as 2x run-to-run variance in bench hot queries)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
