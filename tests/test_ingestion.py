@@ -72,6 +72,8 @@ def test_batch_cdc_semantics(spark, xml_dir, warehouse):
     # derived counts refreshed
     yc = {r.year: r.n_articles for r in pipe.year_counts.read().collect()}
     assert sum(yc.values()) == len(state)
+    # A8 run statistics observed on the merge action
+    assert pipe.last_batch_stats["n_upserts"] > 0
 
 
 def test_batch_idempotent_replay(spark, xml_dir, warehouse):

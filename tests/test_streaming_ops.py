@@ -1,0 +1,152 @@
+"""Streaming operator tests beyond the CDC pipeline: watermarked
+windowed aggregation in append mode, and the applyInPandasWithState
+sessionizer — both fed by a chunked file source (maxFilesPerTrigger=1)
+so watermark advancement across micro-batches is exercised for real."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.streaming.pipeline import hourly_event_rollup
+from trialstreamer_spark.streaming.stateful import sessionize_stream
+
+T0 = dt.datetime(2025, 6, 1, 0, 0, 0)
+
+EVENT_SCHEMA = "user_id long, event_type string, ts timestamp, value double"
+
+
+def _write_batches(base: str, batches) -> None:
+    """One JSONL file per micro-batch; mtimes strictly increasing so the
+    file source picks them up in order."""
+    os.makedirs(base)
+    for i, rows in enumerate(batches):
+        p = os.path.join(base, f"{i:03d}.json")
+        with open(p, "w") as f:
+            for user, minutes, etype, value in rows:
+                ts = T0 + dt.timedelta(minutes=minutes)
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": user,
+                            "event_type": etype,
+                            "ts": ts.strftime("%Y-%m-%dT%H:%M:%S"),
+                            "value": value,
+                        }
+                    )
+                    + "\n"
+                )
+        t = time.time() + i  # monotone mtimes
+        os.utime(p, (t, t))
+
+
+def _run_stream(spark, src_dir, ckpt, transform, out_table):
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
+
+
+def test_windowed_rollup_append_emits_closed_windows(spark, tmp_path):
+    """Three time-ordered batches; append mode + 1h watermark emit
+    exactly the windows whose end ≤ final watermark. availableNow commits
+    a final watermark-advancing batch, so the final watermark is
+    max event time over ALL batches − 1h; only the still-open trailing
+    window is withheld."""
+    batches = [
+        # batch 0: hours 0-2
+        [(1, 5, "view", 1.0), (1, 65, "view", 2.0), (2, 100, "click", 3.0)],
+        # batch 1: hours 3-5
+        [(1, 185, "view", 4.0), (2, 245, "click", 5.0), (1, 305, "view", 6.0)],
+        # batch 2: hours 10-12 → final watermark 12h05 − 1h = 11h05
+        [(2, 610, "view", 7.0), (1, 725, "click", 8.0)],
+    ]
+    src = str(tmp_path / "events_src")
+    _write_batches(src, batches)
+    got = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        hourly_event_rollup,
+        "rollup_out",
+    ).collect()
+
+    batch_df = spark.createDataFrame(
+        [
+            (u, e, T0 + dt.timedelta(minutes=m), v)
+            for rows in batches
+            for (u, m, e, v) in rows
+        ],
+        EVENT_SCHEMA,
+    )
+    final_wm = T0 + dt.timedelta(minutes=725 - 60)
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in hourly_event_rollup(batch_df).collect()
+        if r.window_start + dt.timedelta(hours=1) <= final_wm
+    }
+    got_map = {(r.window_start, r.event_type): (r.n, r.total_value) for r in got}
+    assert got_map == want
+    assert len(got_map) > 0
+    # the last (open) window must NOT have been emitted
+    assert all(ws + dt.timedelta(hours=1) <= final_wm for ws, _ in got_map)
+
+
+def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
+    """User 1: two bursts 2h apart → first session closes in-batch when
+    the second burst arrives; the second burst is later closed by
+    timeout once batch 2's far-future event advances the watermark past
+    its expiry. User 2: one burst, closed by event-time timeout. Only
+    user 3's trailing session stays open — never emitted."""
+    batches = [
+        # batch 0: user1 burst A (0,10,20min), user2 burst (5,15min)
+        [
+            (1, 0, "view", 1.0),
+            (1, 10, "view", 1.0),
+            (1, 20, "view", 1.0),
+            (2, 5, "click", 1.0),
+            (2, 15, "click", 1.0),
+        ],
+        # batch 1: user1 at +2h (closes burst A in-batch);
+        # watermark after: 140 - 60 = 80min > user2 expiry (15+30=45min)
+        [(1, 140, "view", 1.0)],
+        # batch 2: far-future event advances watermark → user2 timeout
+        [(3, 1000, "view", 1.0)],
+    ]
+    src = str(tmp_path / "sess_src")
+    _write_batches(src, batches)
+    got = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        lambda s: sessionize_stream(s, gap_minutes=30),
+        "sessions_out",
+    ).collect()
+
+    sessions = {
+        (r.user_id, r.session_start, r.session_end): r.n_events for r in got
+    }
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)  # noqa: E731
+    assert sessions[(1, m(0), m(20))] == 3  # burst A, closed by gap
+    assert sessions[(2, m(5), m(15))] == 2  # closed by timeout
+    assert sessions[(1, m(140), m(140))] == 1  # closed by final watermark
+    # user3's open session (no watermark past 1000+30min) never emitted
+    assert len(sessions) == 3

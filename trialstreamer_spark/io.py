@@ -57,3 +57,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export sink (SURVEY S19 — the reference's ``COPY (...) TO
+    STDOUT csv header``). Each partition writes its own file; coalesce
+    upstream if a single file is required."""
+    df.write.mode(mode).option("header", True).csv(path)

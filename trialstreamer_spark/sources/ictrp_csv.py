@@ -101,6 +101,15 @@ def target_size_col(raw: Column) -> Column:
     return F.when(ok, raw).otherwise(F.lit("unknown"))
 
 
+def year_backfill_col(year: Column, date_registered: Column) -> Column:
+    """Backfill missing year from the registration date's leading 4
+    chars (F9, ref ictrp.py:346-353: ``left(...,4)::int`` UPDATE —
+    here a coalesce projection instead of a mutate)."""
+    return F.coalesce(
+        year, F.substring(date_registered.cast("string"), 1, 4).try_cast("int")
+    )
+
+
 def split_multivalue(col: Column, sep: str = ";") -> Column:
     """';'-separated multi-value field → trimmed distinct array
     (ictrp_csv.py:269-271 list(set(countries.split(';'))))."""

@@ -39,6 +39,7 @@ class PubmedPipeline:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
+        self.last_batch_stats: dict = {}
         self.articles = ParquetTable(spark, os.path.join(warehouse, "pubmed_raw"))
         self.audit = ParquetTable(spark, os.path.join(warehouse, "update_log"))
         self.year_counts = ParquetTable(
@@ -47,7 +48,9 @@ class PubmedPipeline:
 
     # -- core batch application (used by both batch & foreachBatch) -------
 
-    def _apply_batch(self, articles: DataFrame, deletes: DataFrame) -> None:
+    def _apply_batch(
+        self, articles: DataFrame, deletes: DataFrame, streaming: bool = False
+    ) -> None:
         # deterministic file order then keep-last per pmid
         # (pubmed.py:64 sort + 492-504 last-wins)
         w = W.partitionBy("pmid").orderBy(F.col("source_filename").desc())
@@ -72,8 +75,22 @@ class PubmedPipeline:
             )
             .drop("__del_file")
         )
+        # run statistics (SURVEY A8 — the reference's Counter telemetry at
+        # pubmed.py:458,480,550): an Observation rides the merge action,
+        # so counting costs no extra job. Observation.get blocks on a
+        # QueryExecutionListener that never fires for actions inside
+        # foreachBatch, so streaming mode observes on the stream instead
+        # (run_stream) and this stays batch-only.
+        obs = None
+        if not streaming:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            deduped = deduped.observe(obs, F.count(F.lit(1)).alias("n_upserts"))
         del_keys = deletes.select("pmid").distinct()
         self.articles.merge(deduped, "pmid", deletes=del_keys)
+        if obs is not None:
+            self.last_batch_stats = obs.get
         self._refresh_counts()
         self._log_update(articles, deletes)
 
@@ -133,15 +150,23 @@ class PubmedPipeline:
             dels = batch_df.select("path", "content").mapInPandas(
                 pubmed_xml._reader("deletes"), schema=pubmed_xml.DELETE_SCHEMA
             )
-            self._apply_batch(arts, dels)
+            self._apply_batch(arts, dels, streaming=True)
 
+        # A8 streaming leg: per-micro-batch file counts surface in
+        # StreamingQueryProgress.observedMetrics
+        observed = files.observe(
+            "batch_stats", F.count(F.lit(1)).alias("n_files")
+        )
         q = (
-            files.writeStream.foreachBatch(process)
+            observed.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        prog = q.lastProgress
+        if prog and prog.get("observedMetrics", {}).get("batch_stats"):
+            self.last_batch_stats = prog["observedMetrics"]["batch_stats"]
 
 
 def hourly_event_rollup(events: DataFrame) -> DataFrame:
