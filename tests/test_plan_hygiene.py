@@ -1,0 +1,103 @@
+"""Physical-plan hygiene: assertions on .explain output for key
+operators, so scale regressions (lost pushdown, surprise cartesian,
+de-broadcast, single-task hot stages) fail CI instead of surfacing as
+cluster bills.
+
+These encode the 100 TB design decisions:
+- filters/projections must reach the parquet scan (PushedFilters /
+  ReadSchema) — a scan reading all columns for a 2-column projection is
+  wrong at any scale;
+- small dims broadcast; corpus-side never shuffles for a probe join;
+- candidate generation is equi-join (bucket keys), never cartesian;
+- the CPU-heavy shingle projection sits ABOVE the pinned-width exchange
+  (the explode_outer regression test — an implicit size>0 pushdown once
+  re-serialized it into the single-split scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.io import load
+from trialstreamer_spark.operators import dedup, similarity
+from trialstreamer_spark.plans.registry import QUERIES
+
+import trialstreamer_spark.plans.relational  # noqa: F401  (registry fill)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_quantity")
+    )
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p or "LessThanOrEqual(l_shipdate" in p
+    # column pruning: ReadSchema carries only the referenced columns
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_core_join_broadcasts_small_side(spark, sf_dir):
+    p = plan_of(QUERIES["core_join_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_no_cartesian_anywhere():
+    """Candidate generation across the dedup/similarity family must be
+    key-equi-joins; a cartesian in any registered plan is a scale bug."""
+    from trialstreamer_spark.session import get_spark
+
+    spark = get_spark("plan-hygiene")
+    sf_dir = "/root/testdata/sf0.001"
+    for name, fn in sorted(QUERIES.items()):
+        p = plan_of(fn(spark, sf_dir))
+        # broadcast of a literal single-row query vector is fine; an
+        # unkeyed join of two full tables is not
+        assert "CartesianProduct" not in p, name
+
+
+def test_shingle_projection_above_exchange(spark, sf_dir):
+    sh = dedup.shingle_postings(load(spark, sf_dir, "documents"))
+    p = plan_of(sh)
+    # the scan must NOT evaluate the shingle expression (the DataFilters
+    # regression): regexp machinery appears only above the exchange
+    scan_part = p.split("Exchange")[-1]  # text below/incl. last Exchange
+    assert "regexp_extract_all" not in scan_part
+    assert "REPARTITION_BY_NUM" in p  # pinned width, AQE can't coalesce
+
+
+def test_lsh_candidates_equi_join(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    p = plan_of(similarity.lsh_candidate_pairs(e))
+    assert "CartesianProduct" not in p
+    assert "bucket" in p
+
+
+def test_upw_probe_side_never_shuffles(spark):
+    """The (huge) dump side of the Unpaywall join must stream map-side:
+    broadcast on the lookup, no Exchange between the dump scan and the
+    join."""
+    import json
+
+    from trialstreamer_spark.sources import upw
+
+    dump = spark.createDataFrame(
+        [(f"10.1/{i}", True, ("u", "p"), "{}") for i in range(10)],
+        "doi string, is_oa boolean, best_oa_location struct<url:string,url_for_pdf:string>, upw_data string",
+    )
+    lookup = spark.createDataFrame([("10.1/1", "p1")], "doi string, pmid string")
+    p = plan_of(upw.build_upw_table(dump, lookup))
+    assert "BroadcastHashJoin" in p
