@@ -134,7 +134,9 @@ def picosearch(
     joined = pm.join(F.broadcast(pa), "pmid").select(
         "pmid",
         "ti",
+        "ab",
         "year",
+        F.col("pm_data.journal").alias("journal"),
         "punchline_text",
         _cite(
             F.col("pm_data.authors"), F.col("pm_data.journal"), F.col("year")
@@ -159,7 +161,9 @@ def picosearch(
         .select(
             F.col("regid").alias("pmid"),
             "ti",
+            F.lit(None).cast("string").alias("ab"),
             "year",
+            F.lit(None).cast("string").alias("journal"),
             F.lit(None).cast("string").alias("punchline_text"),
             F.lit(None).cast("string").alias("citation"),
             "population",
@@ -186,7 +190,9 @@ def picosearch(
             .select(
                 F.col("doi").alias("pmid"),
                 "ti",
+                "ab",
                 "year",
+                F.col("source").alias("journal"),
                 "punchline_text",
                 F.concat(
                     F.element_at(F.col("authors"), 1)["author_name"],
@@ -375,3 +381,56 @@ def registry_links_build(tables: Tables) -> DataFrame:
         .select("regid", "pmid")
         .distinct()
     )
+
+
+def with_abbreviations(results: DataFrame, text_col: str = "ab") -> DataFrame:
+    """json-short retmode enrichment (cnxapp.py:245): per-result
+    Schwartz-Hearst abbreviation dict, computed from the abstract. The
+    reference runs this driver-side per row at query time; here it is an
+    Arrow-batched pandas UDF over the ≤750-row result set — same
+    algorithm (functions.text), distributed."""
+    from trialstreamer_spark.functions.text import abbreviations_udf
+
+    return results.withColumn("abbrev_dict", abbreviations_udf(F.col(text_col)))
+
+
+def picosearch_ris(
+    tables: Tables,
+    terms: list[dict],
+    order: str = "score",
+    expand_terms: bool = True,
+) -> str:
+    """ris retmode (cnxapp.py:315-324): the capped result set serialized
+    to RIS text driver-side via sources.ris.dumps — TY/DB/ID/TI/YR/JO/AB
+    tags as the reference emits them."""
+    from trialstreamer_spark.sources.ris import dumps
+
+    rows = (
+        picosearch(tables, terms, order, expand_terms)
+        .select("pmid", "year", "ti", "ab", "journal")
+        .collect()
+    )
+    records = [
+        {
+            "TY": "JOUR",
+            "DB": "Trialstreamer",
+            "ID": r.pmid,
+            "TI": r.ti,
+            "YR": r.year,
+            "JO": r.journal,
+            "AB": r.ab,
+        }
+        for r in rows
+    ]
+    return dumps(records)
+
+
+def export_articles(tables: Tables, threshold: str = "balanced") -> DataFrame:
+    """Bulk dataset export (ref trialstreamer/docs.py:11-17
+    iter_pubmed): all articles passing the chosen RCT threshold, with
+    the full typed pm_data record — the robotdata feed, as a DataFrame
+    instead of a driver-side generator."""
+    flag = f"is_rct_{threshold}"
+    if flag not in ("is_rct_precise", "is_rct_balanced", "is_rct_sensitive"):
+        raise ValueError(f"unknown threshold {threshold!r}")
+    return tables.t("pubmed").filter(F.col(flag)).select("pmid", "ti", "ab", "year", "pm_data")
