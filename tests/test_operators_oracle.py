@@ -27,6 +27,8 @@ OPERATOR_QUERIES = [
     "vector_centroids",
     "dedup_embedding_cosine",
     "ann_ivf_topk",
+    "topk_per_group",
+    "match_rate_pivot",
 ]
 
 

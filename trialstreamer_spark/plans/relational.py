@@ -565,3 +565,78 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses duplicates map-side before the shuffle."""
     d = load(spark, sf_dir, "documents")
     return d.select("lang", "source").distinct().orderBy("lang", "source")
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, price_cents, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                        o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    )
+    WHERE rn <= 2
+    ORDER BY o_orderpriority, rn
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the windowed generalization of the reference's
+    global ORDER BY/LIMIT rankings (T1/A6). At scale: one shuffle on the
+    group key; rank truncation happens inside the window operator, so
+    only k rows per group survive to the output. Prices compared as
+    integer cents so ordering (and thus the selected set) is identical
+    across engines."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    cents = _cents(F.col("o_totalprice"))
+    w = W.partitionBy("o_orderpriority").orderBy(
+        cents.desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            cents.alias("price_cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@query(
+    "match_rate_pivot",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_digit,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]') THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_without_digit
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def match_rate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-match-rate pivot (ref A7, nb/'analysis of how many trials
+    … registry ID': per group, counts of texts with and without a regex
+    hit). Conditional sums — map-side partial aggregation makes the
+    shuffle carry one row per group."""
+    d = load(spark, sf_dir, "documents")
+    hit = F.col("text").rlike("[0-9]")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_with_digit"),
+            F.sum(F.when(hit, 0).otherwise(1)).alias("n_without_digit"),
+        )
+        .orderBy("lang")
+    )
