@@ -29,6 +29,9 @@ OPERATOR_QUERIES = [
     "ann_ivf_topk",
     "topk_per_group",
     "match_rate_pivot",
+    "dedup_apply_canonical",
+    "price_quantiles",
+    "langs_per_source",
 ]
 
 

@@ -409,3 +409,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", simhash_col(F.col("text")).alias("simhash")
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_apply_canonical",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang, source,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM fp
+    WHERE doc_id = (SELECT MIN(f2.doc_id) FROM fp f2
+                    WHERE f2.fingerprint = fp.fingerprint)
+    ORDER BY doc_id
+    """,
+)
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact dedup: keep only each fingerprint group's
+    canonical (min doc_id) row — the corpus after deduplication. One
+    window over the fingerprint; at scale this replaces the correlated
+    subquery the SQL oracle spells, with identical semantics."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("fingerprint")
+    return (
+        d.select(
+            "doc_id", "lang", "source",
+            normalized_fp(F.col("text")).alias("fingerprint"),
+        )
+        .withColumn("canonical", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

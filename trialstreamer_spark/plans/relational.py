@@ -640,3 +640,60 @@ def match_rate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "price_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+                AS BIGINT) AS p50_cents,
+           CAST(quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9)
+                AS BIGINT) AS p90_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles per group (corpus distribution stats a
+    training-data pipeline reports). percentile_disc (first value whose
+    cume_dist ≥ p — same rule as DuckDB quantile_disc) over the
+    integer-cents domain is engine-identical; interpolating percentile()
+    is NOT (verified mismatch). For 100 TB switch to approx_percentile
+    with a declared error bound — the plan shape is unchanged."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority", _cents(F.col("o_totalprice")).alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p50_cents"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p90_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "langs_per_source",
+    oracle="""
+    SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def langs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct-set aggregation per group (A10 generalization:
+    list(set(countries))). collect_set + sort_array — the set collapses
+    map-side, so the shuffle carries one small array per group."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs")
+        )
+        .orderBy("source")
+    )
