@@ -150,3 +150,28 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     assert sessions[(1, m(140), m(140))] == 1  # closed by final watermark
     # user3's open session (no watermark past 1000+30min) never emitted
     assert len(sessions) == 3
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """The same event_id re-delivered in a later micro-batch (within the
+    watermark horizon) is emitted once; distinct ids all pass."""
+    from trialstreamer_spark.streaming.stateful import dedup_stream
+
+    batches = [
+        [(1, 0, "view", 1.0), (2, 5, "view", 1.0)],
+        [(1, 0, "view", 1.0), (3, 10, "view", 1.0)],   # id1 re-delivered
+        [(2, 5, "view", 1.0), (4, 1000, "view", 1.0)], # id2 re-delivered
+    ]
+    src = str(tmp_path / "dedup_src")
+    _write_batches(src, batches)
+    got = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        lambda s: dedup_stream(
+            s.withColumnRenamed("user_id", "event_id"), ["event_id"]
+        ),
+        "dedup_out",
+    ).collect()
+    ids = sorted(r.event_id for r in got)
+    assert ids == [1, 2, 3, 4]
