@@ -1,0 +1,64 @@
+"""Bucketed-table co-located join (the SCALE.md claim that pubmed ⋈
+annotations on pmid is shuffle-free when both tables are bucketed by
+pmid): write both sides with bucketBy(pmid), join through the catalog,
+and assert the plan has NO shuffle exchange on either join input."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def bucketed_tables(spark, tmp_path):
+    a = spark.range(0, 1000).select(
+        F.concat(F.lit("p"), F.col("id")).alias("pmid"),
+        (F.col("id") % 7).alias("x"),
+    )
+    b = spark.range(0, 1000, 2).select(
+        F.concat(F.lit("p"), F.col("id")).alias("pmid"),
+        (F.col("id") % 5).alias("y"),
+    )
+    names = []
+    for name, df in (("bt_articles", a), ("bt_annotations", b)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "pmid")
+            .sortBy("pmid")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+        names.append(name)
+    yield names
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    art, ann = bucketed_tables
+    # hint("merge") pins SMJ (the fixture is small enough to
+    # auto-broadcast, which would trivially avoid exchanges without
+    # proving co-location)
+    joined = spark.table(art).join(spark.table(ann).hint("merge"), "pmid")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located: a sort-merge join whose inputs read bucketed files
+    # directly — no Exchange (shuffle) below the join
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # correctness unchanged
+    assert joined.count() == 500
+
+
+def test_unbucketed_join_shuffles(spark, bucketed_tables):
+    """Control: the same join on plain (non-bucketed) data DOES need an
+    exchange, proving the bucketed plan's absence of one is the bucket
+    layout's doing."""
+    art, _ = bucketed_tables
+    plain = spark.range(0, 1000, 2).select(
+        F.concat(F.lit("p"), F.col("id")).alias("pmid"),
+        (F.col("id") % 5).alias("y"),
+    )
+    joined = spark.table(art).join(plain.hint("merge"), "pmid")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan
