@@ -42,7 +42,9 @@ def main() -> None:
     # a property of the query — the codegen cache keys on generated
     # source, which is identical across scale factors. This makes the
     # timed pass measure steady-state execution, the regime that matters
-    # for a long-lived cluster.
+    # for a long-lived cluster. (Warming at the target SF was tried and
+    # measured WORSE: the extra full-size pass leaves heap/broadcast
+    # debris that the timed pass then pays for in GC.)
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
