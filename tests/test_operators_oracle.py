@@ -32,6 +32,7 @@ OPERATOR_QUERIES = [
     "dedup_apply_canonical",
     "price_quantiles",
     "langs_per_source",
+    "heavy_hitter_tokens",
 ]
 
 

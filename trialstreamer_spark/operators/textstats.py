@@ -264,3 +264,32 @@ def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: top-20 lowercased tokens by frequency
+    (vocabulary skew diagnostics for a training-data pipeline — the
+    exact baseline whose approximate sibling is a count-min sketch at
+    100 TB). explode → count: map-side partial aggregation collapses the
+    shuffle to one row per distinct token per partition; top-k is
+    TakeOrderedAndProject, no global sort."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
