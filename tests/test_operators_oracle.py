@@ -8,6 +8,7 @@ import pytest
 import trialstreamer_spark.operators.dedup as dedup
 import trialstreamer_spark.operators.similarity  # noqa: F401
 import trialstreamer_spark.operators.textstats  # noqa: F401
+import trialstreamer_spark.plans.relational  # noqa: F401  (registry fill)
 from trialstreamer_spark.io import load
 from trialstreamer_spark.plans.registry import ORACLES, QUERIES
 
@@ -21,6 +22,7 @@ OPERATOR_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_capped",
     "dedup_simhash",
     "ann_cosine_topk",
     "lsh_bucket_stats",
@@ -40,6 +42,22 @@ OPERATOR_QUERIES = [
 def test_operator_matches_oracle(spark, sf_dir, name):
     assert name in ORACLES, f"{name} not registered with an oracle"
     assert_matches(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_jaccard_df_cap_bounds_hot_shingles(spark):
+    """A boilerplate shingle shared by N documents emits C(N,2) join rows
+    uncapped; with df_cap the hot shingle is pruned before the self-join
+    so the pair count stays bounded regardless of N — the property that
+    keeps the postings join from going quadratic at 100 TB."""
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma u{i} v{i} w{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.jaccard_pairs(docs).count()
+    assert uncapped == n * (n - 1) // 2  # every pair shares 'alpha beta gamma'
+    capped = dedup.jaccard_pairs(docs, df_cap=5).count()
+    assert capped == 0  # hot shingle pruned; remaining shingles are unique
 
 
 def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):

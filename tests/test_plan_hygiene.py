@@ -86,6 +86,32 @@ def test_lsh_candidates_equi_join(spark, sf_dir):
     assert "bucket" in p
 
 
+def test_ivf_search_reads_sidecar_not_corpus(spark, sf_dir):
+    """The IVF SEARCH plan must not rebuild the coarse quantizer: after
+    the sidecar is built (ivf_centroids — the offline step), the query
+    plan is filter(label IN cells) → Arrow scoring → top-k. A
+    posexplode/aggregate in the search plan means a full-corpus
+    aggregation per query — the 100 TB regression this guards against."""
+    similarity.prepare_indexes(spark, sf_dir)
+    df = QUERIES["ann_ivf_topk"](spark, sf_dir)
+    p = plan_of(df)
+    assert "posexplode" not in p
+    assert "collect_list" not in p
+    assert "TakeOrderedAndProject" in p
+    # cell pruning is a pushable IN-filter on the cluster/partition key
+    assert "label" in p and ("In(label" in p or "label#" in p)
+
+
+def test_topk_per_group_window_group_limit(spark, sf_dir):
+    """rank<=k window top-k must trigger WindowGroupLimit pushdown with a
+    Partial pass BELOW the exchange — each map task ships at most k rows
+    per group instead of its whole partition. Losing this turns a
+    bounded shuffle into a full-table shuffle at 100 TB."""
+    p = plan_of(QUERIES["topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p.split("Exchange hashpartitioning")[-1]
+
+
 def test_upw_probe_side_never_shuffles(spark):
     """The (huge) dump side of the Unpaywall join must stream map-side:
     broadcast on the lookup, no Exchange between the dump scan and the

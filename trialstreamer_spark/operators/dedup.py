@@ -202,19 +202,38 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.0,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over a shingle-postings self-join.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — a single division of exact
     integers, so the value is bit-identical across engines. The postings
-    join only pairs documents that share ≥1 shingle; at scale, frequent
-    shingles are capped upstream (drop shingles with document frequency
-    above a cutoff — standard postings pruning) before the self-join.
+    join only pairs documents that share ≥1 shingle.
+
+    ``df_cap`` is the 100 TB safety valve: a shingle occurring in d
+    documents emits C(d,2) join rows, so one boilerplate phrase shared
+    by 10⁶ documents would alone produce ~5·10¹¹ pairs. With a cap,
+    shingles with document frequency > df_cap are dropped BEFORE the
+    self-join (standard postings pruning), bounding per-shingle fan-out
+    at C(df_cap,2); Jaccard is then computed over the PRUNED shingle
+    sets (sizes recomputed after the filter), i.e. it remains a true
+    Jaccard of the surviving feature space. df_cap=None keeps the exact
+    semantics (used by the uncapped oracle query).
 
     Each posting carries its document's shingle count (n_sh), so set
     sizes ride through the join as grouping keys — no separate sizes
-    aggregation, no re-join: one self-join + one aggregation total."""
+    aggregation, no re-join: one self-join + one aggregation total
+    (plus, when capped, the two pruning windows over shingle / doc)."""
+    from pyspark.sql import Window as W
+
     sh = shingle_postings(docs, id_col, text_col)
+    if df_cap is not None:
+        sh = (
+            sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+            .filter(F.col("df") <= df_cap)
+            .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+            .select("doc_id", "n_sh", "shingle")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     out = (
         a.join(
@@ -416,6 +435,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (the verify stage of the MinHash pipeline)."""
     d = load(spark, sf_dir, "documents")
     return jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_jaccard_capped",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM posting)
+      WHERE df <= 5
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency-capped Jaccard (df_cap=5): the scale-safe
+    variant — hot shingles are pruned before the self-join, bounding
+    per-shingle pair fan-out at C(5,2) no matter how common a
+    boilerplate phrase is. This is the configuration a 100 TB dedup run
+    uses; the uncapped dedup_ngram_jaccard is the exact baseline."""
+    d = load(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.2, df_cap=5).orderBy("doc_a", "doc_b")
 
 
 @query(
