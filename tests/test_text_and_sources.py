@@ -146,7 +146,8 @@ def test_ris_roundtrip(tmp_path, spark):
         ("Single-arm study!", "non-RCT"),  # non-RCT list wins first
         ("Observational: cohort", "non-RCT"),
         ("Cluster randomized trial", "RCT"),
-        ("Phase II evaluation", "unknown"),
+        ("Phase II evaluation", "RCT"),  # 'phase ii' is in the full RCT list
+        ("Some novel design", "unknown"),
         (None, "unknown"),
     ],
 )
@@ -155,6 +156,42 @@ def test_is_rct_rules(spark, design, want):
         ictrp_csv.is_rct_col(F.col("sd")).alias("out")
     )
     assert df.collect()[0].out == want
+
+
+def _ref_is_rct(study_design):
+    """Verbatim Python replica of the reference classifier
+    (ictrp.py:156-186: cleanup has no strip; non-RCT list first)."""
+    import re
+
+    if study_design is None:
+        return "unknown"
+    txt = re.sub(r"[^a-zA-Z\d]", " ", study_design.lower())
+    sd_clean = re.sub(r"\s\s+", " ", txt)
+    if any(r in sd_clean for r in ictrp_csv.NON_RCT_PHRASES):
+        return "non-RCT"
+    if any(r in sd_clean for r in ictrp_csv.RCT_PHRASES):
+        return "RCT"
+    return "unknown"
+
+
+def test_is_rct_full_phrase_parity(spark):
+    """Every phrase from the full transcribed lists, embedded in context
+    and with punctuation, classifies identically to the reference logic
+    — including the dead entries (':' / double-space phrases that cannot
+    match cleaned text)."""
+    inputs = [None, "", "something else entirely", "  ", "Allocation: RCT"]
+    for p in dict.fromkeys(ictrp_csv.NON_RCT_PHRASES + ictrp_csv.RCT_PHRASES):
+        inputs += [p, p.upper(), f"Study design: {p}; multi-center", f"a {p} z"]
+    expected = [_ref_is_rct(s) for s in inputs]
+    rows = [(i, s) for i, s in enumerate(inputs)]
+    got = [
+        r.out
+        for r in spark.createDataFrame(rows, "i long, sd string")
+        .select("i", ictrp_csv.is_rct_col(F.col("sd")).alias("out"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == expected
 
 
 def test_date_and_multivalue(spark):

@@ -5,10 +5,9 @@ ictrp_csv.py:58-92,313-354).
 
 The classifier is substring search over a cleaned study_design string:
 non-RCT phrases first (definite no), then RCT phrases (likely yes), else
-unknown (ictrp.py:169-186). Phrase lists are engine config, not code —
-the sets below reproduce the reference's behavior classes and can be
-swapped wholesale. Everything compiles to `exists()` over literal arrays
-→ whole-stage codegen, no UDF.
+unknown (ictrp.py:169-186). The phrase lists are the reference's full
+lists (ictrp.py:66-154) transcribed verbatim. Everything compiles to
+`exists()` over literal arrays → whole-stage codegen, no UDF.
 """
 
 from __future__ import annotations
@@ -16,37 +15,105 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# behavior classes per ictrp.py:66-154 (definite-no list checked first)
+# Full phrase lists transcribed VERBATIM from ictrp.py:66-154 (the
+# reference's "rules of thumb ... based on analysis of unique
+# study_design fields conducted on 2020-03-29"), duplicates and all.
+# Note the faithful quirks: phrases containing ':' or double spaces can
+# never match because they are compared against CLEANED text (non-alnum
+# → space, whitespace runs collapsed) — they are dead entries in the
+# reference too, and parity means keeping them. Definite-no list is
+# checked first (ictrp.py:178-186).
 NON_RCT_PHRASES = (
-    "single arm",
-    "non randomized",
-    "non randomised",
-    "nonrandomized",
+    "allocation : not applicable",
+    "assignment: other",
+    "before after control",
+    "case control",
+    "case control",
+    "case control study",
+    "case series",
+    "case study",
+    "cluster randomly sampling",
+    "cohort study",
+    "control: historical",
+    "cross sectional",
+    "cross sectional",
+    "cross sectional study",
+    "diagnostic accuracy study",
+    "diagnostic test for accuracy",
+    "duration: longitudinal",
+    "epidemiological study",
+    "historical control",
+    "logitudinal",
+    "longitudinal study  treatment ",
+    "mixed methods",
+    "n of 1 trial",
+    "non comparative",
+    "non randomised trial",
+    "non randomized control",
+    "non randomized controlled trial",
+    "non rct",
     "not randomized",
     "observational",
-    "single group assignment",
-    "case control",
-    "cohort",
-    "cross sectional",
-    "open label single arm",
-    "uncontrolled",
-    "historical control",
-    "before and after",
+    "observational study",
+    "open label",
+    "open label",
     "pre post",
+    "purpose: natural history",
+    "qualitative",
+    "quasi experimental",
+    "quasi randomized controlled",
+    "randomised: no",
+    "randomization sequence:not applicable",
+    "randomization sequence:other",
+    "randomization: n a",
+    "randomly sampling",
+    "retrospective",
+    "sequential",
+    "single arm",
+    "single arm",
+    "single group assignment",
+    "survey",
+    "uncontrolled",
 )
 RCT_PHRASES = (
-    "randomized controlled trial",
-    "randomised controlled trial",
-    "randomized parallel",
-    "randomised parallel",
-    "parallel group rct",
+    "adaptive randomization",
+    "allocation : rct",
+    "assignment: crossover",
+    "cluster controlled trial",
+    "cluster randomization",
+    "computer generated randomization",
+    "cross over",
+    "crossover trial",
+    "double blind",
+    "double masked",
+    "experimental",
+    "factorial",
+    "interventional trial",
+    "parallel",
+    "permuted block randomization",
+    "phase 1",
+    "phase 2",
+    "phase 3",
+    "phase 4",
+    "phase i",
+    "phase ii",
+    "phase iii",
+    "phase iv",
+    "pilot rct",
+    "ramdomised controlled trial",
     "rct",
     "random allocation",
-    "randomized crossover",
-    "double blind randomized",
-    "cluster randomized",
-    "randomized",
+    "random number table",
     "randomised",
+    "randomise",
+    "randomised controlled trial",
+    "randomization sequence:coin toss  lottery  toss of dice  shuffling cards",
+    "randomize",
+    "randomized",
+    "randomized controlled trial",
+    "single centre trial",
+    "stratified block randomization",
+    "stratified randomization",
 )
 
 # per-registry date formats (ictrp_csv.py:73-92): registry prefix → strptime
@@ -54,10 +121,11 @@ DATE_FORMATS = ("dd/MM/yyyy", "yyyy-MM-dd", "dd-MM-yyyy", "MM/dd/yyyy", "yyyyMMd
 
 
 def cleanup_col(raw: Column) -> Column:
-    """Strip non-alphanumerics → space, collapse runs (ictrp.py:156-159)."""
-    return F.trim(
-        F.regexp_replace(F.regexp_replace(raw, "[^a-zA-Z0-9]", " "), r"\s\s+", " ")
-    )
+    """Non-alphanumerics → space, collapse whitespace RUNS (2+) to one
+    space — exactly ictrp.py:156-159, which does NOT strip: a leading or
+    trailing single space survives, and substring matching against the
+    phrase lists depends on that."""
+    return F.regexp_replace(F.regexp_replace(raw, "[^a-zA-Z0-9]", " "), r"\s\s+", " ")
 
 
 def is_rct_col(study_design: Column) -> Column:
