@@ -237,6 +237,83 @@ def test_annotator_stub_deterministic_and_keyed(spark):
     # threshold nesting precise => balanced => sensitive (F19)
     assert (not r.is_rct_precise) or r.is_rct_balanced
     assert (not r.is_rct_balanced) or r.is_rct_sensitive
+    assert r.clf_type in ("svm_cnn_ptyp", "svm_cnn")
+
+
+# --- calibration config (F19/X14) -------------------------------------------
+
+
+def test_calibration_loader_and_thresholds(spark, tmp_path):
+    """Loader reads the reference JSON shape; flags match hand-computed
+    cutoffs per model type (pubmed.py:348-389): svm_cnn_ptyp rows use
+    the ptyp thresholds, svm_cnn rows the plain ones, any other model
+    gets NULL flags (the reference emits none)."""
+    import json as _json
+
+    from trialstreamer_spark.functions import calibration as C
+
+    path = tmp_path / "calib.json"
+    path.write_text(_json.dumps(C.DEFAULT_CALIBRATION))
+    calib = C.load_calibration(str(path))
+    # hand-checked values from the published config
+    assert calib.threshold("svm_cnn_ptyp", "precise") == 3.7070634945154053
+    assert calib.threshold("svm_cnn", "balanced") == 1.6498606653424648
+
+    rows = [
+        ("svm_cnn_ptyp", 3.71),  # above ptyp precise → all three True
+        ("svm_cnn_ptyp", 2.11),  # above ptyp balanced? (2.1057) yes; precise no
+        ("svm_cnn", 2.11),       # above plain precise (2.1089)? yes
+        ("svm_cnn", 0.0),        # below plain sensitive (0.0591) → all False
+        ("svm", 99.0),           # other model → NULL flags
+    ]
+    df = C.apply_thresholds(
+        spark.createDataFrame(rows, "clf_type string, clf_score double"), calib
+    )
+    got = [
+        (r.is_rct_precise, r.is_rct_balanced, r.is_rct_sensitive)
+        for r in df.collect()
+    ]
+    assert got == [
+        (True, True, True),
+        (False, True, True),
+        (True, True, True),
+        (False, False, False),
+        (None, None, None),
+    ]
+
+
+def test_calibration_zscale_ensemble(spark):
+    """X14: z-scale + weighted ensemble from the scales section,
+    hand-computed: z = (s-mean)/std, ensemble = Σ w·z / Σ w."""
+    from pyspark.sql import functions as F2
+
+    from trialstreamer_spark.functions import calibration as C
+
+    calib = C.load_calibration()
+    df = spark.createDataFrame([(0.5, 0.3)], "svm double, cnn double").select(
+        C.ensemble_score_col(
+            {"svm": F2.col("svm"), "cnn": F2.col("cnn")}, calib
+        ).alias("ens")
+    )
+    sv, cn = calib.scales["svm"], calib.scales["cnn"]
+    z_svm = (0.5 - sv["mean"]) / sv["std"]
+    z_cnn = (0.3 - cn["mean"]) / cn["std"]
+    want = (z_svm * sv["weight"] + z_cnn * cn["weight"]) / (
+        sv["weight"] + cn["weight"]
+    )
+    got = df.collect()[0].ens
+    assert abs(got - want) < 1e-12
+
+
+def test_calibration_loader_rejects_bad_shape():
+    import pytest as _pytest
+
+    from trialstreamer_spark.functions import calibration as C
+
+    with _pytest.raises(ValueError):
+        C.load_calibration({"scales": {}})
+    with _pytest.raises(ValueError):
+        C.load_calibration({"thresholds": {"svm_cnn": {"precise": 1.0}}})
 
 
 def test_incremental_annotate_skips_done(spark):

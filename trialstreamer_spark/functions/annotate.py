@@ -28,8 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ANNOTATION_SCHEMA = (
-    "pmid string, clf_score float, rct_probability float, "
-    "is_rct_precise boolean, is_rct_balanced boolean, is_rct_sensitive boolean, "
+    "pmid string, clf_type string, clf_score float, rct_probability float, "
     "num_randomized int, prob_low_rob float, punchline_text string, "
     "effect string"
 )
@@ -45,27 +44,32 @@ def _unit_hash(key: str, salt: str) -> float:
 
 class DeterministicStubAnnotator:
     """Stands in for the RobotReviewer service (pubmed.py:320-345).
-    Thresholds mirror rct_model_calibration.json consumption at
-    pubmed.py:348-389: three cutoffs over one calibrated score."""
 
-    # precise > balanced > sensitive cutoffs (F19)
-    THRESHOLDS = {"precise": 0.8, "balanced": 0.6, "sensitive": 0.3}
+    Emits what the real service returns — a model type (``clf_type``,
+    hash-picked between the ptyp-aware and plain ensembles, mirroring
+    the reference's ``pred["rct_bot"]["model"]``) and a calibrated-scale
+    score spanning the real threshold range. The is_rct_* flags are NOT
+    the stub's job: they are applied downstream from the calibration
+    config (functions/calibration.py), exactly like reference
+    pubmed.py:348-389 applies rct_model_calibration.json."""
 
     def annotate(self, pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for r in pdf.itertuples(index=False):
             key = str(r.pmid)
-            score = _unit_hash(key, "clf")
+            unit = _unit_hash(key, "clf")
+            # calibrated-scale score: [-1, 5) spans every published cutoff
+            score = unit * 6.0 - 1.0
             n_rand = int(_unit_hash(key, "n") * 5000) + 10
             # sample-size guard (pubmed.py:611-613): >1e6 or 'not found' → null
             out.append(
                 {
                     "pmid": key,
+                    "clf_type": (
+                        "svm_cnn_ptyp" if _unit_hash(key, "mdl") < 0.5 else "svm_cnn"
+                    ),
                     "clf_score": score,
-                    "rct_probability": score,
-                    "is_rct_precise": score >= self.THRESHOLDS["precise"],
-                    "is_rct_balanced": score >= self.THRESHOLDS["balanced"],
-                    "is_rct_sensitive": score >= self.THRESHOLDS["sensitive"],
+                    "rct_probability": unit,
                     "num_randomized": None if n_rand > 1_000_000 else n_rand,
                     "prob_low_rob": _unit_hash(key, "rob"),
                     "punchline_text": f"punchline for {key}",
@@ -84,10 +88,15 @@ class DeterministicStubAnnotator:
         )
 
 
-def annotate_articles(articles: DataFrame, annotator=None) -> DataFrame:
+def annotate_articles(articles: DataFrame, annotator=None, calibration=None) -> DataFrame:
     """Model boundary: one Arrow batch per request. Keys ride through the
     annotator (never positional zip — SURVEY J5): the output carries pmid
-    so downstream joins are key-based."""
+    so downstream joins are key-based. The is_rct_* flags come from the
+    calibration config (F19: per-model precise/balanced/sensitive cutoffs
+    over the calibrated score — reference pubmed.py:382-387), applied as
+    constant-folded column expressions after the model call."""
+    from trialstreamer_spark.functions.calibration import apply_thresholds
+
     annotator = annotator or DeterministicStubAnnotator()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,9 +104,10 @@ def annotate_articles(articles: DataFrame, annotator=None) -> DataFrame:
             if len(pdf):
                 yield annotator.annotate(pdf)
 
-    return articles.select("pmid", "title", "abstract_plaintext").mapInPandas(
+    raw = articles.select("pmid", "title", "abstract_plaintext").mapInPandas(
         run, schema=ANNOTATION_SCHEMA
     )
+    return apply_thresholds(raw, calibration)
 
 
 def embed_articles(articles: DataFrame, annotator=None) -> DataFrame:
