@@ -35,6 +35,8 @@ OPERATOR_QUERIES = [
     "price_quantiles",
     "langs_per_source",
     "heavy_hitter_tokens",
+    "concept_match_greedy",
+    "abbrev_pairs",
 ]
 
 

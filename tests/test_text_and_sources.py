@@ -104,6 +104,110 @@ def test_match_concepts_greedy_non_overlap(spark):
     assert rows["C-AMI"].start == 1 and rows["C-AMI"].end == 3
 
 
+def _ref_minimap_matcher(text, str_to_cui, lemma_tbl, ignores, stop):
+    """Replica of the reference matcher (minimap.py:152-201) with the
+    frozen tokenizer/lemma table: sliding windows over LEMMAS looked up
+    in str_to_cui, window surface text checked against stopwords, window
+    lemma against the ignore list; then the (start, -end) sort and the
+    greedy right-border sweep. Same-span CUI ties sorted ascending (the
+    declared divergence from dict insertion order)."""
+    tokens = [t for t in text.lower().split() if t]
+    lemmas = [lemma_tbl.get(t, t) for t in tokens]
+    matches = []
+    max_len = len(tokens)
+    window = max_len
+    while window:
+        for i in range(max_len - window + 1):
+            wt = " ".join(tokens[i : i + window])
+            wl = " ".join(lemmas[i : i + window])
+            if wl and wl in str_to_cui and wl not in ignores and wt not in stop:
+                for cui in sorted(str_to_cui[wl]):
+                    matches.append(
+                        {"cui": cui, "term": wl, "surface": wt,
+                         "start": i + 1, "end": i + window}
+                    )
+        window -= 1
+    matches.sort(key=lambda m: (m["start"], -m["end"], m["cui"]))
+    kept, border = [], 0
+    for m in matches:
+        if m["start"] > border:
+            kept.append(m)
+            border = m["end"]
+    return kept
+
+
+def test_match_concepts_golden_vs_reference_replica(spark):
+    """Lemma layer + the four minimap candidate filters, end to end:
+    Spark output must equal the reference-logic replica on documents
+    exercising plurals (lemma hits), stopword surfaces, the ignore
+    list, ambiguous >15-CUI strings, ≤2-char strings, and overlap."""
+    from trialstreamer_spark.functions.text import DEFAULT_STOPWORDS
+
+    lemma = {"aneurysms": "aneurysm", "trials": "trial", "ruptured": "ruptured"}
+    str_to_cui = {
+        "ruptured aneurysm": ["C-RA"],
+        "aneurysm": ["C-AN"],
+        "trial": ["C-TR"],
+        "the": ["C-THE"],          # stopword surface → suppressed at match
+        "control group": ["C-CG"],  # on the ignore list → suppressed
+        "mg": ["C-MG"],             # ≤2 chars → dropped in lexicon prep
+        "multi": [f"C-{i}" for i in range(16)],  # >15 CUIs → dropped
+        "same span": ["C-B", "C-A"],  # same-span tie → cui asc wins
+    }
+    ignores = {"control group"}
+    docs_rows = [
+        (1, "ruptured aneurysms treated in trials"),
+        (2, "the control group took 10 mg multi"),
+        (3, "same span and aneurysms"),
+        (4, "nothing relevant here"),
+    ]
+    # replica applies the lexicon-prep filters the Spark side does
+    prepped = {
+        t: cuis
+        for t, cuis in str_to_cui.items()
+        if len(t) >= 3 and len(set(cuis)) <= 15
+    }
+    want = []
+    for doc_id, text in docs_rows:
+        for m in _ref_minimap_matcher(
+            text, prepped, lemma, ignores, DEFAULT_STOPWORDS
+        ):
+            want.append((doc_id, m["term"], m["surface"], m["start"], m["end"], m["cui"]))
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    lexicon = spark.createDataFrame(
+        [(t, c) for t, cuis in str_to_cui.items() for c in cuis],
+        "term string, cui string",
+    )
+    lemma_df = spark.createDataFrame(
+        list(lemma.items()), "token string, lemma string"
+    )
+    ignore_df = spark.createDataFrame([(t,) for t in ignores], "term string")
+    got = [
+        (r.id, r.term, r.surface, r.start, r.end, r.cui)
+        for r in match_concepts(
+            docs, lexicon, lemma_table=lemma_df, ignore_terms=ignore_df
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # spot-check the semantics the lemma layer buys: the plural hits
+    assert (1, "ruptured aneurysm", "ruptured aneurysms", 1, 2, "C-RA") in got
+    assert (3, "same span", "same span", 1, 2, "C-A") in got  # cui-asc tie
+
+
+def test_unique_concepts_dedupes_by_cui(spark):
+    from trialstreamer_spark.functions.text import unique_concepts
+
+    docs = spark.createDataFrame(
+        [(1, "aspirin then aspirin again")], "doc_id long, text string"
+    )
+    lexicon = spark.createDataFrame(
+        [("aspirin", "C-ASA")], "term string, cui string"
+    )
+    out = unique_concepts(match_concepts(docs, lexicon)).collect()
+    assert [(r.id, r.cui, r.term) for r in out] == [(1, "C-ASA", "aspirin")]
+
+
 # --- RIS -------------------------------------------------------------------
 
 PUBMED_RIS = """TY  - JOUR

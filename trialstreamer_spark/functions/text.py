@@ -147,6 +147,54 @@ def normalize_concept_string(c: Column) -> Column:
 # dictionary NER (concept matcher)
 # ---------------------------------------------------------------------------
 
+# Frozen English stopword snapshot (the reference consults spaCy's
+# nlp.Defaults.stop_words at match time, minimap.py:166-167; freezing the
+# list makes matching reproducible across library versions — SURVEY §7
+# hard-part 2 prescribes freezing exactly this kind of drift).
+DEFAULT_STOPWORDS = frozenset(
+    """a about above across after again against all almost alone along already
+    also although always am among an and another any anyone anything anywhere
+    are around as at back be became because become becomes been before behind
+    being below between both but by can cannot could did do does doing done
+    down during each either enough even ever every everyone everything
+    everywhere few first for former from further had has have having he hence
+    her here hers herself him himself his how however i if in into is it its
+    itself just last latter least less many may me meanwhile might mine more
+    moreover most mostly much must my myself namely neither never nevertheless
+    next no nobody none nor not nothing now nowhere of off often on once one
+    only onto or other others otherwise our ours ourselves out over own per
+    perhaps please rather re same seem seemed seeming seems several she should
+    since so some somehow someone something sometime sometimes somewhere still
+    such than that the their them themselves then thence there thereafter
+    thereby therefore therein these they this those though through throughout
+    thus to together too toward towards under until up upon us used using
+    various very via was we well were what whatever when whence whenever where
+    whereafter whereas whereby wherein wherever whether which while whither
+    who whoever whole whom whose why will with within without would yet you
+    your yours yourself yourselves""".split()
+)
+
+
+def prepare_lexicon(
+    lexicon: DataFrame, max_cuis: int = 15, min_term_chars: int = 3
+) -> DataFrame:
+    """minimap's lexicon-hygiene filters (minimap.py:42-56) as prep:
+    drop strings mapping to more than ``max_cuis`` distinct CUIs ("too
+    ambiguous... 15 from experimentation") and strings of 2 chars or
+    fewer ("tends to generate nonsense CUIs"). Terms are normalized with
+    the same chain applied to concept strings."""
+    lex = lexicon.select(
+        normalize_concept_string(F.col("term")).alias("term"), "cui"
+    )
+    counts = lex.groupBy("term").agg(F.countDistinct("cui").alias("n_cui"))
+    return (
+        lex.join(counts, "term")
+        .filter(
+            (F.col("n_cui") <= max_cuis) & (F.length("term") >= min_term_chars)
+        )
+        .drop("n_cui")
+    )
+
 
 def match_concepts(
     docs: DataFrame,
@@ -154,26 +202,71 @@ def match_concepts(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_ngram: int = 4,
+    lemma_table: DataFrame | None = None,
+    ignore_terms: DataFrame | None = None,
+    stopwords: frozenset[str] = DEFAULT_STOPWORDS,
+    max_cuis: int = 15,
+    min_term_chars: int = 3,
 ) -> DataFrame:
-    """Dictionary NER with greedy non-overlap (minimap.py:152-201).
+    """Dictionary NER with lemma lookup, candidate filters, and greedy
+    non-overlap (minimap.py:42-56, 152-201).
 
-    1. explode token n-grams (longest window first is encoded in the
-       greedy sort, so generation order doesn't matter) with start/end
-       token offsets — narrow;
-    2. broadcast-join against the lexicon (term → cui), term pre-
-       normalized on both sides;
-    3. greedy left-to-right non-overlap: sort candidates by
+    1. tokenize (lowercased whitespace split — a frozen stand-in for the
+       reference's spaCy tokenizer) and LEMMATIZE each token through a
+       broadcast ``lemma_table`` (token → lemma, unmatched tokens pass
+       through) — the frozen-lookup-table replacement for spaCy's
+       lemmatizer that SURVEY §7 hard-part 2 requires, so "aneurysms"
+       hits a lexicon entry "aneurysm";
+    2. build n-gram windows carrying BOTH the lemma term (the join key,
+       mirroring ``window_lemma in str_to_cui``) and the surface text
+       (``window_text``, kept for output and the stopword check);
+    3. candidate filters, per minimap: surface windows in the stopword
+       set are dropped (minimap.py:166-167), windows matching the
+       ``ignore_terms`` list are dropped (the ignorelist.txt anti-join),
+       and the lexicon itself is pre-filtered by prepare_lexicon
+       (ambiguous >``max_cuis``-CUI strings, ≤2-char strings);
+    4. broadcast-join against the prepared lexicon (term → cui);
+    5. greedy left-to-right non-overlap: sort candidates by
        (start, -end) per document (minimap.py:189's sort) and keep a
-       match iff no kept match overlaps it — expressed as a running
-       max-end window: a candidate survives if every earlier candidate
-       (in sort order) ends before it starts.
+       match iff it starts after every kept match ends. Same-span ties
+       break by cui (the reference keeps dict insertion order —
+       declared deterministic divergence).
 
-    Returns (id, cui, term, start, end). The window shuffles on the doc
-    id — the natural partition key; the lexicon is broadcast like the
-    reference's in-memory dict.
+    Returns (id, term, surface, start, end, cui). Token positions are
+    assembled once per document via a groupBy on the doc id; the greedy
+    stage reuses that partitioning (no extra shuffle); the lexicon,
+    lemma table, and ignore list are broadcast like the reference's
+    in-memory dicts.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tok_rows = docs.select(
+        F.col(id_col).alias("id"), F.posexplode_outer(toks_arr).alias("pos", "tok")
+    )
+    if lemma_table is not None:
+        lt = F.broadcast(
+            lemma_table.select(
+                F.lower(F.col("token")).alias("tok"),
+                F.lower(F.col("lemma")).alias("lem0"),
+            )
+        )
+        tok_rows = tok_rows.join(lt, "tok", "left").withColumn(
+            "lem", F.coalesce("lem0", "tok")
+        )
+    else:
+        tok_rows = tok_rows.withColumn("lem", F.col("tok"))
+    arrays = (
+        tok_rows.where(F.col("tok").isNotNull())
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok", "lem"))).alias("ts"))
+        .select(
+            "id",
+            F.transform("ts", lambda x: x["tok"]).alias("toks"),
+            F.transform("ts", lambda x: x["lem"]).alias("lems"),
+        )
+    )
+    n = F.size(F.col("lems"))
     grams = F.flatten(
         F.array(
             *[
@@ -182,7 +275,12 @@ def match_concepts(
                     F.transform(
                         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
                         lambda i: F.struct(
-                            F.concat_ws(" ", F.slice(toks, i, k)).alias("term"),
+                            F.concat_ws(" ", F.slice(F.col("lems"), i, k)).alias(
+                                "term"
+                            ),
+                            F.concat_ws(" ", F.slice(F.col("toks"), i, k)).alias(
+                                "surface"
+                            ),
                             i.alias("start"),
                             (i + (k - 1)).alias("end"),
                         ),
@@ -192,18 +290,23 @@ def match_concepts(
             ]
         )
     )
-    cands = (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-        .select("id", "g.term", "g.start", "g.end")
-        .join(
+    cands = arrays.select("id", F.explode(grams).alias("g")).select(
+        "id", "g.term", "g.surface", "g.start", "g.end"
+    )
+    if stopwords:
+        cands = cands.filter(~F.col("surface").isin(*sorted(stopwords)))
+    if ignore_terms is not None:
+        cands = cands.join(
             F.broadcast(
-                lexicon.select(
-                    normalize_concept_string(F.col("term")).alias("term"), "cui"
-                )
+                ignore_terms.select(F.lower(F.col("term")).alias("term"))
             ),
             "term",
+            "left_anti",
         )
-    )
+    cands = cands.join(
+        F.broadcast(prepare_lexicon(lexicon, max_cuis, min_term_chars)), "term"
+    ).select("id", "term", "surface", "start", "end", "cui")
+
     # Greedy left-to-right non-overlap is a sequential scan over the
     # per-document candidate list (a running max over *kept* rows — not
     # expressible as a window over all earlier rows, since a dropped long
@@ -222,5 +325,18 @@ def match_concepts(
         return pd.DataFrame(kept, columns=pdf.columns) if kept else pdf.iloc[0:0]
 
     return cands.groupBy("id").applyInPandas(
-        greedy, schema="term string, id long, start int, end int, cui string"
+        greedy,
+        schema="id long, term string, surface string, start int, end int, cui string",
+    )
+
+
+def unique_concepts(matches: DataFrame) -> DataFrame:
+    """get_unique_terms (minimap.py:204-217): one row per (id, cui),
+    keeping the first match in reading order (start asc, end desc) and
+    dropping the span columns, as the reference does before storing."""
+    w = W.partitionBy("id", "cui").orderBy(F.col("start"), F.col("end").desc())
+    return (
+        matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "cui", "term")
     )

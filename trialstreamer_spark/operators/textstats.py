@@ -293,3 +293,124 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# dictionary NER over the documents table (X2 as a driver query)
+# ---------------------------------------------------------------------------
+
+# Demo lexicon/lemma table over the synthetic corpus vocabulary, chosen
+# so matches OVERLAP (key agg / agg row scan / row scan) and the lemma
+# layer fires ('big' → 'large' makes surface "big table" hit lexicon
+# entry "large table") — exercising the matcher's greedy non-overlap and
+# lemma lookup under the driver's hash comparison.
+CONCEPT_LEXICON = (
+    ("key agg", "C-KA"),
+    ("agg row scan", "C-ARS"),
+    ("row scan", "C-RS"),
+    ("table", "C-TBL"),
+    ("large table", "C-LT"),
+    ("merge batch", "C-MB"),
+    ("sort", "C-SRT"),
+)
+CONCEPT_LEMMAS = (("big", "large"),)
+
+
+@query(
+    "concept_match_greedy",
+    oracle="""
+    WITH RECURSIVE
+    lex(term, cui) AS (VALUES
+      ('key agg', 'C-KA'), ('agg row scan', 'C-ARS'), ('row scan', 'C-RS'),
+      ('table', 'C-TBL'), ('large table', 'C-LT'), ('merge batch', 'C-MB'),
+      ('sort', 'C-SRT')),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tl AS (
+      SELECT doc_id, tk,
+             list_transform(tk, t -> CASE WHEN t = 'big' THEN 'large' ELSE t END) AS lm
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, i AS s, i + k - 1 AS e,
+             array_to_string(lm[i:i+k-1], ' ') AS term,
+             array_to_string(tk[i:i+k-1], ' ') AS surface
+      FROM tl, unnest([1,2,3]) AS ks(k), unnest(range(1, len(tk) + 1)) AS pos(i)
+      WHERE i + k - 1 <= len(tk)
+    ),
+    cand AS (
+      SELECT g.doc_id, g.s, g.e, g.term, g.surface, l.cui,
+             ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.s, g.e DESC, l.cui) AS rn
+      FROM grams g JOIN lex l ON g.term = l.term
+    ),
+    sel AS (
+      SELECT doc_id, s, e, term, surface, cui, rn FROM cand WHERE rn = 1
+      UNION
+      SELECT c.doc_id, c.s, c.e, c.term, c.surface, c.cui, c.rn
+      FROM sel JOIN cand c ON c.doc_id = sel.doc_id AND c.rn > sel.rn AND c.s > sel.e
+      WHERE c.rn = (SELECT min(c2.rn) FROM cand c2
+                    WHERE c2.doc_id = sel.doc_id AND c2.rn > sel.rn AND c2.s > sel.e)
+    )
+    SELECT doc_id AS id, term, surface,
+           CAST(s AS INTEGER) AS start, CAST(e AS INTEGER) AS "end", cui
+    FROM sel ORDER BY id, start, cui
+    """,
+)
+def concept_match_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary NER (minimap matcher, SURVEY X2) over the documents
+    table: lemma lookup → n-gram windows → broadcast lexicon join →
+    greedy left-to-right non-overlap (functions.text.match_concepts,
+    ref minimap.py:152-201). The DuckDB oracle replicates the greedy
+    sweep with a recursive CTE (next kept match = first candidate in
+    (start, -end, cui) order starting after the current right border)."""
+    from trialstreamer_spark.dist import ship_package
+    from trialstreamer_spark.functions.text import match_concepts
+
+    ship_package(spark)
+    d = load(spark, sf_dir, "documents")
+    lexicon = spark.createDataFrame(list(CONCEPT_LEXICON), "term string, cui string")
+    lemmas = spark.createDataFrame(list(CONCEPT_LEMMAS), "token string, lemma string")
+    return match_concepts(d, lexicon, lemma_table=lemmas, max_ngram=3).orderBy(
+        "id", "start", "cui"
+    )
+
+
+@query(
+    "abbrev_pairs",
+    oracle="""
+    SELECT doc_id, 'table' AS abbrev,
+           'training active block logic engine' AS definition
+    FROM documents
+    WHERE text LIKE '% table %'
+    ORDER BY doc_id
+    """,
+)
+def abbrev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schwartz-Hearst abbreviation extraction (SURVEY X3) as a driver
+    query. The synthetic corpus has no parentheticals, so the query
+    plants one deterministically — every ' table ' becomes
+    ' training active block logic engine (table) ' — and the pandas-UDF
+    extractor must recover exactly {table: training active block logic
+    engine} via the published char-back-matching rules (first short-form
+    char starts a word; |definition| ≤ min(|A|+5, |A|·2) tokens). The
+    oracle states the analytically-known answer per matching document;
+    the extraction itself is inherently sequential per document and runs
+    Arrow-batched (functions.text.abbreviations_udf)."""
+    from trialstreamer_spark.dist import ship_package
+    from trialstreamer_spark.functions.text import abbreviations_udf
+
+    ship_package(spark)
+    d = load(spark, sf_dir, "documents")
+    planted = F.regexp_replace(
+        F.col("text"),
+        " table ",
+        " training active block logic engine (table) ",
+    )
+    return (
+        d.select("doc_id", abbreviations_udf(planted).alias("m"))
+        .select("doc_id", F.explode("m").alias("abbrev", "definition"))
+        .orderBy("doc_id")
+    )
