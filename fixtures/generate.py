@@ -391,6 +391,7 @@ def generate(out_dir: str, n_pubmed: int = 1200, seed: int = 42) -> dict:
         "ictrp",
         "medrxiv",
         "doi_update",
+        "fullcheck",  # end-of-run watermark rows — what /meta reads
     ]:
         for k in range(8):
             sd = _ts(rng, 2024, 2026)

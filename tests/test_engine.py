@@ -125,7 +125,7 @@ def test_meta_matches_sql(tables):
     df = engine.meta(tables)
     oracle = """
     SELECT strftime((SELECT MAX(download_date) FROM update_log
-                     WHERE update_type = 'pubmed_update'),
+                     WHERE update_type = 'fullcheck'),
                     '%Y-%m-%d %H:%M:%S') AS last_updated,
            format('{:,}', (SELECT COUNT(*) FROM pubmed WHERE is_rct_balanced))
                AS num_rcts

@@ -167,7 +167,9 @@ def test_medrxiv_feed_parse(spark, feed_paths):
     r = rows["10.1101/2020.01.001"]
     assert r.ti.startswith("Trial of drug A")
     assert r.year == 2020
-    assert r.authors == ["Ada Lovelace", "Grace Hopper"]
+    # authors stored as array<struct<author_name>> (engine indexes
+    # authors[i]['author_name'])
+    assert [a.author_name for a in r.authors] == ["Ada Lovelace", "Grace Hopper"]
     assert r.source == "medrxiv"
 
     both = medrxiv.combined_articles(

@@ -76,6 +76,33 @@ def test_batch_cdc_semantics(spark, xml_dir, warehouse):
     assert pipe.last_batch_stats["n_upserts"] > 0
 
 
+def test_in_file_duplicate_keeps_last_occurrence(spark, tmp_path, warehouse):
+    """Duplicate pmids WITHIN one file must resolve to the file's LAST
+    occurrence (reference pubmed.py:492-504 reverses the batch and keeps
+    the first hit) — the record_idx tie-break, not an arbitrary pick."""
+    import gzip
+
+    cit = (
+        '<MedlineCitation Status="MEDLINE"><PMID>9001</PMID>'
+        "<Article><ArticleTitle>{t}</ArticleTitle></Article>"
+        "</MedlineCitation>"
+    )
+    xml = (
+        "<PubmedArticleSet>"
+        + cit.format(t="first occurrence")
+        + cit.format(t="last occurrence")
+        + "</PubmedArticleSet>"
+    )
+    d = tmp_path / "xml"
+    d.mkdir()
+    with gzip.open(d / "pubmed26n0009.xml.gz", "wb") as fh:
+        fh.write(xml.encode())
+    pipe = PubmedPipeline(spark, warehouse)
+    pipe.run_batch(os.path.join(str(d), "*.xml.gz"))
+    rows = {r.pmid: r for r in pipe.articles.read().collect()}
+    assert rows["9001"].title == "last occurrence"
+
+
 def test_batch_idempotent_replay(spark, xml_dir, warehouse):
     pipe = PubmedPipeline(spark, warehouse)
     pipe.run_batch(os.path.join(xml_dir, "*.xml.gz"))

@@ -1,0 +1,123 @@
+"""Integration: engine queries over warehouses PRODUCED BY THE UPDATE
+PATHS — the round-1 regressions where update-built tables couldn't serve
+the query surface (medrxiv_covid19 schema divergence; update_log written
+in a layout/column meta() couldn't read)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.api import engine
+
+from tests.test_engine import FIXTURE_DIR
+
+FEED = {
+    "rels": [
+        {
+            "rel_title": "Trial of drug A for COVID-19",
+            "rel_abs": "A randomized controlled trial of drug A.",
+            "rel_date": "2020-05-04",
+            "rel_doi": "10.1101/2020.01.001",
+            "rel_link": "https://medrxiv.org/1",
+            "rel_authors": [
+                {"author_name": "Ada Lovelace", "author_inst": "X"},
+                {"author_name": "Grace Hopper", "author_inst": "Y"},
+            ],
+            "rel_site": "medrxiv",
+        },
+        {
+            "rel_title": "Trial of drug B",
+            "rel_abs": "Another randomized trial.",
+            "rel_date": "2021-01-15",
+            "rel_doi": "10.1101/2021.02.002",
+            "rel_link": "https://medrxiv.org/2",
+            "rel_authors": [{"author_name": "Alan Turing", "author_inst": "Z"}],
+            "rel_site": "biorxiv",
+        },
+    ]
+}
+
+
+@pytest.fixture()
+def hybrid_warehouse(spark, tmp_path):
+    """Fixture tables (symlinked) + room for update-produced tables, so
+    engine queries that span both can run against one root."""
+    from fixtures.generate import generate
+
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "pubmed.parquet")):
+        generate(FIXTURE_DIR)
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    for fn in os.listdir(FIXTURE_DIR):
+        if fn.endswith(".parquet") and not fn.startswith("medrxiv"):
+            os.symlink(os.path.join(FIXTURE_DIR, fn), str(wh / fn))
+    return str(wh)
+
+
+def test_medrxiv_update_warehouse_serves_engine(spark, tmp_path, hybrid_warehouse):
+    """A warehouse built via update --source=medrxiv must serve covid19
+    and the picosearch preprint leg (full MEDRXIV_COVID19 schema:
+    is_human, *_mesh, prob_low_bias, struct authors)."""
+    from trialstreamer_spark.update import update_medrxiv
+
+    feed_path = tmp_path / "collection.json"
+    feed_path.write_text(json.dumps(FEED))
+    update_medrxiv(spark, str(feed_path), None, hybrid_warehouse)
+
+    tables = engine.Tables(spark, hybrid_warehouse)
+    med = tables.t("medrxiv_covid19")
+    # the engine-facing columns all exist with the stored shapes
+    assert {"is_human", "prob_low_bias", "population_mesh", "authors"} <= set(
+        med.columns
+    )
+    first_author = med.select(
+        F.element_at("authors", 1)["author_name"].alias("a")
+    ).collect()
+    assert all(r.a for r in first_author)
+
+    cov = engine.covid19(tables).collect()
+    preprint_rows = [r for r in cov if r.result_set == "trialstreamer_preprint"]
+    balanced = {
+        r.doi for r in med.filter(F.col("is_rct_balanced")).collect()
+    }
+    assert {r.id for r in preprint_rows} == balanced
+
+    pico = engine.picosearch(
+        tables, [{"field": "population", "cui": engine.COVID_CUI}]
+    ).collect()
+    got_preprints = {
+        r.pmid for r in pico if r.article_type == "preprint"
+    }
+    want = {
+        r.doi
+        for r in med.filter(
+            F.col("is_rct_balanced") & F.col("is_human")
+        ).collect()
+    }
+    assert got_preprints == want
+
+
+def test_meta_reads_pipeline_warehouse(spark, tmp_path, hybrid_warehouse):
+    """meta() must read the watermark from a PIPELINE-produced audit log
+    (ParquetTable versioned dir, download_date column, fullcheck row)."""
+    from fixtures.pubmed_xml import generate_xml_fixtures
+    from trialstreamer_spark.streaming.pipeline import PubmedPipeline
+
+    xml_dir = tmp_path / "xml"
+    generate_xml_fixtures(str(xml_dir))
+    pipe = PubmedPipeline(spark, hybrid_warehouse)
+    pipe.run_batch(os.path.join(str(xml_dir), "*.xml.gz"))
+    pipe.log_run("fullcheck")
+
+    tables = engine.Tables(spark, hybrid_warehouse)
+    log = tables.t("update_log")
+    assert {"update_type", "source_filename", "source_date", "download_date",
+            "update_date"} <= set(log.columns)
+    row = engine.meta(tables).collect()[0]
+    assert row.last_updated is not None  # the fullcheck watermark
+    assert row.num_rcts is not None

@@ -52,6 +52,15 @@ class Tables:
     root: str
 
     def t(self, name: str) -> DataFrame:
+        # A pipeline-produced warehouse stores tables as ParquetTable
+        # versioned dirs (<root>/<name>/_current pointer); fixtures use
+        # plain <name>.parquet. Serve both so engine queries run against
+        # either warehouse layout.
+        versioned = os.path.join(self.root, name)
+        if os.path.exists(os.path.join(versioned, "_current")):
+            from trialstreamer_spark.operators.upsert import ParquetTable
+
+            return ParquetTable(self.spark, versioned).read()
         return self.spark.read.parquet(os.path.join(self.root, f"{name}.parquet"))
 
 
@@ -255,11 +264,13 @@ def covid19(tables: Tables) -> DataFrame:
 
 
 def meta(tables: Tables) -> DataFrame:
-    """Watermark + corpus size (cnxapp.py:107-123): latest
-    pubmed-update download_date and count of balanced RCTs. One row."""
+    """Watermark + corpus size (cnxapp.py:107-123): latest download_date
+    where update_type='fullcheck' (the end-of-run audit row, exactly the
+    reference's watermark read at cnxapp.py:117) and count of balanced
+    RCTs. One row."""
     last = (
         tables.t("update_log")
-        .filter(F.col("update_type") == "pubmed_update")
+        .filter(F.col("update_type") == "fullcheck")
         .agg(F.max("download_date").alias("last_updated"))
     )
     count = (
@@ -280,12 +291,24 @@ def autocomplete(tables: Tables, q: str) -> DataFrame:
     table (the batch analog of the reference's pickled trie); at scale
     the table is range-partitioned on the string so the startswith
     filter prunes files."""
+    from pyspark.sql import Window as W
+
     s = tables.t("autocomplete_suggestions").filter(
         F.lower(F.col("cui_str")).startswith(q.lower())
     )
-    s = s.dropDuplicates(["cui_pico_display"])
+    # deterministic dedupe: per display string keep the highest-count
+    # (cui as tiebreaker) row — dropDuplicates picks an arbitrary
+    # survivor, which made repeated queries disagree
+    w = W.partitionBy("cui_pico_display").orderBy(
+        F.col("count").desc(), F.col("cui")
+    )
+    s = s.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
     if len(q) < 3:
-        return s.orderBy("cui_pico_display").limit(5)
+        # short queries: first 5 in prefix (cui_str) order — the
+        # reference's trie iteration order (cnxapp.py:95-99)
+        return s.orderBy("cui_str", "cui_pico_display").limit(5)
     return s.orderBy(F.col("count").desc(), F.col("cui_pico_display")).limit(5)
 
 

@@ -27,8 +27,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# classify() boundary (reference pubmed.py:348-389): rct_bot + human_bot
 ANNOTATION_SCHEMA = (
     "pmid string, clf_type string, clf_score float, rct_probability float, "
+    "is_human boolean"
+)
+
+# annotate_rcts boundary (reference pubmed.py:561-635: pico_span_bot,
+# sample_size_bot, bias_ab_bot, punchline_bot) — exactly the
+# pubmed_annotations table shape (schemas.PUBMED_ANNOTATIONS,
+# ref dbutil.py:74-90)
+_MESH_DDL = (
+    "array<struct<cui:string,mesh_ui:string,mesh_term:string,cui_str:string>>"
+)
+PICO_ANNOTATION_SCHEMA = (
+    "pmid string, population array<string>, interventions array<string>, "
+    "outcomes array<string>, "
+    f"population_mesh {_MESH_DDL}, interventions_mesh {_MESH_DDL}, "
+    f"outcomes_mesh {_MESH_DDL}, "
     "num_randomized int, prob_low_rob float, punchline_text string, "
     "effect string"
 )
@@ -54,14 +70,13 @@ class DeterministicStubAnnotator:
     pubmed.py:348-389 applies rct_model_calibration.json."""
 
     def annotate(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """classify() analog — rct_bot score/model + human_bot flag."""
         out = []
         for r in pdf.itertuples(index=False):
             key = str(r.pmid)
             unit = _unit_hash(key, "clf")
             # calibrated-scale score: [-1, 5) spans every published cutoff
             score = unit * 6.0 - 1.0
-            n_rand = int(_unit_hash(key, "n") * 5000) + 10
-            # sample-size guard (pubmed.py:611-613): >1e6 or 'not found' → null
             out.append(
                 {
                     "pmid": key,
@@ -70,6 +85,47 @@ class DeterministicStubAnnotator:
                     ),
                     "clf_score": score,
                     "rct_probability": unit,
+                    "is_human": _unit_hash(key, "hum") < 0.9,
+                }
+            )
+        return pd.DataFrame(out)
+
+    def annotate_pico(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """annotate_rcts analog (pico/sample-size/bias/punchline bots) —
+        one pubmed_annotations-shaped row per article. The population
+        concept list always carries the COVID concept the covid19 query
+        filters on (mesh_ui C000657245) so fixture warehouses exercise
+        that leg end to end."""
+
+        def mesh_entry(key: str, field: str) -> dict:
+            tag = _unit_hash(key, f"mesh-{field}")
+            return {
+                "cui": f"C{int(tag * 1e6):06d}",
+                "mesh_ui": f"D{int(tag * 1e6):06d}",
+                "mesh_term": f"{field} concept {int(tag * 10)}",
+                "cui_str": f"{field} concept {int(tag * 10)}",
+            }
+
+        covid = {
+            "cui": "TS-COV19",
+            "mesh_ui": "C000657245",
+            "mesh_term": "COVID-19",
+            "cui_str": "covid 19",
+        }
+        out = []
+        for r in pdf.itertuples(index=False):
+            key = str(r.pmid)
+            n_rand = int(_unit_hash(key, "n") * 5000) + 10
+            # sample-size guard (pubmed.py:611-613): >1e6 or 'not found' → null
+            out.append(
+                {
+                    "pmid": key,
+                    "population": [f"population span for {key}"],
+                    "interventions": [f"intervention span for {key}"],
+                    "outcomes": [f"outcome span for {key}"],
+                    "population_mesh": [mesh_entry(key, "population"), covid],
+                    "interventions_mesh": [mesh_entry(key, "interventions")],
+                    "outcomes_mesh": [mesh_entry(key, "outcomes")],
                     "num_randomized": None if n_rand > 1_000_000 else n_rand,
                     "prob_low_rob": _unit_hash(key, "rob"),
                     "punchline_text": f"punchline for {key}",
@@ -110,6 +166,22 @@ def annotate_articles(articles: DataFrame, annotator=None, calibration=None) -> 
     return apply_thresholds(raw, calibration)
 
 
+def annotate_pico_articles(articles: DataFrame, annotator=None) -> DataFrame:
+    """PICO annotation boundary (ref pubmed.py:561-635): Arrow batches
+    through the pico/sample-size/bias/punchline bots, emitting rows in
+    the pubmed_annotations schema."""
+    annotator = annotator or DeterministicStubAnnotator()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield annotator.annotate_pico(pdf)
+
+    return articles.select("pmid", "title", "abstract_plaintext").mapInPandas(
+        run, schema=PICO_ANNOTATION_SCHEMA
+    )
+
+
 def embed_articles(articles: DataFrame, annotator=None) -> DataFrame:
     """SciBERT-embedding analog (G7): pandas-UDF batch inference with a
     deterministic stub encoder; real deployments swap the annotator."""
@@ -133,11 +205,15 @@ def embed_articles(articles: DataFrame, annotator=None) -> DataFrame:
 
 
 def incremental_annotate(
-    articles: DataFrame, done: DataFrame, annotator=None
+    articles: DataFrame, done: DataFrame, annotator=None, pico: bool = False
 ) -> DataFrame:
     """Anti-join the already-annotated set, then annotate only the rest
-    (ref pubmed.py:586-602 annotate_rcts to-do selection, F15)."""
+    (ref pubmed.py:586-602 annotate_rcts to-do selection, F15). With
+    ``pico=True`` the rest flows through the PICO boundary (the
+    annotate_rcts case); otherwise the classifier boundary."""
     todo = articles.join(
         F.broadcast(done.select("pmid").distinct()), "pmid", "left_anti"
     )
+    if pico:
+        return annotate_pico_articles(todo, annotator)
     return annotate_articles(todo, annotator)

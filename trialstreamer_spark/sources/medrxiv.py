@@ -74,7 +74,13 @@ def read_feed(spark: SparkSession, path: str) -> DataFrame:
         F.col("r.rel_doi").alias("doi"),
         F.col("r.rel_link").alias("url"),
         F.year(F.to_date("r.rel_date")).alias("year"),
-        F.transform("r.rel_authors", lambda a: a.author_name).alias("authors"),
+        # keep authors as array<struct<author_name>> — the stored shape
+        # (schemas.MEDRXIV_COVID19, ref dbutil.py:204 authors jsonb) that
+        # the engine indexes as authors[i]['author_name']
+        F.transform(
+            "r.rel_authors",
+            lambda a: F.struct(a["author_name"].alias("author_name")),
+        ).alias("authors"),
         F.col("r.rel_site").alias("source"),
     )
 
@@ -83,10 +89,20 @@ def read_manual_extras(spark: SparkSession, path: str) -> DataFrame:
     """Hand-curated additions (medrxiv_cov.py:36-41): a JSON array of
     objects already carrying the flattened article schema."""
     extras = spark.read.json(path, multiLine=True)
-    cols = [
-        F.col(c).cast("int").alias(c) if c == "year" else F.col(c)
-        for c in ARTICLE_COLS
-    ]
+    cols = []
+    for c in ARTICLE_COLS:
+        if c == "year":
+            cols.append(F.col(c).cast("int").alias(c))
+        elif c == "authors":
+            # hand-curated files carry plain name strings; coerce to the
+            # stored array<struct<author_name>> shape
+            cols.append(
+                F.transform(
+                    "authors", lambda a: F.struct(a.alias("author_name"))
+                ).alias("authors")
+            )
+        else:
+            cols.append(F.col(c))
     return extras.select(*cols)
 
 
@@ -108,39 +124,58 @@ def sample_size_guard(num: Column) -> Column:
 
 def build_covid_table(articles: DataFrame, annotator=None) -> DataFrame:
     """Annotate the (small) feed and keep sensitive-threshold RCTs only
-    (medrxiv_cov.py:76-109). The doi key rides through the model
-    boundary; callers overwrite the medrxiv_covid19 table with the
+    (medrxiv_cov.py:76-109), emitting the FULL medrxiv_covid19 schema
+    (schemas.MEDRXIV_COVID19, ref dbutil.py:191-217 — the denormalized
+    article+classifier+PICO row) so a warehouse built by
+    ``update --source=medrxiv`` serves every engine query
+    (covid19/picosearch filter on is_human and *_mesh, select
+    prob_low_bias, index authors[i].author_name). The doi key rides
+    through both model boundaries; callers overwrite the table with the
     result (S17 truncate-and-reload ≡ overwrite)."""
-    from trialstreamer_spark.functions.annotate import annotate_articles
+    from trialstreamer_spark.functions.annotate import (
+        annotate_articles,
+        annotate_pico_articles,
+    )
 
     keyed = articles.select(
         F.col("doi").alias("pmid"),  # annotator interface key column
         F.col("ti").alias("title"),
         F.col("ab").alias("abstract_plaintext"),
     )
-    ann = annotate_articles(keyed, annotator).withColumnRenamed("pmid", "doi")
+    clf = annotate_articles(keyed, annotator).withColumnRenamed("pmid", "doi")
+    pico = annotate_pico_articles(keyed, annotator).withColumnRenamed(
+        "pmid", "doi"
+    )
     return (
-        articles.join(ann, "doi")
+        articles.join(clf, "doi")
+        .join(pico, "doi")
         .filter(F.col("is_rct_sensitive"))
-        .withColumn(
-            "num_randomized", sample_size_guard(F.col("num_randomized"))
-        )
         .select(
             "doi",
             "url",
-            "year",
-            "date",
+            F.col("year").cast("int").alias("year"),
+            F.to_timestamp("date").alias("date"),
             "ti",
             "ab",
+            "is_human",
             "is_rct_precise",
             "is_rct_balanced",
             "is_rct_sensitive",
-            "rct_probability",
-            "num_randomized",
-            "prob_low_rob",
-            "punchline_text",
-            "effect",
+            F.col("rct_probability").cast("float").alias("rct_probability"),
+            "population",
+            "interventions",
+            "outcomes",
+            "population_mesh",
+            "interventions_mesh",
+            "outcomes_mesh",
             "authors",
             "source",
+            sample_size_guard(F.col("num_randomized")).alias("num_randomized"),
+            "punchline_text",
+            # the reference names the bias probability prob_low_bias in
+            # THIS table and prob_low_rob in pubmed_annotations
+            F.col("prob_low_rob").cast("float").alias("prob_low_bias"),
+            "effect",
+            F.current_timestamp().alias("updated_date"),
         )
     )

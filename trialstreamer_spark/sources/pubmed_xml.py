@@ -40,7 +40,8 @@ ARTICLE_SCHEMA = (
     "authors array<struct<Initials:string,LastName:string,ForeName:string,Affiliation:string>>, "
     "journal string, journal_abbrv string, year int, mesh array<string>, "
     "pages struct<page_from:string,page_to:string>, ptyp array<string>, "
-    "registry_ids array<string>, dois array<string>, source_filename string"
+    "registry_ids array<string>, dois array<string>, source_filename string, "
+    "record_idx int"
 )
 
 DELETE_SCHEMA = "pmid string, source_filename string"
@@ -133,9 +134,16 @@ def _iter_file(content: bytes, path: str, want: str) -> Iterator[dict]:
     import xml.etree.ElementTree as ET
 
     raw = gzip.decompress(content) if path.endswith(".gz") else content
+    idx = 0
     for _, elem in ET.iterparse(io.BytesIO(raw), events=("end",)):
         if want == "articles" and elem.tag == "MedlineCitation":
-            yield _parse_article(elem, path)
+            # record_idx: position within the file, so in-file duplicate
+            # pmids resolve deterministically to the LAST occurrence —
+            # the reference's reversed-batch first-hit (pubmed.py:492-504)
+            row = _parse_article(elem, path)
+            row["record_idx"] = idx
+            idx += 1
+            yield row
             elem.clear()
         elif want == "deletes" and elem.tag == "DeleteCitation":
             for p in elem.findall("PMID"):

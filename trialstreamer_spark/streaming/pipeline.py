@@ -52,8 +52,19 @@ class PubmedPipeline:
         self, articles: DataFrame, deletes: DataFrame, streaming: bool = False
     ) -> None:
         # deterministic file order then keep-last per pmid
-        # (pubmed.py:64 sort + 492-504 last-wins)
-        w = W.partitionBy("pmid").orderBy(F.col("source_filename").desc())
+        # (pubmed.py:64 sort + 492-504 last-wins); record_idx breaks
+        # in-file duplicate ties toward the file's LAST occurrence (the
+        # reference's reversed-batch first-hit). Batches from sources
+        # without a record index (tests, ad-hoc frames) tie-break on a
+        # constant, preserving the old file-order-only behavior.
+        idx = (
+            F.col("record_idx")
+            if "record_idx" in articles.columns
+            else F.lit(0)
+        )
+        w = W.partitionBy("pmid").orderBy(
+            F.col("source_filename").desc(), idx.desc()
+        )
         deduped = (
             articles.filter(F.col("pmid").isNotNull())
             .withColumn("__rn", F.row_number().over(w))
@@ -104,17 +115,41 @@ class PubmedPipeline:
         )
 
     def _log_update(self, articles: DataFrame, deletes: DataFrame) -> None:
+        """Per-file audit rows in the full update_log schema (ref
+        dbutil.py:156-163,240-247: update_type, source_filename,
+        source_date, download_date, update_date)."""
         files = (
             articles.select("source_filename")
             .union(deletes.select("source_filename"))
             .distinct()
-            .withColumn("update_type", F.lit("pubmed_update"))
-            .withColumn("update_date", F.current_timestamp())
+            .select(
+                F.lit("pubmed_update").alias("update_type"),
+                "source_filename",
+                F.lit(None).cast("timestamp").alias("source_date"),
+                F.current_timestamp().alias("download_date"),
+                F.current_timestamp().alias("update_date"),
+            )
         )
+        self._append_audit(files)
+
+    def log_run(self, update_type: str) -> None:
+        """End-of-run audit row (ref update.py:34
+        ``log_update(update_type='fullcheck', ...)``) — the row /meta's
+        watermark read keys on (cnxapp.py:117)."""
+        row = self.spark.range(1).select(
+            F.lit(update_type).alias("update_type"),
+            F.lit(None).cast("string").alias("source_filename"),
+            F.lit(None).cast("timestamp").alias("source_date"),
+            F.current_timestamp().alias("download_date"),
+            F.current_timestamp().alias("update_date"),
+        )
+        self._append_audit(row)
+
+    def _append_audit(self, rows: DataFrame) -> None:
         prev = None
         if self.audit.current_version() is not None:
             prev = self.audit.read()
-        new = files if prev is None else prev.unionByName(files)
+        new = rows if prev is None else prev.unionByName(rows)
         self.audit.overwrite(new)
 
     # -- batch mode --------------------------------------------------------

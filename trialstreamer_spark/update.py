@@ -45,9 +45,11 @@ def update_pubmed(spark, landing: str, warehouse: str, annotator=None) -> None:
         if ann_table.current_version() is not None
         else spark.createDataFrame([], "pmid string")
     )
-    new_ann = incremental_annotate(articles, done, annotator)
+    new_ann = incremental_annotate(articles, done, annotator, pico=True)
     if new_ann.limit(1).count():
         ann_table.merge(new_ann, "pmid")
+    # end-of-run watermark row (ref update.py:34) — what /meta reads
+    pipe.log_run("fullcheck")
 
 
 def update_medrxiv(
