@@ -121,3 +121,31 @@ def test_meta_reads_pipeline_warehouse(spark, tmp_path, hybrid_warehouse):
     row = engine.meta(tables).collect()[0]
     assert row.last_updated is not None  # the fullcheck watermark
     assert row.num_rcts is not None
+
+
+def test_parquet_table_gc_respects_reader_grace(spark, tmp_path):
+    """Versions younger than the grace period survive GC even beyond the
+    keep horizon (a concurrent reader may still hold them open); with no
+    grace they are pruned to the keep count."""
+    import os as _os
+
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    def versions(path):
+        return sorted(
+            d for d in _os.listdir(path)
+            if d.startswith("v") and _os.path.isdir(_os.path.join(path, d))
+        )
+
+    graced = ParquetTable(spark, str(tmp_path / "graced"))  # default grace
+    for i in range(5):
+        graced.overwrite(spark.range(i + 1))
+    assert len(versions(graced.path)) == 5  # all too young to delete
+
+    eager = ParquetTable(spark, str(tmp_path / "eager"), gc_min_age_s=0.0)
+    for i in range(5):
+        eager.overwrite(spark.range(i + 1))
+    assert len(versions(eager.path)) == 3  # keep=3, no grace
+    # the current pointer always resolves to a surviving version
+    assert eager.current_version() in versions(eager.path)
+    assert eager.read().count() == 5

@@ -63,12 +63,26 @@ class ParquetTable:
     """Minimal transactional keyed table: versioned parquet dirs + a
     `_current` pointer file. Readers always see a fully-written version;
     writers write a new dir then flip the pointer (atomic rename of a
-    tmp pointer). Stands in for Delta in this environment."""
+    tmp pointer). Stands in for Delta in this environment.
 
-    def __init__(self, spark: SparkSession, path: str, schema=None):
+    ``gc_min_age_s`` is the concurrent-reader grace period: a version
+    directory is only eligible for GC once it is BOTH beyond the keep
+    horizon and older than the grace period, so a long-running reader
+    that resolved the pointer just before a burst of writes doesn't have
+    its files deleted mid-scan (Delta's deletedFileRetentionDuration
+    plays the same role)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema=None,
+        gc_min_age_s: float = 600.0,
+    ):
         self.spark = spark
         self.path = path
         self.schema = schema
+        self.gc_min_age_s = gc_min_age_s
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -118,5 +132,13 @@ class ParquetTable:
             d for d in os.listdir(self.path) if d.startswith("v") and
             os.path.isdir(os.path.join(self.path, d))
         )
+        now = time.time()
         for d in versions[:-keep]:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            full = os.path.join(self.path, d)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < self.gc_min_age_s:
+                continue  # concurrent-reader grace: too young to delete
+            shutil.rmtree(full, ignore_errors=True)
