@@ -228,9 +228,24 @@ def jaccard_pairs(
 
     sh = shingle_postings(docs, id_col, text_col)
     if df_cap is not None:
+        # Hot-shingle prune WITHOUT shuffling the postings by shingle:
+        # the set of shingles with df > cap is small by construction
+        # (≤ |postings| / cap), so aggregate just that set (map-side
+        # partial agg; only (shingle, count) partials shuffle) and
+        # broadcast-anti-join it away — an ultra-hot shingle never
+        # routes every posting to one reducer, which is exactly the
+        # skew the cap exists to prevent. Sizes are then recomputed
+        # with a window over doc_id, which reuses the partitioning
+        # shingle_postings established (sort within partitions, no new
+        # exchange).
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
         sh = (
-            sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
-            .filter(F.col("df") <= df_cap)
+            sh.join(F.broadcast(hot), "shingle", "left_anti")
             .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
             .select("doc_id", "n_sh", "shingle")
         )
