@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trialstreamer_spark.functions.annotate import DeterministicStubAnnotator
-from trialstreamer_spark.operators.similarity import cosine_fp
 
 PICO_FIELDS = ("population", "interventions", "outcomes")
 
@@ -85,15 +84,26 @@ def pico_ann_search(
     Exact cosine over the field's spans; an article's score is its BEST
     span (keep-best dedupe = the sidecar collapse); deterministic
     tiebreak on pmid."""
-    spark = span_vectors.sparkSession
-    q = spark.createDataFrame([(query_vector,)], "qvec array<float>")
+    import numpy as np
+
+    from trialstreamer_spark.operators.similarity import (
+        fp_dot_vec,
+        scores_vs_query_udf,
+    )
+
+    qv = np.asarray(query_vector, dtype=np.float64)
+    qnsq = fp_dot_vec(qv, qv)
+    s = scores_vs_query_udf(qv)
     scored = (
         span_vectors.filter(F.col("field") == field)
-        .join(F.broadcast(q))
+        .select("pmid", "span", s(F.col("vector")).alias("s"))
         .select(
             "pmid",
             "span",
-            cosine_fp(F.col("vector"), F.col("qvec")).alias("cosine"),
+            (
+                F.col("s.dot")
+                / F.sqrt(F.col("s.nsq").cast("double") * F.lit(float(qnsq)))
+            ).alias("cosine"),
         )
     )
     best = Window.partitionBy("pmid").orderBy(

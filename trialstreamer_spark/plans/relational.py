@@ -697,3 +697,59 @@ def langs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "like_filter_topk",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE lower(p_name) LIKE '%green%'
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+)
+def like_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE/contains filter (SURVEY F10 — the reference's
+    ``lower(ti) like '%basal cell carcinoma%'`` notebook query).
+    ``contains`` on a lowered column compiles to a pushable
+    StringContains predicate — check PushedFilters — so the scan skips
+    row groups whose min/max exclude the substring's presence only via
+    dictionary filtering; the residual filter is codegen."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.lower(F.col("p_name")).contains("green"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "set_difference",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+)
+def set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (SURVEY U2 — mendeley.py:77-87 ``pmids_todo -
+    pmids_done``): customers who never placed an order, as a left_anti
+    join on the key (EXCEPT ≡ distinct + anti-join here because
+    c_custkey is unique). The anti-join shuffles only the key column;
+    at 100 TB both sides bucket by the key and the anti-join
+    co-locates."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.select("c_custkey")
+        .join(
+            o.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .distinct()
+        .orderBy("c_custkey")
+    )
