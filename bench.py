@@ -21,7 +21,10 @@ import trialstreamer_spark.plans.relational  # noqa: F401
 
 try:
     import trialstreamer_spark.operators.dedup  # noqa: F401
+    import trialstreamer_spark.operators.quality  # noqa: F401
+    import trialstreamer_spark.operators.retrieval  # noqa: F401
     import trialstreamer_spark.operators.similarity  # noqa: F401
+    import trialstreamer_spark.operators.temporal  # noqa: F401
     import trialstreamer_spark.operators.textstats  # noqa: F401
 except ImportError:
     pass

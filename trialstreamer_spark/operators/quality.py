@@ -1,0 +1,287 @@
+"""Corpus-quality operators for training-data pipelines: repetition
+signals, deterministic stratified sampling, and PII detection/scrub stats.
+
+These extend the reference's text-hygiene surface (cleanup at
+ictrp.py:156-159, abstract assembly at pmreader.py:86-104) with the
+pre-training filters described in the Gopher/MassiveText appendix
+(Rae et al. 2021, §A.1.1 "repetition" signals) and the C4 pipeline
+(Raffel et al. 2020): documents dominated by a few repeated n-grams are
+boilerplate and get filtered before training.
+
+Scale design:
+
+- repetition: n-grams are extracted with the same single-pass JVM regex
+  as dedup.shingles_col (with multiplicity — repetition NEEDS the
+  duplicates that dedup's array_distinct throws away). The per-(doc,gram)
+  count and per-doc rollup shuffle keys both start with doc_id, so the
+  second aggregation reuses the first exchange's partitioning.
+- sampling: membership is a pure function of md5(doc_id) — deterministic,
+  reproducible across engines and runs, no RNG state to coordinate across
+  1000 executors, and stable under re-partitioning. Per-stratum rates come
+  from a broadcast dim. This is how large corpus pipelines sample: hash
+  the stable id, compare a prefix against a per-stratum cutoff.
+- PII: detection is one regexp_extract_all per row (JVM regex, codegen),
+  scrubbing is one regexp_replace; stats roll up per source with exact
+  integer counts.
+
+Float determinism: every ratio is a single division of exact integer
+counts (see plans/relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.io import load
+from trialstreamer_spark.plans.registry import query
+
+# Overlapping n-grams WITH multiplicity via zero-width lookahead capture
+# (see dedup.shingles_col for why this beats nested higher-order
+# functions: single JVM regex scan vs interpreted lambdas, ~9x).
+_GRAM_RE = {
+    2: r"(?:^| )(?=(\S+ \S+))",
+    3: r"(?:^| )(?=(\S+ \S+ \S+))",
+}
+
+
+def grams_col(text: Column, k: int) -> Column:
+    """All overlapping k-word grams (duplicates kept)."""
+    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.regexp_extract_all(norm, F.lit(_GRAM_RE[k]), 1)
+
+
+def _gram_counts(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, n_grams, top_n, dup_n) for k-word grams.
+
+    explode → count per (doc_id, gram) → rollup per doc_id. Both shuffle
+    keys start with doc_id; the repartition-before-explode mirrors
+    dedup.shingle_postings (CPU-heavy regex must run post-exchange on all
+    cores, and downstream doc_id aggregations inherit the partitioning).
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    per_gram = (
+        docs.select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", F.explode_outer(grams_col(F.col("text"), k)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        # docs with < k tokens produce a single null-gram group via
+        # explode_outer; drop it HERE (above the aggregate) rather than
+        # filtering right after the generate — a post-generate IsNotNull
+        # would let Catalyst rewrite outer→inner explode and push the
+        # implied size()>0 into the scan, re-evaluating the gram regex
+        # single-threaded below the repartition (see shingle_postings).
+        .filter(F.col("g").isNotNull())
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_n"),
+    )
+
+
+@query(
+    "quality_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    tri AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+    bstat AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      FROM bic GROUP BY doc_id
+    ),
+    tstat AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+      FROM tric GROUP BY doc_id
+    )
+    SELECT b.doc_id AS doc_id, n_bigrams, top_bigram_n,
+           top_bigram_n / n_bigrams AS top_bigram_frac,
+           n_trigrams, dup_trigram_n,
+           dup_trigram_n / n_trigrams AS dup_trigram_frac
+    FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+    ORDER BY doc_id
+    """,
+)
+def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: top-bigram fraction
+    (what share of all bigrams is the single most common one) and
+    duplicate-trigram fraction (share of trigram occurrences whose gram
+    appears more than once). High values ⇒ boilerplate/spam ⇒ filtered
+    before training."""
+    d = load(spark, sf_dir, "documents")
+    b = _gram_counts(d, 2).select(
+        "doc_id",
+        F.col("n_grams").alias("n_bigrams"),
+        F.col("top_n").alias("top_bigram_n"),
+    )
+    t = _gram_counts(d, 3).select(
+        "doc_id",
+        F.col("n_grams").alias("n_trigrams"),
+        F.col("dup_n").alias("dup_trigram_n"),
+    )
+    return (
+        b.join(t, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_n",
+            (F.col("top_bigram_n") / F.col("n_bigrams")).alias("top_bigram_frac"),
+            "n_trigrams",
+            "dup_trigram_n",
+            (F.col("dup_trigram_n") / F.col("n_trigrams")).alias(
+                "dup_trigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Per-stratum sampling cutoffs: keep a doc iff the first two hex chars of
+#: md5(doc_id) sort <= the cutoff. 'ff' ≈ keep all, '28' ≈ 16%, '0c' ≈ 5%.
+#: Down-sampling dominant languages while keeping the tail is the standard
+#: corpus-balancing move.
+SAMPLE_CUTOFFS: tuple[tuple[str, str], ...] = (
+    ("en", "28"),
+    ("zh", "7f"),
+    ("de", "7f"),
+    ("es", "7f"),
+    ("fr", "7f"),
+)
+
+
+def sample_hash_col(id_col: Column) -> Column:
+    """Two-hex-char sampling key: uniform over 256 buckets, pure function
+    of the stable id."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 2)
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH cutoffs(lang, cutoff) AS (
+      VALUES ('en', '28'), ('zh', '7f'), ('de', '7f'), ('es', '7f'), ('fr', '7f')
+    ),
+    sampled AS (
+      SELECT d.lang,
+             CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <= c.cutoff
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN cutoffs c ON d.lang = c.lang
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_sampled,
+           CAST(SUM(keep) AS BIGINT) / COUNT(*) AS sampled_frac
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: per-language keep
+    rates from a broadcast cutoff dim, membership = md5(doc_id) prefix
+    <= cutoff. No RNG, reproducible on any cluster layout; the only
+    shuffle carries (lang, partial counts)."""
+    d = load(spark, sf_dir, "documents")
+    cutoffs = spark.createDataFrame(
+        list(SAMPLE_CUTOFFS), "lang string, cutoff string"
+    )
+    keep = F.when(
+        sample_hash_col(F.col("doc_id")) <= F.col("cutoff"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(cutoffs), "lang")
+        .select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").alias("n_sampled"),
+            (F.sum("keep") / F.count("*")).alias("sampled_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+#: Simple cross-engine-safe email pattern (Java regex and RE2 agree on
+#: this subset: char classes, +, literal dot).
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+
+
+def scrub_emails(text: Column) -> Column:
+    """Replace every email with the <EMAIL> placeholder (C4-style PII
+    scrub)."""
+    return F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+
+
+@query(
+    "pii_email_stats",
+    oracle="""
+    WITH planted AS (
+      SELECT source,
+             regexp_replace(text, ' merge ', ' merge ops@example.com ', 'g')
+               AS ptext
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(ptext, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+'))
+               AS n_emails,
+             length(regexp_replace(ptext, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+',
+                                   '<EMAIL>', 'g')) AS scrubbed_len
+      FROM planted
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_email,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(scrubbed_len) AS BIGINT) AS scrubbed_chars
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrub accounting per source. The synthetic corpus
+    has no real PII, so the query plants a deterministic email after every
+    ' merge ' token (same plant-then-recover pattern as abbrev_pairs) and
+    the operator must find and scrub exactly those. Detection/scrub are
+    single JVM regex passes; the rollup shuffles only (source, partials)."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.regexp_replace(
+        F.col("text"), " merge ", " merge ops@example.com "
+    )
+    n_emails = F.size(F.regexp_extract_all(planted, F.lit(EMAIL_RE), 0))
+    return (
+        d.select(
+            "source",
+            n_emails.alias("n_emails"),
+            F.length(scrub_emails(planted)).alias("scrubbed_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0)).alias(
+                "n_docs_with_email"
+            ),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("scrubbed_len").alias("scrubbed_chars"),
+        )
+        .orderBy("source")
+    )

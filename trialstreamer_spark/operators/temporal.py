@@ -1,0 +1,149 @@
+"""Temporal join operators: as-of join and banded range join.
+
+The reference engine's query surface is equi-join-only (cnxapp.py joins on
+pmid/doi/cui); these two operators cover the temporal-join shapes a
+training-data / event pipeline needs on top of that:
+
+- **as-of join**: "for each left row, the most recent right row at or
+  before it" — the classic market-data / attribution join. The naive
+  formulation is a per-row correlated subquery (quadratic); the scalable
+  Spark formulation used here is union-the-tagged-streams + ONE running
+  window per key: sort each user's events once, carry the last-seen right
+  timestamp forward. One shuffle on the key, O(n log n) per key, no
+  range-join explosion — this is the shape that survives 100 TB.
+- **banded range join**: non-equi join of a fact against a tiny interval
+  dimension (value bands). Spark picks BroadcastNestedLoopJoin; with a
+  broadcast dim of k bands the cost is k comparisons per row — a narrow
+  map-side operation, no shuffle of the fact at all (the rollup that
+  follows shuffles only (band, partial-agg) rows).
+
+Float determinism: outputs are epoch-microsecond longs and integer-cent
+sums — exact across engines (see plans/relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.io import load
+from trialstreamer_spark.plans.registry import query
+
+
+def asof_join(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    right_flag,
+    right_value,
+):
+    """Generic single-table as-of: for every row, the max of
+    ``right_value`` over rows of the same ``key`` at-or-before it in
+    ``order`` where ``right_flag`` holds. Because ``right_value`` must be
+    monotone in ``order`` (a timestamp), MAX over the running frame IS the
+    most recent one — avoiding last_value(ignorenulls) dialect differences
+    in the oracle."""
+    w = (
+        W.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn(
+        "asof_value", F.max(F.when(right_flag, right_value)).over(w)
+    )
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_us
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us, last_click_us
+    FROM ordered
+    WHERE event_type = 'error'
+    ORDER BY event_id
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event ⋈ the most recent click by the same
+    user at-or-before it (attribution shape). One window over user_id —
+    see module docstring for why this beats a range join at scale."""
+    e = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    joined = asof_join(
+        e.select("event_id", "user_id", "event_type", ts_us.alias("ts_us"), "ts"),
+        key="user_id",
+        order=["ts", "event_id"],
+        right_flag=F.col("event_type") == "click",
+        right_value=F.col("ts_us"),
+    )
+    return (
+        joined.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("asof_value").alias("last_click_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+#: (band, lo, hi) interval dimension for the banded range join. hi=None is
+#: the open top band.
+VALUE_BANDS: tuple[tuple[str, float, float | None], ...] = (
+    ("b0_under10", 0.0, 10.0),
+    ("b1_10_50", 10.0, 50.0),
+    ("b2_50_100", 50.0, 100.0),
+    ("b3_100_up", 100.0, None),
+)
+
+
+@query(
+    "value_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('b0_under10', 0.0, 10.0),
+             ('b1_10_50', 10.0, 50.0),
+             ('b2_50_100', 50.0, 100.0),
+             ('b3_100_up', 100.0, NULL)
+    )
+    SELECT b.band,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e
+    JOIN bands b
+      ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: events ⋈ a 4-row interval dim on
+    lo <= value < hi, rolled up per band. The dim is broadcast (nested-loop
+    against k=4 bands is 4 comparisons per row, map-side); the only shuffle
+    carries (band, partial count/sum) — scale-safe by construction."""
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        list(VALUE_BANDS), "band string, lo double, hi double"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo"))
+            & (F.col("hi").isNull() | (F.col("value") < F.col("hi"))),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+        .orderBy("band")
+    )

@@ -409,8 +409,17 @@ def abbrev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " table ",
         " training active block logic engine (table) ",
     )
+    # Schwartz-Hearst can only yield pairs from texts containing a
+    # parenthesized candidate, so gate the Python stage behind a cheap
+    # JVM-side contains('(') filter: the Arrow UDF sees only the (small)
+    # fraction of the corpus that can possibly match. Rows without '('
+    # would be dropped anyway by the inner explode of an empty map —
+    # identical semantics, ~5x less Python. Same pruning holds at 100 TB:
+    # the filter is a scan-side column expression ahead of the exchange.
     return (
-        d.select("doc_id", abbreviations_udf(planted).alias("m"))
+        d.select("doc_id", planted.alias("planted"))
+        .where(F.instr(F.col("planted"), "(") > 0)
+        .select("doc_id", abbreviations_udf(F.col("planted")).alias("m"))
         .select("doc_id", F.explode("m").alias("abbrev", "definition"))
         .orderBy("doc_id")
     )
