@@ -20,6 +20,7 @@ import trialstreamer_spark.plans.relational  # noqa: F401,E402
 from trialstreamer_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
 try:  # optional modules register more queries as they land
+    import trialstreamer_spark.operators.clustering  # noqa: F401,E402
     import trialstreamer_spark.operators.dedup  # noqa: F401,E402
     import trialstreamer_spark.operators.quality  # noqa: F401,E402
     import trialstreamer_spark.operators.retrieval  # noqa: F401,E402

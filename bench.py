@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import trialstreamer_spark.plans.relational  # noqa: F401
 
 try:
+    import trialstreamer_spark.operators.clustering  # noqa: F401
     import trialstreamer_spark.operators.dedup  # noqa: F401
     import trialstreamer_spark.operators.quality  # noqa: F401
     import trialstreamer_spark.operators.retrieval  # noqa: F401

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+import trialstreamer_spark.operators.clustering  # noqa: F401
 import trialstreamer_spark.operators.dedup as dedup
 import trialstreamer_spark.operators.quality as quality
 import trialstreamer_spark.operators.retrieval as retrieval
@@ -23,6 +24,8 @@ EXTRA_QUERIES = [
     "pii_email_stats",
     "bm25_topk",
     "dedup_connected_components",
+    "kmeans_assign",
+    "doc_chunks",
 ]
 
 
@@ -136,6 +139,52 @@ def test_bm25_tf_monotone(spark):
     got = {r.doc_id: r.score_fp for r in retrieval.bm25_scores(docs, ("table",)).collect()}
     assert set(got) == {1, 2}
     assert got[2] > got[1]
+
+
+def test_kmeans_seed_vectors_self_assign(spark, sf_dir):
+    """A seed vector's nearest centroid is itself, at exactly distance 0
+    (fp(a,a) - 2·fp(a,a) + fp(a,a) cancels in exact int64 arithmetic)."""
+    from trialstreamer_spark.operators.clustering import K_CLUSTERS
+
+    rows = (
+        QUERIES["kmeans_assign"](spark, sf_dir)
+        .filter(F.col("vec_id") < K_CLUSTERS)
+        .collect()
+    )
+    assert len(rows) == K_CLUSTERS
+    for r in rows:
+        assert r.cluster == r.vec_id and r.dist_fp == 0
+
+
+def test_doc_chunks_windows(spark):
+    """40 tokens, size 32 / stride 24 -> chunk0 = tokens 1..32,
+    chunk1 = tokens 25..40 (16 tokens, 8 overlapping chunk0)."""
+    text = " ".join(f"w{i}" for i in range(1, 41))
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    from trialstreamer_spark.operators import quality as q
+
+    # the query function reads from parquet; replay the column logic on a
+    # handcrafted one-doc frame
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("t"),
+    )
+    n_chunks_m1 = F.floor((F.size("t") - 1) / q.CHUNK_STRIDE).cast("long")
+    chunk = F.slice(F.col("t"), F.col("chunk_idx") * q.CHUNK_STRIDE + 1, q.CHUNK_SIZE)
+    got = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_m1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select("chunk_idx", F.size(chunk).alias("n"), chunk.alias("c"))
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [(r.chunk_idx, r.n) for r in got] == [(0, 32), (1, 16)]
+    assert got[1].c[0] == "w25" and got[1].c[-1] == "w40"
 
 
 def test_scrub_emails(spark):

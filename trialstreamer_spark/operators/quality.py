@@ -218,6 +218,75 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 tokens
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id, i AS chunk_idx,
+           len(list_slice(t, i * {CHUNK_STRIDE} + 1,
+                          i * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, i * {CHUNK_STRIDE} + 1,
+                               i * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')) AS chunk_md5
+    FROM toks, UNNEST(range(0, ((len(t) - 1) // {CHUNK_STRIDE}) + 1)) AS u(i)
+    WHERE len(t) >= 1
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for RAG / training-sequence packing:
+    32-token windows every 24 tokens (8-token overlap), one output row
+    per (doc, chunk) with the chunk's token count and content hash.
+
+    All builtins — tokenize (split), chunk-index explode (sequence),
+    window (slice), hash (md5 of the joined text): no Python, no lambda
+    HOFs, stays in whole-stage codegen. The explode multiplies rows by
+    ~n_tokens/24 BEFORE any shuffle — chunking is a pure map stage; the
+    repartition puts the tokenize+hash CPU on every core (the parquet
+    input may scan as few splits — same rationale as
+    dedup.shingle_postings), and a production writer would partition the
+    output by doc_id hash so downstream per-chunk embedding jobs read
+    co-located chunks."""
+    d = load(spark, sf_dir, "documents")
+    from trialstreamer_spark.operators.textstats import tokens_col
+
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        d.select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .where(F.size("t") >= 1)
+    )
+    n_chunks_m1 = F.floor((F.size("t") - 1) / CHUNK_STRIDE).cast("long")
+    chunk = F.slice(
+        F.col("t"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_m1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 #: Simple cross-engine-safe email pattern (Java regex and RE2 agree on
 #: this subset: char classes, +, literal dot).
 EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
