@@ -198,9 +198,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates from a broadcast cutoff dim, membership = md5(doc_id) prefix
     <= cutoff. No RNG, reproducible on any cluster layout; the only
     shuffle carries (lang, partial counts)."""
+    from trialstreamer_spark.util import inline_rows
+
     d = load(spark, sf_dir, "documents")
-    cutoffs = spark.createDataFrame(
-        list(SAMPLE_CUTOFFS), "lang string, cutoff string"
+    cutoffs = inline_rows(
+        spark, list(SAMPLE_CUTOFFS), [("lang", "string"), ("cutoff", "string")]
     )
     keep = F.when(
         sample_hash_col(F.col("doc_id")) <= F.col("cutoff"), 1

@@ -129,9 +129,13 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo <= value < hi, rolled up per band. The dim is broadcast (nested-loop
     against k=4 bands is 4 comparisons per row, map-side); the only shuffle
     carries (band, partial count/sum) — scale-safe by construction."""
+    from trialstreamer_spark.util import inline_rows
+
     e = load(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        list(VALUE_BANDS), "band string, lo double, hi double"
+    bands = inline_rows(
+        spark,
+        list(VALUE_BANDS),
+        [("band", "string"), ("lo", "double"), ("hi", "double")],
     )
     cents = F.round(F.col("value") * 100).cast("long")
     return (

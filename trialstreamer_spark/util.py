@@ -23,6 +23,36 @@ from pyspark.sql import SparkSession
 _FLAG = "_trialstreamer_pyfile_added"
 
 
+def inline_rows(
+    spark: SparkSession, rows: list[tuple], schema: list[tuple[str, str]]
+):
+    """Tiny literal dimension as a pure JVM plan: explode an array of
+    literal structs over range(1).
+
+    ``spark.createDataFrame`` on a handful of rows costs ~0.6 s per call
+    (Python→JVM conversion + a LocalTableScan parallelized into
+    defaultParallelism tasks); this constant-folds to a 1-partition
+    local relation with zero Python transfer. Use for broadcast dims
+    (band tables, rate tables) declared inline in a query.
+    """
+    from pyspark.sql import functions as F
+
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(dtype).alias(name)
+                for v, (name, dtype) in zip(row, schema)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )
+
+
 def ensure_worker_imports(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, _FLAG, False):
