@@ -753,3 +753,114 @@ def set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-sets subtotals, moving-window analytics, and JSON-path
+# extraction (generalizations of A1/A7 pivots, A8 run statistics, and the
+# F5-F7 JSON surface onto the events/orders tables)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP(priority, status): detail rows,
+    per-priority subtotals, and the grand total in one pass. Spark
+    expands grouping sets inside a single aggregate (Expand operator →
+    one shuffle, map-side partials per set) — no self-union of three
+    aggregations. NULLS FIRST is pinned on both engines: Spark's default
+    asc ordering is nulls-first, DuckDB's is nulls-last."""
+    o = load(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("value_cents"))
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"),
+            F.asc_nulls_first("o_orderstatus"),
+        )
+    )
+
+
+@query(
+    "moving_avg_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS win_cents,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_n
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-window aggregate (last-4-events running sum/count per
+    user) — the sliding-frame complement of sessionize's lag frame and
+    the streaming hourly rollup's tumbling frame. One shuffle on
+    user_id; the frame is evaluated incrementally inside the window
+    operator. Cents keep the sum exact across engines."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    cents = _cents(F.col("value"))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.sum(cents).over(w).alias("win_cents"),
+            F.count("*").over(w).alias("win_n"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the events.props string column (the
+    F5-F7 JSON surface applied to the stream table): $.k is pulled with
+    get_json_object scan-side and aggregated per event type. At scale
+    the JSON parse happens once per row inside the scan stage's
+    projection; only (type, partials) shuffle."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
