@@ -222,8 +222,20 @@ def jaccard_pairs(
 
     Each posting carries its document's shingle count (n_sh), so set
     sizes ride through the join as grouping keys — no separate sizes
-    aggregation, no re-join: one self-join + one aggregation total
-    (plus, when capped, the two pruning windows over shingle / doc)."""
+    aggregation, no re-join.
+
+    Physical strategy differs by variant, deliberately:
+
+    - **uncapped (exact baseline)**: postings SELF-JOIN on shingle. The
+      join shuffles the postings twice, but a skewed (hot) shingle is
+      split across reducers by AQE skew-join — the only formulation
+      that stays memory-safe without a frequency bound.
+    - **capped**: per-shingle PAIR GENERATION — group the pruned
+      postings by shingle (ONE postings shuffle, not two), collect the
+      ≤ df_cap postings per shingle, and emit pairs with a double
+      explode (codegen Generate, no Python). collect_list is safe here
+      precisely because the cap bounds every list; this halves the
+      dominant shuffle in the configuration a 100 TB dedup run uses."""
     from pyspark.sql import Window as W
 
     sh = shingle_postings(docs, id_col, text_col)
@@ -249,14 +261,22 @@ def jaccard_pairs(
             .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
             .select("doc_id", "n_sh", "shingle")
         )
-    a, b = sh.alias("a"), sh.alias("b")
-    out = (
-        a.join(
+        paired = (
+            sh.groupBy("shingle")
+            .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+            .select(F.explode("ds").alias("a"), "ds")
+            .select("a", F.explode("ds").alias("b"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        paired = a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+    out = (
+        paired.groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.n_sh").alias("n_a"),
