@@ -175,3 +175,82 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     ).collect()
     ids = sorted(r.event_id for r in got)
     assert ids == [1, 2, 3, 4]
+
+
+def test_running_totals_stream_accumulates_across_batches(spark, tmp_path):
+    """transformWithStateInPandas running totals: each micro-batch emits
+    one row per active user; totals accumulate exactly (integer cents)
+    across batches and keys never interfere."""
+    from trialstreamer_spark.streaming.stateful import running_totals_stream
+
+    batches = [
+        [(1, 0, "view", 1.11), (1, 1, "view", 2.22), (2, 2, "click", 5.0)],
+        [(1, 10, "view", 3.33), (2, 11, "click", 0.004)],
+        [(2, 20, "view", 10.0)],
+    ]
+    src = str(tmp_path / "events_src")
+    _write_batches(src, batches)
+    got = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        running_totals_stream,
+        "running_totals_out",
+    ).collect()
+
+    # per (user, emission-order) trajectory of (batch_events, totals)
+    by_user = {}
+    for r in sorted(got, key=lambda r: (r.user_id, r.total_events)):
+        by_user.setdefault(r.user_id, []).append(
+            (r.batch_events, r.total_events, r.total_cents)
+        )
+    assert by_user[1] == [(2, 2, 333), (1, 3, 666)]
+    # 0.004 rounds to 0 cents per-row
+    assert by_user[2] == [(1, 1, 500), (1, 2, 500), (1, 3, 1500)]
+
+
+def test_running_totals_tws_requires_protobuf(spark, tmp_path):
+    """transformWithStateInPandas is a capability seam: its Python runner
+    needs protobuf, absent from this container. When protobuf IS present
+    the TWS variant must produce the same trajectories as the
+    applyInPandasWithState one; without it, we assert the operator is
+    constructible (plan-level) and skip execution."""
+    import importlib.util
+
+    from trialstreamer_spark.streaming.stateful import running_totals_stream_tws
+
+    empty_src = tmp_path / "empty_src"
+    empty_src.mkdir()
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(empty_src))
+    )
+    df = running_totals_stream_tws(stream, ttl_ms=3600_000)
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "batch_events",
+        "total_events",
+        "total_cents",
+    ]
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.skip("protobuf not available: TWS runtime cannot execute here")
+    batches = [[(1, 0, "view", 1.11)], [(1, 10, "view", 2.22)]]
+    src = str(tmp_path / "events_src")
+    _write_batches(src, batches)
+    got = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt_tws"),
+        lambda s: running_totals_stream_tws(s),
+        "running_totals_tws_out",
+    ).collect()
+    traj = [
+        (r.batch_events, r.total_events, r.total_cents)
+        for r in sorted(got, key=lambda r: r.total_events)
+    ]
+    assert traj == [(1, 1, 111), (1, 2, 333)]
