@@ -22,6 +22,7 @@ from trialstreamer_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 try:  # optional modules register more queries as they land
     import trialstreamer_spark.operators.clustering  # noqa: F401,E402
     import trialstreamer_spark.operators.dedup  # noqa: F401,E402
+    import trialstreamer_spark.operators.multimodal  # noqa: F401,E402
     import trialstreamer_spark.operators.quality  # noqa: F401,E402
     import trialstreamer_spark.operators.retrieval  # noqa: F401,E402
     import trialstreamer_spark.operators.similarity  # noqa: F401,E402

@@ -22,6 +22,7 @@ import trialstreamer_spark.plans.relational  # noqa: F401
 try:
     import trialstreamer_spark.operators.clustering  # noqa: F401
     import trialstreamer_spark.operators.dedup  # noqa: F401
+    import trialstreamer_spark.operators.multimodal  # noqa: F401,E402
     import trialstreamer_spark.operators.quality  # noqa: F401
     import trialstreamer_spark.operators.retrieval  # noqa: F401
     import trialstreamer_spark.operators.similarity  # noqa: F401

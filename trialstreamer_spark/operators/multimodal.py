@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trialstreamer_spark.plans.registry import query
+
 MEDIA_SCHEMA = (
     "media_id long, modality string, content binary, "
     "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>"
@@ -80,6 +82,91 @@ def extract_features(
     return df.select("media_id", "modality", "content").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table over the documents corpus (the testdata
+    has no binary columns): content = utf-8 bytes of the text, modality
+    cycles by id, metadata derived from n_chars. Exists so the multimodal
+    plumbing is driver-oracle-checkable end-to-end, not just unit-tested."""
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") % 5000).cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+# first md5-derived feature of fake_decoder, spelled in portable SQL:
+# 4 hex chars -> int via digit positions, / 65535.0, narrowed to REAL to
+# match the pipeline's array<float> storage (same IEEE double->float
+# rounding in both engines).
+_DD_HEX4 = (
+    "((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+)
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             encode(text) AS content,
+             -- DuckDB md5 takes VARCHAR only; hashing the varchar hashes
+             -- the same utf-8 bytes as md5 over encode(text)
+             md5(text) AS content_md5,
+             CAST(n_chars % 640 AS INTEGER) AS width
+      FROM documents
+    ),
+    decoded AS (
+      SELECT media_id, modality,
+             CAST(octet_length(content) AS INTEGER) AS n_bytes,
+             CAST({_DD_HEX4.format(h="content_md5")} / 65535.0 AS REAL) AS f0
+      FROM media
+      WHERE width >= 100
+    )
+    SELECT media_id, modality, n_bytes, f0
+    FROM decoded
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-checked multimodal pipeline: synthesize media → prune on
+    typed metadata (width >= 100, BEFORE any binary crosses to Python) →
+    Arrow-batched decode/featurize (deterministic md5 fake in place of
+    the codec seam) → per-media feature projection. The oracle replays
+    the fake decoder's first feature in SQL; the full 8-float feature
+    vector is computed by the same plumbing production uses."""
+    from trialstreamer_spark.dist import ship_package
+    from trialstreamer_spark.io import load
+
+    ship_package(spark)
+    d = load(spark, sf_dir, "documents")
+    media = synthesize_media(d).filter(F.col("meta.width") >= 100)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.col("feature")[0].alias("f0"),
+    ).orderBy("media_id")
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
