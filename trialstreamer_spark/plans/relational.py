@@ -606,7 +606,12 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 2)
-        .orderBy("o_orderpriority", "rn")
+        # k·|priority domain| ≤ 10 rows survive the group limit, so the
+        # total order comes from a single-partition sort — skipping the
+        # range-partitioner's sampling job + exchange that a global
+        # orderBy would schedule for a bounded-size result.
+        .coalesce(1)
+        .sortWithinPartitions("o_orderpriority", "rn")
     )
 
 
