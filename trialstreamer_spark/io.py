@@ -81,8 +81,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _ltz(df)
+    return _ltz(spark.read.parquet(path))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ). The testdata
+    parquet stores naive timestamp[us] (isAdjustedToUTC=false), which a
+    session with inferTimestampNTZ reads as TIMESTAMP_NTZ — a type
+    unix_micros()/window() reject at analysis time. The session zone is
+    pinned UTC just above, so the cast reinterprets the same wall-clock
+    value as the same UTC instant: epoch micros and oracle hashes are
+    unchanged. Applied here (not per-query) so a driver-owned session
+    without our session.py configs still gets uniform LTZ columns."""
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

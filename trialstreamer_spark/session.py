@@ -36,6 +36,12 @@ def get_spark(app_name: str = "trialstreamer-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamps in the testdata are timestamp[us] with
+        # isAdjustedToUTC=false; newer Spark reads those as TIMESTAMP_NTZ,
+        # which unix_micros()/window() reject at analysis time. With the
+        # session timezone pinned to UTC above, reading them as LTZ yields
+        # byte-identical epoch values, so force the classic inference.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # single-JVM local mode: the driver heap IS the executor heap for
