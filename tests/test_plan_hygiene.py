@@ -63,7 +63,10 @@ def test_no_cartesian_anywhere():
     spark = get_spark("plan-hygiene")
     sf_dir = "/root/testdata/sf0.001"
     for name, fn in sorted(QUERIES.items()):
-        p = plan_of(fn(spark, sf_dir))
+        try:
+            p = plan_of(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"query {name!r} failed to plan: {exc}")
         # broadcast of a literal single-row query vector is fine; an
         # unkeyed join of two full tables is not
         assert "CartesianProduct" not in p, name
