@@ -45,6 +45,14 @@ SHINGLE = 3  # word-shingle width
 # the raw scan plan).
 _POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+# (session JVM id, cache_key, id_col, text_col) → persisted minhash
+# signature table (one 8-column row per document). Stage 2 of the dedup
+# pipeline: like the postings, a production run computes signatures ONCE
+# per corpus version; the per-query LSH path is then band-explode +
+# equi-join over k·|docs| tiny rows, with no md5 recompute over the
+# (much larger) postings. Built by prepare_dedup().
+_SIG_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
+
 
 def normalized_fp(text: Column) -> Column:
     """Content fingerprint: lowercase → strip non-alnum → collapse
@@ -170,6 +178,7 @@ def prepare_dedup(spark: SparkSession, sf_dir: str) -> None:
     from trialstreamer_spark.io import load
 
     shingle_postings(load(spark, sf_dir, "documents"), cache_key=sf_dir)
+    minhash_signatures(load(spark, sf_dir, "documents"), cache_key=sf_dir)
 
 
 def minhash_signatures(
@@ -189,6 +198,15 @@ def minhash_signatures(
     that re-built the shingle array per hash and fell off whole-stage
     codegen (~100× slower at sf0.1).
     """
+    key = (
+        (id(docs.sparkSession._jsparkSession), cache_key, id_col, text_col)
+        if cache_key is not None
+        else None
+    )
+    if key is not None:
+        hit = _SIG_CACHE.get(key)
+        if hit is not None:
+            return hit
     sh = shingle_postings(docs, id_col, text_col, cache_key=cache_key).select(
         "doc_id",
         F.md5(F.col("shingle")).alias("m1"),
@@ -199,7 +217,12 @@ def minhash_signatures(
         for mi, m in enumerate(("m1", "m2"))
         for r in range(4)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    out = sh.groupBy("doc_id").agg(*mins)
+    if key is not None:
+        out = out.persist()
+        out.count()
+        _SIG_CACHE[key] = out
+    return out
 
 
 def banded_keys(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
