@@ -28,6 +28,7 @@ try:  # optional modules register more queries as they land
     import trialstreamer_spark.operators.similarity  # noqa: F401,E402
     import trialstreamer_spark.operators.temporal  # noqa: F401,E402
     import trialstreamer_spark.operators.textstats  # noqa: F401,E402
+    import trialstreamer_spark.streaming.parity  # noqa: F401,E402
 except ImportError:
     pass
 

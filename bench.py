@@ -28,6 +28,7 @@ try:
     import trialstreamer_spark.operators.similarity  # noqa: F401
     import trialstreamer_spark.operators.temporal  # noqa: F401
     import trialstreamer_spark.operators.textstats  # noqa: F401
+    import trialstreamer_spark.streaming.parity  # noqa: F401
 except ImportError:
     pass
 

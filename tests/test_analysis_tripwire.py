@@ -38,6 +38,7 @@ try:  # optional operator families — registry fills if importable
     import trialstreamer_spark.operators.retrieval  # noqa: F401
     import trialstreamer_spark.operators.similarity  # noqa: F401
     import trialstreamer_spark.operators.textstats  # noqa: F401
+    import trialstreamer_spark.streaming.parity  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
 

@@ -254,3 +254,15 @@ def test_running_totals_tws_requires_protobuf(spark, tmp_path):
         for r in sorted(got, key=lambda r: r.total_events)
     ]
     assert traj == [(1, 1, 111), (1, 2, 333)]
+
+
+def test_stream_batch_parity_queries_match_oracle(spark, sf_dir):
+    """The driver-facing parity queries (streaming operators run to
+    completion over a single-batch replay) must hash-match their DuckDB
+    batch oracles — the §2.9 batch-equivalence gate, locally."""
+    import trialstreamer_spark.streaming.parity  # noqa: F401 (registry)
+    from tests.oracle_util import assert_matches
+    from trialstreamer_spark.plans.registry import ORACLES, QUERIES
+
+    for name in ("sessionize_stream_parity", "running_totals_stream_parity"):
+        assert_matches(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)

@@ -1,0 +1,175 @@
+"""Batch-equivalence parity queries for the stateful streaming operators
+(SURVEY §2.9): run the REAL streaming operators — file source →
+``applyInPandasWithState`` → memory sink — to completion with
+``Trigger.AvailableNow``, and return the sink contents as a batch
+DataFrame the driver can hash-compare against a DuckDB oracle.
+
+Determinism contract (what makes a streaming run oracle-checkable):
+
+- the events table is ONE parquet file, and the file streaming source
+  batches by file, so the whole input arrives in a single micro-batch;
+- ``noDataMicroBatches`` is disabled, so no trailing empty batch fires
+  event-time timeouts non-deterministically after the data batch; the
+  emitted rows are exactly the in-batch results;
+- for sessionize that means: every session CLOSED BY A GAP inside the
+  batch is emitted, and each user's final (still-open) session stays in
+  state — so the oracle is the batch sessionization minus each user's
+  last session. The timeout/watermark flush path is covered separately
+  by tests/test_streaming_ops.py, where arrival order is controlled.
+
+Scale shape: state is one tuple per active user key riding the groupBy
+shuffle's hash partitioning (no extra exchange); the memory sink is a
+test/driver harness device — a production run writes to a keyed upsert
+sink (operators/upsert.py) instead.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from trialstreamer_spark.plans.registry import query
+from trialstreamer_spark.streaming.stateful import (
+    running_totals_stream,
+    sessionize_stream,
+)
+
+# File streaming sources require an explicit schema (no inference on a
+# stream). Declaring ts as TIMESTAMP (LTZ) also normalizes the naive
+# parquet micros regardless of the session's inferTimestampNTZ setting.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_RUN_IDS = itertools.count()
+
+
+def _run_stream_to_table(spark: SparkSession, out: DataFrame, tag: str) -> DataFrame:
+    """Start ``out`` (a streaming DataFrame) into a uniquely-named memory
+    sink with AvailableNow, wait for completion, return the sink table."""
+    name = f"parity_{tag}_{os.getpid()}_{next(_RUN_IDS)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same determinism pins io.load applies for batch: UTC session zone
+    # (epoch extraction below must match DuckDB's naive-timestamp epoch)
+    # and no trailing empty micro-batch (see module docstring).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # The file streaming source requires a DIRECTORY basePath; the corpus
+    # stores one bare file per table, so stream the directory with a glob
+    # filter selecting just the events file.
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query(
+    "sessionize_stream_parity",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts_us) AS session_start_us,
+             MAX(ts_us) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM (SELECT a.*, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+          FROM agg a)
+    WHERE sid < max_sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def sessionize_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-close sessions emitted by the STREAMING sessionizer
+    (applyInPandasWithState, event-time timeout) over a single-batch
+    replay of the events table; oracle = batch sessionization minus each
+    user's last (still-open-in-state) session. Proves the stream and
+    batch (plans.relational.sessionize) agree on shared semantics."""
+    sessions = sessionize_stream(_stream_events(spark, sf_dir), gap_minutes=30)
+    t = _run_stream_to_table(spark, sessions, "sessionize")
+    return t.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id", "session_start_us")
+
+
+@query(
+    "running_totals_stream_parity",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS batch_events,
+           CAST(COUNT(*) AS BIGINT) AS total_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def running_totals_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact running totals (integer cents) from the STREAMING
+    accumulator over a single-batch replay: one emitted row per user
+    with batch == lifetime totals. Driver-checks the
+    applyInPandasWithState running-aggregate path end-to-end."""
+    totals = running_totals_stream(_stream_events(spark, sf_dir))
+    t = _run_stream_to_table(spark, totals, "totals")
+    return t.select(
+        "user_id",
+        F.col("batch_events").cast("long").alias("batch_events"),
+        "total_events",
+        "total_cents",
+    ).orderBy("user_id")
