@@ -533,6 +533,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT) +
+            CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT) +
+            CAST(sa.h4 = sb.h4 AS INT) + CAST(sa.h5 = sb.h5 AS INT) +
+            CAST(sa.h6 = sb.h6 AS INT) + CAST(sa.h7 = sb.h7 AS INT)) / 8.0
+             AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based similarity ESTIMATION: for each LSH candidate pair,
+    estimate Jaccard as the fraction of agreeing minhash components —
+    the classic unbiased estimator. No postings self-join: the whole
+    query reads the precomputed signature sidecar (one 8-column row per
+    doc) three ways, so at 100 TB the cost is |candidates| tiny join
+    rows, independent of document length. (1/8-granular doubles are
+    exact binary fractions, so no rounding is needed for oracle parity.)
+    """
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, cache_key=sf_dir)
+    cand = minhash_candidates(d, cache_key=sf_dir)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(N_HASHES))).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_DD_SHINGLES}),

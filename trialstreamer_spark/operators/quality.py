@@ -154,6 +154,103 @@ def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_filter_keep",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             len(array_to_string(t, '')) * 1.0 / len(t) AS mean_word_len
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) * 1.0 / CAST(SUM(c) AS BIGINT)
+               AS top_bigram_frac
+      FROM bic GROUP BY doc_id
+    )
+    SELECT b.doc_id AS doc_id, n_words, mean_word_len,
+           COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+           CASE WHEN n_words >= 30 THEN 1 ELSE 0 END AS flag_words,
+           CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 5.0
+                THEN 1 ELSE 0 END AS flag_wordlen,
+           CASE WHEN COALESCE(top_bigram_frac, 0.0) <= 0.1
+                THEN 1 ELSE 0 END AS flag_repetition,
+           CASE WHEN n_words >= 30
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 5.0
+                 AND COALESCE(top_bigram_frac, 0.0) <= 0.1
+                THEN 1 ELSE 0 END AS keep
+    FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+    ORDER BY doc_id
+    """,
+)
+def quality_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/C4-style keep/drop decision per document: word
+    count, mean word length, and top-bigram dominance each gate a flag;
+    ``keep`` is their conjunction. This is the operator a training-data
+    pipeline actually applies after computing signals — the per-signal
+    flags make the drop REASON auditable (what fraction fell to which
+    rule), which corpus curation requires.
+
+    Scale shape: the length signals are pure column expressions on the
+    scan; only the bigram branch shuffles (doc_id-keyed, same plan as
+    quality_repetition_stats), and the final join is doc_id-keyed on the
+    partitioning the rollup already produced. Ratios are single
+    divisions of exact integers — bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    base = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("mean_word_len"),
+    )
+    rep = _gram_counts(d, 2).select(
+        "doc_id",
+        (F.col("top_n") * F.lit(1.0) / F.col("n_grams")).alias(
+            "top_bigram_frac"
+        ),
+    )
+    j = base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
+    flag_words = F.when(F.col("n_words") >= 30, 1).otherwise(0)
+    flag_wordlen = F.when(
+        (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 5.0), 1
+    ).otherwise(0)
+    flag_rep = F.when(F.col("top_bigram_frac") <= 0.1, 1).otherwise(0)
+    return j.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "top_bigram_frac",
+        flag_words.alias("flag_words"),
+        flag_wordlen.alias("flag_wordlen"),
+        flag_rep.alias("flag_repetition"),
+        (flag_words * flag_wordlen * flag_rep).alias("keep"),
+    ).orderBy("doc_id")
+
+
 #: Per-stratum sampling cutoffs: keep a doc iff the first two hex chars of
 #: md5(doc_id) sort <= the cutoff. 'ff' ≈ keep all, '28' ≈ 16%, '0c' ≈ 5%.
 #: Down-sampling dominant languages while keeping the tail is the standard

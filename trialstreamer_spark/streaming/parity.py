@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 
 from trialstreamer_spark.plans.registry import query
 from trialstreamer_spark.streaming.stateful import (
+    dedup_stream,
     running_totals_stream,
     sessionize_stream,
 )
@@ -63,29 +64,41 @@ EVENTS_SCHEMA = StructType(
 _RUN_IDS = itertools.count()
 
 
+_NO_DATA_BATCHES = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+
 def _run_stream_to_table(spark: SparkSession, out: DataFrame, tag: str) -> DataFrame:
     """Start ``out`` (a streaming DataFrame) into a uniquely-named memory
-    sink with AvailableNow, wait for completion, return the sink table."""
+    sink with AvailableNow, wait for completion, return the sink table.
+
+    no-data micro-batches are disabled only for the DURATION of this run
+    (see module docstring: the trailing empty batch would fire event-time
+    timeouts non-deterministically) and restored afterwards — other
+    streaming consumers on the same session may rely on them to advance
+    the watermark."""
     name = f"parity_{tag}_{os.getpid()}_{next(_RUN_IDS)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get(_NO_DATA_BATCHES)
+    spark.conf.set(_NO_DATA_BATCHES, "false")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(_NO_DATA_BATCHES, prev)
     return spark.table(name)
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same determinism pins io.load applies for batch: UTC session zone
-    # (epoch extraction below must match DuckDB's naive-timestamp epoch)
-    # and no trailing empty micro-batch (see module docstring).
+    # Same determinism pin io.load applies for batch: UTC session zone
+    # (epoch extraction below must match DuckDB's naive-timestamp epoch).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     # The file streaming source requires a DIRECTORY basePath; the corpus
     # stores one bare file per table, so stream the directory with a glob
     # filter selecting just the events file.
@@ -173,3 +186,24 @@ def running_totals_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_events",
         "total_cents",
     ).orderBy("user_id")
+
+
+@query(
+    "dedup_stream_parity",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over a
+    single-batch replay, keyed on (user_id, event_type). WHICH physical
+    row survives per key is arrival-order-dependent, so the parity
+    projection is the KEY SET — deterministic and equal to the batch
+    DISTINCT. Driver-checks the bounded-state streaming dedup path."""
+    deduped = dedup_stream(
+        _stream_events(spark, sf_dir), keys=["user_id", "event_type"]
+    )
+    t = _run_stream_to_table(spark, deduped, "dedup")
+    return t.select("user_id", "event_type").orderBy("user_id", "event_type")
