@@ -533,6 +533,114 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    newb AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 10 = 0),
+    corp AS (
+      SELECT fingerprint, MIN(doc_id) AS dup_of
+      FROM fp WHERE doc_id % 10 <> 0 GROUP BY fingerprint
+    ),
+    sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    near AS (
+      SELECT a.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_near_dups
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY a.doc_id
+    )
+    SELECT n.doc_id,
+           COALESCE(c.dup_of, -1) AS exact_dup_of,
+           COALESCE(near.n_near_dups, 0) AS n_near_dups
+    FROM newb n
+    LEFT JOIN corp c ON c.fingerprint = n.fingerprint
+    LEFT JOIN near ON near.doc_id = n.doc_id
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-batch) dedup: check a small NEW batch against
+    the standing corpus for exact and near duplicates — the production
+    shape of the reference's CDC update cycle (SURVEY §2.9: new files
+    arrive daily and must not re-insert what the warehouse already has),
+    applied to content instead of keys.
+
+    The deterministic split (doc_id % 10 == 0 → "today's batch") stands
+    in for the streaming source; semantics are what matter: per new doc,
+    the canonical corpus doc with an identical fingerprint (or -1) and
+    how many corpus docs share an LSH band (near-dup candidates).
+
+    100 TB shape — the corpus is NEVER shuffled: both probes broadcast
+    the (tiny) new batch against map-side streams of the corpus
+    fingerprint/signature sidecars, then the per-new-doc rollups operate
+    on at most |new| x small-fanout rows. A daily batch against a
+    petabyte corpus costs one corpus scan, no corpus-wide exchange."""
+    d = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    fp = d.select("doc_id", normalized_fp(F.col("text")).alias("fingerprint"))
+    new_fp = fp.where(is_new)
+    corp_fp = fp.where(~is_new)
+    # corpus streams map-side against the broadcast batch; the aggregate
+    # then runs on |matches| ≤ |new batch| x copies rows
+    exact = (
+        corp_fp.join(
+            F.broadcast(new_fp.select(F.col("doc_id").alias("new_id"), "fingerprint")),
+            "fingerprint",
+        )
+        .groupBy("new_id")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    banded = banded_keys(minhash_signatures(d, cache_key=sf_dir))
+    near = (
+        banded.where(~is_new)
+        .join(
+            F.broadcast(
+                banded.where(is_new).select(
+                    F.col("doc_id").alias("new_id"), "band_id", "band_key"
+                )
+            ),
+            ["band_id", "band_key"],
+        )
+        .groupBy("new_id")
+        .agg(F.count_distinct("doc_id").alias("n_near_dups"))
+    )
+    return (
+        new_fp.select(F.col("doc_id"))
+        .join(F.broadcast(exact), new_fp.doc_id == exact.new_id, "left")
+        .drop("new_id")
+        .join(F.broadcast(near), new_fp.doc_id == near.new_id, "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("exact_dup_of"), F.lit(-1)).alias("exact_dup_of"),
+            F.coalesce(F.col("n_near_dups"), F.lit(0)).alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "minhash_jaccard_estimate",
     oracle=f"""
     WITH sh AS ({_DD_SHINGLES}),
