@@ -448,6 +448,151 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             CAST({_DD_DOT_FP.format(a="e.embedding", b="q.qvec")} AS BIGINT)
+               / SQRT(CAST(CAST({_DD_DOT_FP.format(a="e.embedding", b="e.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_DD_DOT_FP.format(a="q.qvec", b="q.qvec")} AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    cc AS (
+      SELECT label, CAST(idx AS INTEGER) AS idx,
+             CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*) AS c
+      FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
+                   unnest(embedding) AS val
+            FROM embeddings)
+      GROUP BY label, idx
+    ),
+    cent AS (SELECT label, list(c ORDER BY idx) AS cvec FROM cc GROUP BY label),
+    cells AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, cent.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST({_DD_DOT_FP.format(a="cent.cvec", b="q.qvec")} AS BIGINT)
+                            / SQRT(CAST(CAST({_DD_DOT_FP.format(a="cent.cvec", b="cent.cvec")} AS BIGINT) AS DOUBLE)
+                                   * CAST(CAST({_DD_DOT_FP.format(a="q.qvec", b="q.qvec")} AS BIGINT) AS DOUBLE)) DESC,
+                          cent.label) AS rn
+        FROM cent, q) WHERE rn <= 2
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.cosine DESC, s.neighbor_id) AS rn
+        FROM scored s JOIN cells c
+          ON s.query_id = c.query_id AND s.label = c.label) WHERE rn <= 10
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+           COUNT(i.neighbor_id) / 10.0 AS recall_at_10
+    FROM brute b
+    LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN index-quality evaluation: recall@10 of the IVF path
+    against the exact brute-force ground truth for a panel of query
+    vectors — the measurement that decides nprobe/cell-count before a
+    corpus-wide ANN job is launched (the reference tunes the analogous
+    Annoy n_trees/search_k offline, nb/annoy.ipynb).
+
+    Scale shape: ONE corpus scan serves both arms — queries are
+    broadcast, per-(query, vector) cosines are one Arrow pass, and both
+    top-10s are WindowGroupLimit-prunable window ranks (each map task
+    ships ≤ k rows per query). The IVF arm restricts the same scored
+    relation by the broadcast (query, cell) dim from the centroid
+    sidecar; the recall rollup joins two ≤ (n_queries x k)-row sets."""
+    from trialstreamer_spark.util import inline_rows
+    from pyspark.sql import Window as W
+
+    n_q, k, nprobe = 5, 10, 2
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        nsq_fp_pd(F.col("embedding")).alias("qnsq"),
+    )
+    scored = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.col("embedding").alias("vec"),
+            nsq_fp_pd(F.col("embedding")).alias("nsq"),
+        )
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", dot_fp_pd(F.col("vec"), F.col("qvec")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            cosine_from_fp(F.col("dot"), F.col("nsq"), F.col("qnsq")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    brute = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    cents = ivf_centroids(spark, sf_dir)
+    cell_rows = [
+        (qid, int(lbl))
+        for qid in range(n_q)
+        for lbl in ivf_probe_cells(
+            cents,
+            _query_vector(e, qid, "vec_id", "embedding", cache_key=sf_dir),
+            nprobe,
+        )
+    ]
+    cells = inline_rows(
+        spark, cell_rows, [("query_id", "bigint"), ("label", "int")]
+    )
+    ivf = (
+        scored.join(F.broadcast(cells), ["query_id", "label"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        brute.join(ivf.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
     "lsh_bucket_stats",
     oracle="""
     SELECT bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
