@@ -295,6 +295,50 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_transform(range(1, len(tok)),
+                    i -> substr(tok, i, 2))) AS pair
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents)
+      WHERE len(tok) >= 2
+    )
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support: corpus-wide adjacent character-pair
+    frequencies WITHIN words (the statistic the first BPE merge step
+    maximizes — Sennrich et al. 2016). Top-50 pairs by count.
+
+    Scale shape: both explodes are narrow (no shuffle until the count);
+    the pair extraction is one JVM regex per token (overlapping
+    2-char windows via zero-width lookahead, the shingles_col trick);
+    map-side partial aggregation collapses the shuffle to one row per
+    distinct pair per partition — the pair alphabet is tiny (≤ chars²),
+    so the exchange is near-constant regardless of corpus size, and the
+    top-k is TakeOrderedAndProject. Iterating merges (BPE training
+    proper) re-runs this over re-tokenized text; each round is the same
+    plan."""
+    d = load(spark, sf_dir, "documents")
+    pairs = F.regexp_extract_all(F.col("tok"), F.lit("(?=(..))"), 1)
+    return (
+        d.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dictionary NER over the documents table (X2 as a driver query)
 # ---------------------------------------------------------------------------
