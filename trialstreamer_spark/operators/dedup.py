@@ -533,6 +533,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+    evalp AS (SELECT doc_id AS eval_id, shingle FROM posting WHERE doc_id < 5),
+    trainp AS (SELECT doc_id AS train_id, shingle FROM posting WHERE doc_id >= 5)
+    SELECT t.train_id, e.eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM trainp t JOIN evalp e ON t.shingle = e.shingle
+    GROUP BY t.train_id, e.eval_id
+    HAVING COUNT(*) >= 2
+    ORDER BY train_id, eval_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing ≥ 2
+    distinct word-shingles with any document of a held-out eval set
+    (doc_id < 5 stands in for the benchmark) — the n-gram overlap check
+    run before every training job so eval material is excluded from the
+    corpus (the GPT-3/PaLM appendix procedure, at this fixture's 3-gram
+    width).
+
+    100 TB shape: the eval set is tiny by construction, so its postings
+    BROADCAST and the corpus postings stream map-side — same
+    corpus-never-shuffles discipline as dedup_incremental; the rollup
+    then counts (train_doc, eval_doc) pairs bounded by |eval shingles| x
+    fan-out, not corpus size. Postings come from the shared
+    prepare_dedup featurization (shingled once per corpus version)."""
+    d = load(spark, sf_dir, "documents")
+    # postings are already distinct per doc (shingles_col array_distincts
+    # before the explode) — no dedup shuffle needed here
+    p = shingle_postings(d, cache_key=sf_dir).select("doc_id", "shingle")
+    evalp = p.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    trainp = p.where(F.col("doc_id") >= 5).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    return (
+        trainp.join(F.broadcast(evalp), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("train_id", "eval_id")
+    )
+
+
+@query(
     "dedup_incremental",
     oracle=f"""
     WITH fp AS (

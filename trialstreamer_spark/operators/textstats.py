@@ -296,6 +296,54 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_freq_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.f) AS BIGINT) * 1.0 / COUNT(*) AS avg_tok_freq
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy per document: the mean corpus frequency
+    of the document's token occurrences. A transcendental-free stand-in
+    for average log-likelihood under a corpus unigram model (the
+    KenLM-style perplexity filter of CCNet/RedPajama) — exact integer
+    sums and ONE double division keep it bit-identical across engines,
+    where a log-based score would drift in the last ulp and break hash
+    comparison. Low score = rare-token-heavy (OCR noise, code, gibberish);
+    high = boilerplate-common tokens; both tails get reviewed.
+
+    Scale shape: one explode feeds both arms; the vocab rollup is
+    map-side partial-aggregated (shuffle bounded by vocab, not corpus);
+    the freq join is a vocab-table equi-join AQE sizes (broadcast while
+    the vocab fits, shuffle-hash beyond), and the per-doc rollup reuses
+    the doc_id partitioning discipline of the other textstats plans."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("f") * F.lit(1.0) / F.count("*")).alias("avg_tok_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "bpe_pair_counts",
     oracle="""
     SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
