@@ -533,6 +533,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_band_tuning",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    hit AS (SELECT c.doc_a, c.doc_b FROM cand c JOIN truth t
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT)  AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT)   AS n_hit,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) * 1.0
+             / (SELECT COUNT(*) FROM cand)  AS precision,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) * 1.0
+             / (SELECT COUNT(*) FROM truth) AS recall
+    """,
+)
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash LSH configuration: the
+    candidate set's precision/recall against exact Jaccard >= 0.2 ground
+    truth — the measurement that tunes (n_hashes, bands, rows) before a
+    corpus-wide dedup run, the dedup-side twin of ann_recall_at_k. On a
+    100 TB corpus this runs on a sample partition; the counts are exact
+    integer aggregates of the two (already scale-safe) pair pipelines,
+    and the final row is three counts + two divisions."""
+    d = load(spark, sf_dir, "documents")
+    cand = minhash_candidates(d, cache_key=sf_dir).withColumn(
+        "in_cand", F.lit(1)
+    )
+    truth = (
+        jaccard_pairs(d, threshold=0.2, cache_key=sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_true", F.lit(1))
+    )
+    # ONE action computes all three counts: a full-outer join of the two
+    # pair sets with membership markers — the (expensive) exact-Jaccard
+    # arm executes exactly once, not once per count
+    row = (
+        cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("in_cand").alias("n_cand"),
+            F.count("in_true").alias("n_true"),
+            F.count(
+                F.when(F.col("in_cand").isNotNull() & F.col("in_true").isNotNull(), 1)
+            ).alias("n_hit"),
+        )
+        .head()
+    )
+    n_cand, n_true, n_hit = int(row["n_cand"]), int(row["n_true"]), int(row["n_hit"])
+    from trialstreamer_spark.util import inline_rows
+
+    return inline_rows(
+        spark,
+        [
+            (
+                n_cand,
+                n_true,
+                n_hit,
+                float(n_hit) / n_cand if n_cand else 0.0,
+                float(n_hit) / n_true if n_true else 0.0,
+            )
+        ],
+        [
+            ("n_candidates", "bigint"),
+            ("n_true", "bigint"),
+            ("n_hit", "bigint"),
+            ("precision", "double"),
+            ("recall", "double"),
+        ],
+    )
+
+
+@query(
     "decontaminate_overlap",
     oracle=f"""
     WITH sh AS ({_DD_SHINGLES}),
