@@ -189,6 +189,56 @@ def running_totals_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "windowed_rollup_stream_parity",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_us, event_type
+    """,
+)
+def windowed_rollup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregate (watermark + 1-hour tumbling window,
+    streaming/pipeline.hourly_event_rollup) driver-checked against the
+    batch GROUP BY: complete output mode emits every window state after
+    the single replay batch, so the result equals the batch hourly
+    rollup exactly. The float total_value column is projected OUT of the
+    parity compare (float sums are accumulation-order-dependent across
+    engines); counts are exact. Append-mode watermark-close emission is
+    covered by tests/test_streaming_ops.py with controlled batches."""
+    from trialstreamer_spark.streaming.pipeline import hourly_event_rollup
+
+    rollup = hourly_event_rollup(_stream_events(spark, sf_dir))
+    name = f"parity_rollup_{os.getpid()}_{next(_RUN_IDS)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    prev = spark.conf.get(_NO_DATA_BATCHES)
+    spark.conf.set(_NO_DATA_BATCHES, "false")
+    try:
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(_NO_DATA_BATCHES, prev)
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+@query(
     "dedup_stream_parity",
     oracle="""
     SELECT DISTINCT user_id, event_type
