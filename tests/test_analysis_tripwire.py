@@ -66,6 +66,18 @@ def test_query_analyzes(driver_like_confs, sf_dir, name):
     assert len(schema.fields) > 0, name
 
 
+def test_registry_queries_and_oracles_consistent():
+    """Every registered query must carry a DuckDB oracle (the driver
+    downgrades oracle-less queries to a weaker rows-only check) and
+    every oracle must point at a registered query."""
+    from trialstreamer_spark.plans.registry import ORACLES
+
+    missing_oracle = sorted(set(QUERIES) - set(ORACLES))
+    dangling_oracle = sorted(set(ORACLES) - set(QUERIES))
+    assert not missing_oracle, f"queries without oracle SQL: {missing_oracle}"
+    assert not dangling_oracle, f"oracles without a query: {dangling_oracle}"
+
+
 def test_temporal_functions_apply_to_all_timestamp_columns(spark, sf_dir):
     """unix_micros / date_trunc / window / year must accept every
     temporal column the loader produces, in every table."""
