@@ -296,6 +296,94 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_heavy_hitter_estimate",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT row_id, substr(md5(row_id || ':' || tok), 1, 2) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, (SELECT unnest(['0','1','2','3']) AS row_id)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY tok
+      ORDER BY exact_n DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT t.tok, r.row_id,
+             substr(md5(r.row_id || ':' || t.tok), 1, 2) AS bucket
+      FROM top t
+      CROSS JOIN (SELECT unnest(['0','1','2','3']) AS row_id) r
+    ),
+    est AS (
+      SELECT p.tok, MIN(c.c) AS cms_n
+      FROM probes p JOIN cells c
+        ON c.row_id = p.row_id AND c.bucket = p.bucket
+      GROUP BY p.tok
+    )
+    SELECT t.tok, t.exact_n, e.cms_n
+    FROM top t JOIN est e ON e.tok = t.tok
+    ORDER BY t.exact_n DESC, t.tok
+    """,
+)
+def cms_heavy_hitter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows x w=256 md5 buckets) built over the
+    token stream, with the top-20 exact heavy hitters' true counts
+    joined against their sketch estimates — the approximate counting
+    primitive the exact heavy_hitter_tokens rollup is replaced by at
+    100 TB, where the distinct-token shuffle outgrows memory but the
+    sketch stays 4x256 int64 cells regardless of corpus size. md5-derived
+    bucket hashing makes the sketch bit-identical across engines (the
+    standard seeded-multiply-shift hashes would not oracle-check).
+    cms_n >= exact_n always (one-sided error); the gap on collision-heavy
+    buckets is the figure of merit for sizing w.
+
+    Scale shape: the sketch build is ONE map-side partially-aggregated
+    groupBy whose shuffle is bounded by d*w cells per partition; the
+    probe side is a broadcast of 20 tokens x 4 rows against the
+    broadcast-sized cell table."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"))
+    rows = F.array(*[F.lit(str(i)) for i in range(4)])
+    cells = (
+        toks.select(F.explode(rows).alias("row_id"), "tok")
+        .select(
+            "row_id",
+            F.substring(
+                F.md5(F.concat(F.col("row_id"), F.lit(":"), F.col("tok"))), 1, 2
+            ).alias("bucket"),
+        )
+        .groupBy("row_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(20)
+    )
+    probes = top.select(
+        "tok", "exact_n", F.explode(rows).alias("row_id")
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat(F.col("row_id"), F.lit(":"), F.col("tok"))), 1, 2
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+    )
+
+
+@query(
     "unigram_freq_score",
     oracle="""
     WITH toks AS (
