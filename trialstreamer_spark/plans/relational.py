@@ -869,3 +869,134 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.ts1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    ) ORDER BY stage_idx
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: users whose first
+    'view' precedes a 'click' precedes a 'purchase' (strict event-time
+    ordering, the product-analytics staple). Each stage is a per-user
+    conditional MIN chained on the previous stage's timestamp.
+
+    Scale shape: three groupBys on user_id — after the first, Catalyst
+    reuses the hashpartitioning(user_id) for the stage joins and later
+    aggregations (co-partitioned joins, no re-exchange); per-stage state
+    is one timestamp per surviving user. The final 3-row summary
+    aggregates driver-light single-row counts."""
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    # one action: union the three stage populations under literal stage
+    # tags and count per tag — no driver-side count loop
+    tagged = (
+        s1.select(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"))
+        .unionAll(
+            s2.select(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"))
+        )
+        .unionAll(
+            s3.select(
+                F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage")
+            )
+        )
+    )
+    return (
+        tagged.groupBy("stage_idx", "stage")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("stage_idx")
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT epoch_us(f.cohort) AS cohort_week_us,
+           (epoch_us(a.wk) - epoch_us(f.cohort)) // 604800000000
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM first f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week_us, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted in each subsequent week they were active — the
+    engagement rollup every event warehouse serves. Week offsets are
+    exact integer arithmetic on epoch micros of week-truncated
+    timestamps (no float date math to drift across engines).
+
+    Scale shape: both arms aggregate on user_id (shared exchange), the
+    join is co-partitioned on it, and the final rollup's key space is
+    (weeks x offsets) — tiny regardless of event volume; map-side
+    partial aggregation bounds the last shuffle accordingly."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        first.join(activity, "user_id")
+        .select(
+            F.unix_micros("cohort").alias("cohort_week_us"),
+            F.expr(
+                "(unix_micros(wk) - unix_micros(cohort)) div 604800000000"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week_us", "week_offset")
+    )
