@@ -1000,3 +1000,117 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_week_us", "week_offset")
     )
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC, nation
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join: revenue by nation for one region
+    and a two-year order window — the optimizer showcase query. Catalyst
+    is left to order the five-way join itself; the plan it picks (and
+    the one that survives 100 TB) broadcasts the region->nation->customer
+    dim chain into the orders/lineitem fact join, with the date filter
+    pushed to the orders scan so partition pruning applies on a
+    date-partitioned warehouse.
+
+    Revenue is per-row rounded to integer cents THEN summed (the
+    engine-parity float discipline: IEEE multiplication is deterministic
+    per row; only float SUMS are accumulation-order-dependent)."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("nation"))
+    )
+
+
+@query(
+    "histogram_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, c,
+             SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER () AS total
+      FROM b
+    )
+    SELECT q.p,
+           MIN(cum.bucket * 1000) AS quantile_lower_bound
+    FROM (SELECT unnest([50, 90, 99]) AS p) q
+    JOIN cum ON cum.cum_c * 100 >= CAST(q.p AS BIGINT) * cum.total
+    GROUP BY q.p
+    ORDER BY q.p
+    """,
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (P50/P90/P99 of order totals) from a
+    fixed-width histogram sketch — the quantile path that scales where
+    exact sort-based percentiles (price_quantiles) cannot: the shuffle
+    carries one (bucket, count) row per bucket per partition, bounded by
+    the histogram width regardless of row count, and the quantile is the
+    first bucket whose cumulative count crosses p% (exact integer
+    comparison — no float rank interpolation to drift across engines).
+    Engine-portable alternative to approx_percentile/t-digest, whose
+    sketch internals differ per engine and cannot oracle-check."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+    from trialstreamer_spark.util import inline_rows
+
+    b = (
+        o.select(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("c").over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)).alias("cum_c"),
+        F.sum("c").over(W.partitionBy()).alias("total"),
+    )
+    ps = inline_rows(spark, [(50,), (90,), (99,)], [("p", "int")])
+    return (
+        F.broadcast(ps)
+        .join(cum, cum.cum_c * 100 >= ps.p.cast("long") * cum.total)
+        .groupBy("p")
+        .agg(F.min(F.col("bucket") * 1000).alias("quantile_lower_bound"))
+        .orderBy("p")
+    )
