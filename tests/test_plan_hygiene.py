@@ -130,3 +130,35 @@ def test_upw_probe_side_never_shuffles(spark):
     lookup = spark.createDataFrame([("10.1/1", "p1")], "doi string, pmid string")
     p = plan_of(upw.build_upw_table(dump, lookup))
     assert "BroadcastHashJoin" in p
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark, sf_dir):
+    """dedup_incremental's scale contract: every join broadcasts the
+    (tiny) new-batch side; the corpus fingerprint/signature relations
+    stream map-side. A SortMergeJoin or shuffled hash join appearing
+    here means a corpus-wide exchange snuck back in."""
+    p = plan_of(QUERIES["dedup_incremental"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q5_join_broadcasts_all_dims(spark, sf_dir):
+    """regional_revenue: the region->nation->customer dim chain must
+    broadcast into the orders/lineitem fact join (4 BroadcastHashJoins,
+    no SortMergeJoin) and the date filter must reach the orders scan."""
+    p = plan_of(QUERIES["regional_revenue"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") == 4, p.count("BroadcastHashJoin")
+    assert "SortMergeJoin" not in p
+    assert "o_orderdate" in p.split("PushedFilters:")[1].splitlines()[0] or (
+        "GreaterThanOrEqual(o_orderdate" in p
+    )
+
+
+def test_decontaminate_broadcasts_eval_postings(spark, sf_dir):
+    """decontaminate_overlap joins corpus postings against a BROADCAST
+    eval-set postings relation — the corpus side must not shuffle."""
+    from trialstreamer_spark.operators import dedup as dd
+
+    p = plan_of(QUERIES["decontaminate_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
