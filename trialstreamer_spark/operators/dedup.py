@@ -1157,6 +1157,105 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SIG_CTES = f"""
+    sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)
+"""
+
+_PR_STEP = """
+    {nxt} AS (
+      SELECT d.doc_id,
+             CAST(150000 + (850000 * COALESCE(i.s, 0)) // 1000000 AS BIGINT) AS r
+      FROM {prev} d LEFT JOIN (
+        SELECT e.dst AS doc_id, CAST(SUM({prev}.r // deg.deg) AS BIGINT) AS s
+        FROM edges e
+        JOIN {prev} ON {prev}.doc_id = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) i ON i.doc_id = d.doc_id
+    )
+"""
+
+
+@query(
+    "pagerank_dup_graph",
+    oracle=f"""
+    WITH {_PR_SIG_CTES},
+    r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+    {_PR_STEP.format(nxt="r1", prev="r0")},
+    {_PR_STEP.format(nxt="r2", prev="r1")},
+    {_PR_STEP.format(nxt="r3", prev="r2")}
+    SELECT doc_id, r AS rank_fp FROM r3 ORDER BY doc_id
+    """,
+)
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, damping 0.85) over the
+    near-dup candidate graph — ranks documents by duplication
+    centrality, the signal a curation pipeline uses to pick which
+    boilerplate hubs to inspect first. All arithmetic is int64
+    fixed-point (rank x 1e6; contributions via integer division), so
+    the iteration is bit-identical across engines and partition orders
+    — float PageRank sums would drift. The oracle unrolls the same
+    three steps as chained CTEs.
+
+    Scale shape per iteration: one join of the edge list with the rank
+    and degree tables (all keyed on the src doc — Catalyst reuses the
+    hashpartitioning across iterations), one aggregation to the
+    incoming-sum, one left join back to the node set. State between
+    iterations is one (doc_id, int64) row per node. Bounded iteration
+    count (the CC operator handles full closure; PageRank here is a
+    fixed-sweep scoring pass)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, cache_key=sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = d.select("doc_id")
+    r = nodes.select("doc_id", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(3):
+        inc = (
+            sym.join(deg, "src")
+            .join(r.select(F.col("doc_id").alias("src"), "r"), "src")
+            .select("dst", F.expr("r div deg").alias("push"))
+            .groupBy("dst")
+            .agg(F.sum("push").alias("s"))
+        )
+        r = (
+            nodes.join(inc, nodes.doc_id == inc.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(150_000).cast("long")
+                    + F.expr("(850000 * coalesce(s, 0)) div 1000000")
+                ).alias("r"),
+            )
+        )
+    return r.select("doc_id", F.col("r").alias("rank_fp")).orderBy("doc_id")
+
+
 @query(
     "dedup_apply_canonical",
     oracle="""
