@@ -251,6 +251,151 @@ def quality_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "curation_pipeline_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, text,
+             CAST(len(t) AS BIGINT) AS n_words,
+             len(array_to_string(t, '')) * 1.0 / len(t) AS mean_word_len
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) * 1.0 / CAST(SUM(c) AS BIGINT)
+               AS top_bigram_frac
+      FROM bic GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT b.doc_id, b.lang, b.text
+      FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+      WHERE b.n_words >= 30
+        AND b.mean_word_len >= 3.0 AND b.mean_word_len <= 5.0
+        AND COALESCE(r.top_bigram_frac, 0.0) <= 0.1
+    ),
+    canon AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               MIN(doc_id) OVER (PARTITION BY
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS canonical_id
+        FROM kept)
+      WHERE doc_id = canonical_id
+    ),
+    cutoffs(lang, cutoff) AS (
+      VALUES ('en', '28'), ('zh', '7f'), ('de', '7f'), ('es', '7f'), ('fr', '7f')
+    ),
+    sampled AS (
+      SELECT c.doc_id, c.lang FROM canon c JOIN cutoffs t ON c.lang = t.lang
+      WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) <= t.cutoff
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM documents d
+    LEFT JOIN kept k    ON k.doc_id = d.doc_id
+    LEFT JOIN canon c   ON c.doc_id = d.doc_id
+    LEFT JOIN sampled s ON s.doc_id = d.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE declarative plan:
+    quality filter (Gopher/C4 rules) → exact dedup to canonical docs →
+    deterministic stratified sample, with per-language survivor counts
+    at every stage — the funnel report a corpus build publishes. This
+    query exists to prove the stage operators COMPOSE: Catalyst fuses
+    the chain (common subexpressions shared, filters pushed through)
+    instead of materializing between stages the way a script-per-stage
+    pipeline would.
+
+    Scale: each stage is the already-scale-safe building block
+    (column-expression signals; one 16-byte-key window for canonical;
+    md5-prefix sampling); the stage flags join back on doc_id so the
+    rollup is one exchange over (lang, 3 bits)."""
+    from trialstreamer_spark.operators.dedup import normalized_fp
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("mean_word_len"),
+    )
+    rep = _gram_counts(d, 2).select(
+        "doc_id",
+        (F.col("top_n") * F.lit(1.0) / F.col("n_grams")).alias("top_bigram_frac"),
+    )
+    kept = (
+        base.join(rep, "doc_id", "left")
+        .where(
+            (F.col("n_words") >= 30)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 5.0)
+            & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.1)
+        )
+        .select("doc_id", "lang", "text")
+    )
+    canon = (
+        kept.withColumn(
+            "canonical_id",
+            F.min("doc_id").over(
+                W.partitionBy(normalized_fp(F.col("text")))
+            ),
+        )
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "lang")
+    )
+    from trialstreamer_spark.util import inline_rows
+
+    cutoffs = inline_rows(
+        spark, list(SAMPLE_CUTOFFS), [("lang", "string"), ("cutoff", "string")]
+    )
+    sampled = (
+        canon.join(F.broadcast(cutoffs), "lang")
+        .where(sample_hash_col(F.col("doc_id")) <= F.col("cutoff"))
+        .select("doc_id")
+    )
+    flag = lambda df, name: df.withColumn(name, F.lit(1))  # noqa: E731
+    return (
+        d.select("doc_id", "lang")
+        .join(flag(kept.select("doc_id"), "k"), "doc_id", "left")
+        .join(flag(canon.select("doc_id"), "c"), "doc_id", "left")
+        .join(flag(sampled, "s"), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("n_keep"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_canonical"),
+            F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
 #: Per-stratum sampling cutoffs: keep a doc iff the first two hex chars of
 #: md5(doc_id) sort <= the cutoff. 'ff' ≈ keep all, '28' ≈ 16%, '0c' ≈ 5%.
 #: Down-sampling dominant languages while keeping the tail is the standard
