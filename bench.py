@@ -113,7 +113,11 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        # value sums only the queries that RAN — surface the failure
+        # count top-level so a breaking regression can never read as a
+        # speedup to anything comparing totals across commits
         out["errors"] = errors
+        out["n_errors"] = len(errors)
     print(json.dumps(out))
 
 

@@ -149,7 +149,8 @@ def test_q5_join_broadcasts_all_dims(spark, sf_dir):
     p = plan_of(QUERIES["regional_revenue"](spark, sf_dir))
     assert p.count("BroadcastHashJoin") == 4, p.count("BroadcastHashJoin")
     assert "SortMergeJoin" not in p
-    assert "o_orderdate" in p.split("PushedFilters:")[1].splitlines()[0] or (
+    pushed = p.split("PushedFilters:")
+    assert (len(pushed) > 1 and "o_orderdate" in pushed[1].splitlines()[0]) or (
         "GreaterThanOrEqual(o_orderdate" in p
     )
 

@@ -576,10 +576,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT)  AS n_candidates,
            CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
            CAST((SELECT COUNT(*) FROM hit) AS BIGINT)   AS n_hit,
-           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) * 1.0
-             / (SELECT COUNT(*) FROM cand)  AS precision,
-           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) * 1.0
-             / (SELECT COUNT(*) FROM truth) AS recall
+           CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+                THEN CAST((SELECT COUNT(*) FROM hit) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM cand)
+                ELSE 0.0 END AS precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN CAST((SELECT COUNT(*) FROM hit) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM truth)
+                ELSE 0.0 END AS recall
     """,
 )
 def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,41 +603,29 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .withColumn("in_true", F.lit(1))
     )
-    # ONE action computes all three counts: a full-outer join of the two
-    # pair sets with membership markers — the (expensive) exact-Jaccard
-    # arm executes exactly once, not once per count
-    row = (
-        cand.join(truth, ["doc_a", "doc_b"], "full_outer")
-        .agg(
-            F.count("in_cand").alias("n_cand"),
-            F.count("in_true").alias("n_true"),
-            F.count(
-                F.when(F.col("in_cand").isNotNull() & F.col("in_true").isNotNull(), 1)
-            ).alias("n_hit"),
-        )
-        .head()
+    # ONE aggregation computes all three counts: a full-outer join of the
+    # two pair sets with membership markers — the (expensive)
+    # exact-Jaccard arm appears exactly once in the plan, and the whole
+    # query stays LAZY (plan-hygiene sweeps and analysis tripwires see
+    # the real pipeline, and nothing executes at construction time).
+    # Zero-count divisions are guarded (empty corpus → 0.0, not a
+    # divide-by-zero error under ANSI mode).
+    counts = cand.join(truth, ["doc_a", "doc_b"], "full_outer").agg(
+        F.count("in_cand").alias("n_candidates"),
+        F.count("in_true").alias("n_true"),
+        F.count(
+            F.when(F.col("in_cand").isNotNull() & F.col("in_true").isNotNull(), 1)
+        ).alias("n_hit"),
     )
-    n_cand, n_true, n_hit = int(row["n_cand"]), int(row["n_true"]), int(row["n_hit"])
-    from trialstreamer_spark.util import inline_rows
-
-    return inline_rows(
-        spark,
-        [
-            (
-                n_cand,
-                n_true,
-                n_hit,
-                float(n_hit) / n_cand if n_cand else 0.0,
-                float(n_hit) / n_true if n_true else 0.0,
-            )
-        ],
-        [
-            ("n_candidates", "bigint"),
-            ("n_true", "bigint"),
-            ("n_hit", "bigint"),
-            ("precision", "double"),
-            ("recall", "double"),
-        ],
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.col(num) * F.lit(1.0) / F.col(den)
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        ratio("n_hit", "n_candidates").alias("precision"),
+        ratio("n_hit", "n_true").alias("recall"),
     )
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trialstreamer_spark.io import load
+from trialstreamer_spark.operators.textstats import tokens_col
 from trialstreamer_spark.plans.registry import query
 
 # Overlapping n-grams WITH multiplicity via zero-width lookahead capture
@@ -208,16 +209,21 @@ def quality_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning the rollup already produced. Ratios are single
     divisions of exact integers — bit-identical across engines."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
-    )
+    # tokens_col = the shared empty-filtering tokenizer, matching the
+    # oracle's list_filter(string_split_regex(...)) semantics exactly
+    # (a bare split() would count an empty text as one token); the mean
+    # is guarded so a zero-token doc yields NULL, not an ANSI-mode
+    # divide-by-zero
+    toks = tokens_col(F.col("text"))
+    n_toks = F.size(toks)
     base = d.where(F.col("text").isNotNull()).select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_words"),
-        (
+        n_toks.cast("long").alias("n_words"),
+        F.when(
+            n_toks > 0,
             F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
             * F.lit(1.0)
-            / F.size(toks)
+            / n_toks,
         ).alias("mean_word_len"),
     )
     rep = _gram_counts(d, 2).select(
@@ -333,16 +339,18 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    toks = tokens_col(F.col("text"))  # oracle-matching tokenizer (see
+    n_toks = F.size(toks)             # quality_filter_keep)
     base = d.select(
         "doc_id",
         "lang",
         "text",
-        F.size(toks).cast("long").alias("n_words"),
-        (
+        n_toks.cast("long").alias("n_words"),
+        F.when(
+            n_toks > 0,
             F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
             * F.lit(1.0)
-            / F.size(toks)
+            / n_toks,
         ).alias("mean_word_len"),
     )
     rep = _gram_counts(d, 2).select(

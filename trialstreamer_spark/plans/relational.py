@@ -932,21 +932,30 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("ts3"))
     )
     # one action: union the three stage populations under literal stage
-    # tags and count per tag — no driver-side count loop
+    # tags, count per tag, then left-join onto the static stage dim so an
+    # EMPTY stage still emits its row with n_users=0 (the oracle's scalar
+    # subqueries always produce 3 rows — a funnel where nobody converts
+    # must not drop the stage)
+    from trialstreamer_spark.util import inline_rows
+
     tagged = (
-        s1.select(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"))
-        .unionAll(
-            s2.select(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"))
-        )
-        .unionAll(
-            s3.select(
-                F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage")
-            )
-        )
+        s1.select(F.lit(1).alias("stage_idx"))
+        .unionAll(s2.select(F.lit(2).alias("stage_idx")))
+        .unionAll(s3.select(F.lit(3).alias("stage_idx")))
+    )
+    counts = tagged.groupBy("stage_idx").agg(F.count("*").alias("n"))
+    stages = inline_rows(
+        spark,
+        [(1, "view"), (2, "click"), (3, "purchase")],
+        [("stage_idx", "int"), ("stage", "string")],
     )
     return (
-        tagged.groupBy("stage_idx", "stage")
-        .agg(F.count("*").alias("n_users"))
+        stages.join(counts, "stage_idx", "left")
+        .select(
+            "stage_idx",
+            "stage",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_users"),
+        )
         .orderBy("stage_idx")
     )
 
