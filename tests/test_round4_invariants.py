@@ -78,3 +78,21 @@ def test_band_tuning_counts_consistent(spark, sf_dir):
         assert abs(r["precision"] - r["n_hit"] / r["n_candidates"]) < 1e-12
     if r["n_true"]:
         assert abs(r["recall"] - r["n_hit"] / r["n_true"]) < 1e-12
+
+
+def test_band_tuning_is_lazy_and_plans_full_pipeline(spark, sf_dir):
+    """The tuning query must stay LAZY: constructing it must not execute
+    the dedup pipelines (the eager .head()+inline_rows regression), so
+    its plan must contain the real full-outer join of the candidate and
+    truth arms rather than a literal row."""
+    df = QUERIES["minhash_band_tuning"](spark, sf_dir)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FullOuter" in p or "full_outer" in p.lower()
+
+
+def test_funnel_always_emits_three_stages(spark, sf_dir):
+    """Even an empty stage emits its row (n_users=0) — the oracle's
+    scalar subqueries always produce 3 rows."""
+    df = QUERIES["funnel_conversion"](spark, sf_dir)
+    assert df.count() == 3
+    assert [r["stage_idx"] for r in df.collect()] == [1, 2, 3]
