@@ -343,30 +343,34 @@ def cms_heavy_hitter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms_n >= exact_n always (one-sided error); the gap on collision-heavy
     buckets is the figure of merit for sizing w.
 
-    Scale shape: the sketch build is ONE map-side partially-aggregated
-    groupBy whose shuffle is bounded by d*w cells per partition; the
-    probe side is a broadcast of 20 tokens x 4 rows against the
-    broadcast-sized cell table."""
+    Scale shape: this EVALUATION query needs the exact vocabulary rollup
+    anyway (for exact_n), so the cells are built from it — vocab-sized
+    work, identical cell totals. A production sketch-ONLY pass skips the
+    vocab rollup and aggregates token occurrences straight to (row,
+    bucket): that shuffle is bounded by d*w cells per partition no
+    matter how large the corpus or vocabulary — the property that makes
+    CMS the replacement for exact counting at 100 TB."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"))
     rows = F.array(*[F.lit(str(i)) for i in range(4)])
+    # ONE corpus-wide token rollup feeds everything: cells are built by
+    # exploding the (vocabulary-sized) count table x4 and summing counts
+    # per cell — identical cell totals to hashing every token occurrence,
+    # at vocab cost instead of 4 corpus-wide explodes
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
     cells = (
-        toks.select(F.explode(rows).alias("row_id"), "tok")
+        vocab.select("tok", "exact_n", F.explode(rows).alias("row_id"))
         .select(
             "row_id",
             F.substring(
                 F.md5(F.concat(F.col("row_id"), F.lit(":"), F.col("tok"))), 1, 2
             ).alias("bucket"),
+            "exact_n",
         )
         .groupBy("row_id", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("tok"))
-        .limit(20)
-    )
+    top = vocab.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(20)
     probes = top.select(
         "tok", "exact_n", F.explode(rows).alias("row_id")
     ).withColumn(
