@@ -67,6 +67,17 @@ _RUN_IDS = itertools.count()
 
 _NO_DATA_BATCHES = "spark.sql.streaming.noDataMicroBatches.enabled"
 
+_SHUFFLE_PARTITIONS = "spark.sql.shuffle.partitions"
+
+# State-store partition count for the parity replays. A streaming query
+# pins its state partitioning at FIRST start from spark.sql.shuffle
+# .partitions; the session default (32) is sized for batch shuffles, but
+# here state cardinality is one entry per user/window key (hundreds), so
+# 32 state stores are pure per-partition commit overhead. Each parity run
+# uses a fresh checkpoint, so the pin is safe to vary; a production
+# deployment sizes this to its real key cardinality instead.
+_STATE_PARTITIONS = "8"
+
 # (session JVM id, tag) → previous run's sink view + checkpoint dir, so a
 # repeated invocation (bench warmups, test sweeps) reclaims its
 # predecessor's driver-memory table and /tmp checkpoint instead of
@@ -92,9 +103,16 @@ def _run_stream_to_table(
         spark.catalog.dropTempView(prev_name)
         shutil.rmtree(prev_ckpt, ignore_errors=True)
     name = f"parity_{tag}_{os.getpid()}_{next(_RUN_IDS)}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    # Offset/commit logs are many tiny fsync'd files; for this
+    # throwaway single-batch replay a tmpfs checkpoint skips the disk
+    # round-trips. A production stream checkpoints to durable storage —
+    # recovery semantics matter there, not here.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
     prev = spark.conf.get(_NO_DATA_BATCHES)
+    prev_parts = spark.conf.get(_SHUFFLE_PARTITIONS)
     spark.conf.set(_NO_DATA_BATCHES, "false")
+    spark.conf.set(_SHUFFLE_PARTITIONS, _STATE_PARTITIONS)
     try:
         q = (
             out.writeStream.format("memory")
@@ -107,6 +125,7 @@ def _run_stream_to_table(
         q.awaitTermination()
     finally:
         spark.conf.set(_NO_DATA_BATCHES, prev)
+        spark.conf.set(_SHUFFLE_PARTITIONS, prev_parts)
     _PREV_RUN[key] = (name, ckpt)
     return spark.table(name)
 
