@@ -15,22 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-# Importing the plan modules populates the registry.
-import trialstreamer_spark.plans.relational  # noqa: F401,E402
-from trialstreamer_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
-
-try:  # optional modules register more queries as they land
-    import trialstreamer_spark.operators.clustering  # noqa: F401,E402
-    import trialstreamer_spark.operators.dedup  # noqa: F401,E402
-    import trialstreamer_spark.operators.multimodal  # noqa: F401,E402
-    import trialstreamer_spark.operators.quality  # noqa: F401,E402
-    import trialstreamer_spark.operators.retrieval  # noqa: F401,E402
-    import trialstreamer_spark.operators.similarity  # noqa: F401,E402
-    import trialstreamer_spark.operators.temporal  # noqa: F401,E402
-    import trialstreamer_spark.operators.textstats  # noqa: F401,E402
-    import trialstreamer_spark.streaming.parity  # noqa: F401,E402
-except ImportError:
-    pass
+# ONE import registers every (query, oracle) pair — bench.py and the
+# test suite use the same module, so the three surfaces cannot drift.
+from trialstreamer_spark.plans.all_queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -17,22 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import trialstreamer_spark.plans.relational  # noqa: F401
-
-try:
-    import trialstreamer_spark.operators.clustering  # noqa: F401
-    import trialstreamer_spark.operators.dedup  # noqa: F401
-    import trialstreamer_spark.operators.multimodal  # noqa: F401,E402
-    import trialstreamer_spark.operators.quality  # noqa: F401
-    import trialstreamer_spark.operators.retrieval  # noqa: F401
-    import trialstreamer_spark.operators.similarity  # noqa: F401
-    import trialstreamer_spark.operators.temporal  # noqa: F401
-    import trialstreamer_spark.operators.textstats  # noqa: F401
-    import trialstreamer_spark.streaming.parity  # noqa: F401
-except ImportError:
-    pass
-
-from trialstreamer_spark.plans.registry import QUERIES
+from trialstreamer_spark.plans.all_queries import QUERIES  # noqa: E402
 from trialstreamer_spark.session import get_spark
 
 

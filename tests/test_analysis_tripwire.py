@@ -25,22 +25,13 @@ import pytest
 
 from pyspark.sql import functions as F
 
-import trialstreamer_spark.plans.relational  # noqa: F401  (registry fill)
-import trialstreamer_spark.operators.temporal  # noqa: F401
 from trialstreamer_spark.io import TABLES, load
-from trialstreamer_spark.plans.registry import QUERIES
 
-try:  # optional operator families — registry fills if importable
-    import trialstreamer_spark.operators.clustering  # noqa: F401
-    import trialstreamer_spark.operators.dedup  # noqa: F401
-    import trialstreamer_spark.operators.multimodal  # noqa: F401
-    import trialstreamer_spark.operators.quality  # noqa: F401
-    import trialstreamer_spark.operators.retrieval  # noqa: F401
-    import trialstreamer_spark.operators.similarity  # noqa: F401
-    import trialstreamer_spark.operators.textstats  # noqa: F401
-    import trialstreamer_spark.streaming.parity  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+# The central import point — the same module bench.py and
+# __spark_entry__.py load, so this suite tripwires exactly the set of
+# queries the driver and bench will see (an operator module missing
+# from all_queries is missing EVERYWHERE and fails the count below).
+from trialstreamer_spark.plans.all_queries import QUERIES
 
 
 @pytest.fixture(scope="module")
@@ -76,6 +67,27 @@ def test_registry_queries_and_oracles_consistent():
     dangling_oracle = sorted(set(ORACLES) - set(QUERIES))
     assert not missing_oracle, f"queries without oracle SQL: {missing_oracle}"
     assert not dangling_oracle, f"oracles without a query: {dangling_oracle}"
+
+
+def test_every_operator_module_is_in_all_queries():
+    """Any operators/ or streaming/ module that registers queries must be
+    imported by plans.all_queries — otherwise bench and the driver would
+    silently skip its queries (this happened to packing.py once)."""
+    import pathlib
+
+    import trialstreamer_spark
+    import trialstreamer_spark.plans.all_queries as aq
+
+    src = pathlib.Path(aq.__file__).read_text()
+    pkg_root = pathlib.Path(trialstreamer_spark.__file__).parent
+    for sub in ("operators", "streaming", "plans"):
+        for py in sorted((pkg_root / sub).glob("*.py")):
+            mod = f"trialstreamer_spark.{sub}.{py.stem}"
+            if "@query(" in py.read_text() and mod not in src:
+                raise AssertionError(
+                    f"{mod} registers queries but is not imported by "
+                    "plans.all_queries"
+                )
 
 
 def test_temporal_functions_apply_to_all_timestamp_columns(spark, sf_dir):

@@ -96,3 +96,96 @@ def test_funnel_always_emits_three_stages(spark, sf_dir):
     df = QUERIES["funnel_conversion"](spark, sf_dir)
     assert df.count() == 3
     assert [r["stage_idx"] for r in df.collect()] == [1, 2, 3]
+
+
+# --- round-4 continuation: packing / mixture / hard negatives / winnowing ---
+
+import trialstreamer_spark.operators.packing  # noqa: F401,E402
+import trialstreamer_spark.operators.quality  # noqa: F401,E402
+
+
+def test_sequence_packing_conserves_tokens_and_chunks(spark, sf_dir):
+    """Shard rollups must conserve the corpus token count, and chunk/
+    span counts obey the packing arithmetic for any corpus."""
+    from trialstreamer_spark.operators.packing import CTX, N_SHARDS
+    from trialstreamer_spark.operators.textstats import tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    total = (
+        d.where(F.col("text").isNotNull())
+        .select(F.size(tokens_col(F.col("text"))).alias("n"))
+        .where(F.col("n") >= 1)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    rows = QUERIES["sequence_packing"](spark, sf_dir).collect()
+    assert len(rows) <= N_SHARDS
+    assert sum(r["total_tokens"] for r in rows) == total
+    for r in rows:
+        assert r["n_chunks"] == -(-r["total_tokens"] // CTX)
+        # a doc can only span a boundary if there IS more than one chunk
+        assert 0 <= r["n_span_docs"] <= max(r["n_chunks"] - 1, 0) or (
+            r["n_span_docs"] <= r["n_docs"]
+        )
+        assert 0 < r["tail_fill"] <= 1.0
+
+
+def test_mixture_weights_sum_to_one_and_dampen(spark, sf_dir):
+    """Weights are a distribution, and sqrt dampening moves every source
+    TOWARD the uniform weight relative to its raw share."""
+    import math
+
+    rows = QUERIES["mixture_weights"](spark, sf_dir).collect()
+    assert abs(sum(r["samp_weight"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    # weights reproduce exactly from the emitted integer token counts
+    w_raw = {r["source"]: math.isqrt(r["n_tokens"]) for r in rows}
+    denom = sum(w_raw.values())
+    for r in rows:
+        assert r["samp_weight"] == w_raw[r["source"]] / denom
+    # dampening preserves the source ordering but compresses the spread:
+    # the weight ratio between the largest and smallest source is the
+    # sqrt of their token ratio (strictly closer to 1 when unequal)
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    assert by_tokens[0]["samp_weight"] <= by_tokens[-1]["samp_weight"]
+    if by_tokens[0]["n_tokens"] < by_tokens[-1]["n_tokens"]:
+        tok_ratio = by_tokens[-1]["n_tokens"] / by_tokens[0]["n_tokens"]
+        w_ratio = by_tokens[-1]["samp_weight"] / by_tokens[0]["samp_weight"]
+        assert w_ratio < tok_ratio
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    }
+    out = QUERIES["hard_negative_mining"](spark, sf_dir).collect()
+    per_q = {}
+    for r in out:
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        # ranks are 1..k and cosine is non-increasing in rank
+        assert [r["rank"] for r in sorted(rs, key=lambda x: x["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+        cs = [r["cosine"] for r in sorted(rs, key=lambda x: x["rank"])]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+
+
+def test_winnowing_density_bounds(spark, sf_dir):
+    """Fingerprints per doc: at least one per run of w windows (the
+    winnowing coverage guarantee) and never more than one per window."""
+    from trialstreamer_spark.operators.quality import WINNOW_W
+
+    rows = QUERIES["winnowing_stats"](spark, sf_dir).collect()
+    assert rows, "fixture corpus must contain winnowable docs"
+    for r in rows:
+        assert r["n_windows"] == r["n_grams"] - (WINNOW_W - 1)
+        assert 1 <= r["n_fingerprints"] <= r["n_windows"]
+        # every block of w consecutive windows selects >= 1 distinct
+        # fingerprint => density >= 1/(2w) is a loose structural floor;
+        # the tight guarantee is >= n_windows/w selections overall
+        assert r["n_fingerprints"] >= -(-r["n_windows"] // (2 * WINNOW_W))

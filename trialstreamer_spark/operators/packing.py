@@ -1,0 +1,215 @@
+"""Training-mix assembly operators: sequence packing and source mixture
+weights.
+
+These cover the last pre-training step after curation (quality.py) and
+dedup (dedup.py): deciding HOW the surviving documents are laid out into
+fixed-length training sequences and in WHAT proportion each source is
+sampled. The reference has no analogue (its corpus feeds per-article
+model inference, pico_search annotation at PICO_search.py); these are
+the corpus-side extensions a 100 TB LLM pipeline needs.
+
+- ``sequence_packing``: GPT-style concat-and-chunk packing (concatenate
+  documents in a deterministic order, cut every CTX tokens; documents
+  may span chunk boundaries — Brown et al. 2020, §2.2 describe exactly
+  this layout). The statistic of interest before launching a packing
+  job: chunks produced, boundary-crossing documents, tail waste.
+- ``mixture_weights``: temperature-scaled source sampling weights
+  (w_s ∝ share_s^alpha with alpha=0.5, the sqrt dampening used for
+  multilingual/source rebalancing since GPT-3/XLM-R). Weights are exact
+  rationals of integer sqrt values so the oracle hash is bit-stable.
+
+Scale design:
+
+- packing is per-SHARD: documents are hash-bucketed into independent
+  shards and the running token offset is a window inside one shard —
+  1000 executors pack 1000 shards with no cross-shard coordination, and
+  the only wide exchange is the shard-keyed window shuffle. A global
+  (single-sequence) concat order would serialize the whole corpus
+  through one partition; sharded packing is what distributed loaders
+  (e.g. Megatron-style data builders) actually do.
+- mixture weights aggregate to one row per source (map-side partial
+  aggs), then a scalar window over the tiny per-source frame.
+
+Float determinism: every emitted ratio is a single division of exact
+integers (registry conventions; see plans/relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.io import load
+from trialstreamer_spark.operators.textstats import tokens_col
+from trialstreamer_spark.plans.registry import query
+
+#: Tokens per packed training sequence (context length of the toy run).
+CTX = 256
+#: Independent packing shards; production sizes this to executor count.
+N_SHARDS = 8
+
+# Shared DuckDB fragment: per-document token counts with the same
+# whitespace tokenizer as textstats.tokens_col.
+_DD_DOC_TOKENS = """
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL
+"""
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH dt AS ({_DD_DOC_TOKENS}),
+    nonempty AS (SELECT * FROM dt WHERE n_tokens >= 1),
+    placed AS (
+      SELECT doc_id % {N_SHARDS} AS shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY doc_id % {N_SHARDS} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_offset
+      FROM nonempty
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + {CTX} - 1) // {CTX} AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN tok_offset // {CTX}
+                          <> (tok_offset + n_tokens - 1) // {CTX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_span_docs,
+           CASE WHEN SUM(n_tokens) % {CTX} = 0 THEN 1.0
+                ELSE CAST(SUM(n_tokens) % {CTX} AS BIGINT) * 1.0 / {CTX}
+           END AS tail_fill
+    FROM placed
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing statistics per shard: documents are
+    hash-bucketed into N_SHARDS independent streams, concatenated in
+    doc_id order, and cut every CTX tokens. Emits per shard: documents
+    and tokens packed, chunks produced, documents that straddle a chunk
+    boundary (whose loss is split across sequences), and the fill ratio
+    of the final partial chunk (the per-shard tail waste).
+
+    Plan: token counts are a map stage (one JVM regex split, no
+    explode); the running offset is ONE window shuffle keyed by shard;
+    the rollup reuses the same shard partitioning (no second
+    exchange)."""
+    d = load(spark, sf_dir, "documents")
+    dt = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= 1)
+        .select((F.col("doc_id") % N_SHARDS).alias("shard"), "doc_id", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = dt.select(
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("offset"),
+    )
+    spans = (
+        F.floor(F.col("offset") / CTX)
+        != F.floor((F.col("offset") + F.col("n_tokens") - 1) / CTX)
+    ).cast("int")
+    tail = F.col("total_tokens") % CTX
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(spans).cast("long").alias("n_span_docs"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            (F.floor((F.col("total_tokens") + CTX - 1) / CTX))
+            .cast("long")
+            .alias("n_chunks"),
+            "n_span_docs",
+            F.when(tail == 0, F.lit(1.0))
+            .otherwise(tail * F.lit(1.0) / F.lit(CTX))
+            .alias("tail_fill"),
+        )
+        .orderBy("shard")
+    )
+
+
+#: Mixture temperature: weight ∝ token_share^0.5 (sqrt dampening).
+#: Realized as integer sqrt so both engines emit identical rationals.
+
+
+@query(
+    "mixture_weights",
+    oracle=f"""
+    WITH dt AS ({_DD_DOC_TOKENS}),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w_raw
+      FROM dt GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1.0 / SUM(n_tokens) OVER () AS token_share,
+           w_raw * 1.0 / SUM(w_raw) OVER () AS samp_weight
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights for the training mix:
+    per source, its raw token share and the alpha=0.5 dampened sampling
+    weight w_s = sqrt(tokens_s) / sum_t sqrt(tokens_t) — small sources
+    are up-sampled relative to their share, the standard rebalancing for
+    multilingual/multi-source corpora.
+
+    Exactness: the dampened weight uses floor(sqrt(n)) — an integer in
+    both engines (IEEE sqrt is exactly rounded, so floor agrees
+    bit-for-bit) — making every output column an exact integer ratio.
+
+    Plan: one map-side-partial aggregation to ~|sources| rows, then
+    scalar window sums over that tiny frame. Nothing wide scales with
+    corpus size except the first agg's |sources|-key shuffle."""
+    d = load(spark, sf_dir, "documents")
+    per_source = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")))
+            .cast("long")
+            .alias("w_raw"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(1.0) / F.sum("n_tokens").over(w_all)).alias(
+            "token_share"
+        ),
+        (F.col("w_raw") * F.lit(1.0) / F.sum("w_raw").over(w_all)).alias(
+            "samp_weight"
+        ),
+    ).orderBy("source")

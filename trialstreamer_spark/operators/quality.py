@@ -606,3 +606,120 @@ def pii_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Winnowing parameters: 3-word grams, window of 4 consecutive grams
+#: (guarantee: any 6-token match between documents shares a fingerprint).
+WINNOW_W = 4
+#: Position packing for the rightmost-min tie-break (see winnowing_stats).
+_POS_MOD = 1 << 20
+
+
+@query(
+    "winnowing_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::BIGINT AS h
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sel AS (
+      SELECT doc_id, pos,
+             MIN(h * {_POS_MOD} + ({_POS_MOD - 1} - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS sel_key,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM tri
+    )
+    SELECT doc_id,
+           CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           CAST(MAX(n_grams) - {WINNOW_W - 1} AS BIGINT) AS n_windows,
+           COUNT(DISTINCT sel_key) AS n_fingerprints,
+           COUNT(DISTINCT sel_key) * 1.0
+             / (MAX(n_grams) - {WINNOW_W - 1}) AS fp_density
+    FROM sel
+    WHERE pos <= n_grams - {WINNOW_W - 1} AND n_grams >= {WINNOW_W}
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every 3-word gram, slide a
+    window of 4 consecutive gram hashes, select each window's minimum
+    (rightmost on ties), and keep the distinct selected positions as the
+    document's fingerprints. Guarantees any ≥6-token verbatim overlap
+    between two documents shares at least one fingerprint, at ~2/(w+1)
+    the density of full gram sets — the local-sampling alternative to
+    MinHash for partial-overlap detection.
+
+    Cross-engine determinism: the gram hash is the first 8 md5 hex chars
+    as an integer, and the tie-break rides IN the minimized key —
+    key = hash * 2^20 + (2^20-1 - pos) — so MIN() alone implements
+    "smallest hash, rightmost position" identically in both engines
+    (hash < 2^32, pos < 2^20 ⇒ key < 2^52, exact in doubles and BIGINT
+    alike).
+
+    Scale shape: gram hashing is a map stage (one JVM regex scan + md5);
+    the forward-looking window min and the per-doc rollup BOTH key on
+    doc_id, so the plan has ONE exchange — sort within doc partitions,
+    then reuse the partitioning for the distinct-count aggregation. A
+    production dedup would keep (doc_id, sel_key) as the postings table
+    and equi-join on sel_key — same candidate-generation shape as
+    minhash_candidates."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(grams_col(F.col("text"), 3)).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    w_fwd = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    sel = grams.select(
+        "doc_id",
+        "pos",
+        F.min(
+            F.col("h") * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("pos"))
+        )
+        .over(w_fwd)
+        .alias("sel_key"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
+    )
+    return (
+        sel.where(
+            (F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+            & (F.col("n_grams") >= WINNOW_W)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            (F.max("n_grams") - (WINNOW_W - 1)).alias("n_windows"),
+            F.countDistinct("sel_key").alias("n_fingerprints"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_windows",
+            "n_fingerprints",
+            (F.col("n_fingerprints") * F.lit(1.0) / F.col("n_windows")).alias(
+                "fp_density"
+            ),
+        )
+        .orderBy("doc_id")
+    )

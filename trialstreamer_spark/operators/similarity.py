@@ -447,6 +447,82 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_query_scores(e: DataFrame, sf_dir: str, n_q: int) -> DataFrame:
+    """(query_id, neighbor_id, label, cosine) for every (corpus vector,
+    panel query) pair, self-matches excluded, in ONE corpus scan.
+
+    All query vectors ride the task closure as ONE matrix: a single
+    Arrow pass computes every (vector, query) fixed-point dot plus the
+    vector norm — no query-vector join and no separate norm stage
+    (3 Python stages fused into 1; measured ~2x). Shared by
+    ann_recall_at_k and hard_negative_mining."""
+    from pyspark.sql.types import ArrayType
+
+    qvecs = [
+        _query_vector(e, qid, "vec_id", "embedding", cache_key=sf_dir)
+        for qid in range(n_q)
+    ]
+    qmat = np.stack(qvecs)  # (n_q, dim)
+    qnsq = [float(fp_dot_vec(v, v)) for v in qvecs]
+    scale = float(SCALE)
+
+    def multi_scores(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"nsq": pd.Series(dtype="int64"), "dots": pd.Series(dtype=object)}
+            )
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (rows, dim)
+        nsq = np.floor(m * m * scale).astype(np.int64).sum(axis=1)
+        # (rows, n_q, dim) products floored → int64 sums per query
+        dots = (
+            np.floor(m[:, None, :] * qmat[None, :, :] * scale)
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+        return pd.DataFrame({"nsq": nsq, "dots": list(dots)})
+
+    ms = F.pandas_udf(
+        multi_scores,
+        StructType(
+            [
+                StructField("nsq", LongType()),
+                StructField("dots", ArrayType(LongType())),
+            ]
+        ),
+    )
+    qnsq_arr = F.array(*[F.lit(x) for x in qnsq])
+    scored = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            ms(F.col("embedding")).alias("s"),
+        )
+        .select(
+            "neighbor_id",
+            "label",
+            F.col("s.nsq").alias("nsq"),
+            F.posexplode(F.col("s.dots")).alias("query_id", "dot"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "neighbor_id",
+            "label",
+            (
+                F.col("dot")
+                / F.sqrt(
+                    F.col("nsq").cast("double")
+                    * F.element_at(qnsq_arr, F.col("query_id") + 1)
+                )
+            ).alias("cosine"),
+        )
+    )
+    return scored
+
+
 @query(
     "ann_recall_at_k",
     oracle=f"""
@@ -515,82 +591,17 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     Annoy n_trees/search_k offline, nb/annoy.ipynb).
 
     Scale shape: ONE corpus scan serves both arms — queries ride the
-    task closure, per-(query, vector) cosines are one Arrow pass, and
-    both ranks come out of a single sorted window pass (brute =
-    row_number, IVF = running count of rows in the probed cells, a tiny
-    literal IN-list from the centroid sidecar). No second scan, no
-    top-k-vs-top-k join; the rollup aggregates n_queries x k rows."""
+    task closure, per-(query, vector) cosines are one Arrow pass
+    (_multi_query_scores), and both ranks come out of a single sorted
+    window pass (brute = row_number, IVF = running count of rows in the
+    probed cells, a tiny literal IN-list from the centroid sidecar). No
+    second scan, no top-k-vs-top-k join; the rollup aggregates
+    n_queries x k rows."""
     from pyspark.sql import Window as W
-    from pyspark.sql.types import ArrayType
 
     n_q, k, nprobe = 5, 10, 2
     e = load(spark, sf_dir, "embeddings")
-    # All query vectors ride the task closure as ONE matrix: a single
-    # Arrow pass over the corpus computes every (vector, query) dot plus
-    # the vector norm — no query-vector join and no separate norm stage
-    # (3 Python stages fused into 1; measured ~2x on this query).
-    qvecs = [
-        _query_vector(e, qid, "vec_id", "embedding", cache_key=sf_dir)
-        for qid in range(n_q)
-    ]
-    qmat = np.stack(qvecs)  # (n_q, dim)
-    qnsq = [float(fp_dot_vec(v, v)) for v in qvecs]
-    scale = float(SCALE)
-
-    def multi_scores(v: pd.Series) -> pd.DataFrame:
-        import numpy as np
-        import pandas as pd
-
-        if len(v) == 0:
-            return pd.DataFrame(
-                {"nsq": pd.Series(dtype="int64"), "dots": pd.Series(dtype=object)}
-            )
-        m = np.stack(v.to_numpy()).astype(np.float64)  # (rows, dim)
-        nsq = np.floor(m * m * scale).astype(np.int64).sum(axis=1)
-        # (rows, n_q, dim) products floored → int64 sums per query
-        dots = (
-            np.floor(m[:, None, :] * qmat[None, :, :] * scale)
-            .astype(np.int64)
-            .sum(axis=2)
-        )
-        return pd.DataFrame({"nsq": nsq, "dots": list(dots)})
-
-    ms = F.pandas_udf(
-        multi_scores,
-        StructType(
-            [
-                StructField("nsq", LongType()),
-                StructField("dots", ArrayType(LongType())),
-            ]
-        ),
-    )
-    qnsq_arr = F.array(*[F.lit(x) for x in qnsq])
-    scored = (
-        e.select(
-            F.col("vec_id").alias("neighbor_id"),
-            "label",
-            ms(F.col("embedding")).alias("s"),
-        )
-        .select(
-            "neighbor_id",
-            "label",
-            F.col("s.nsq").alias("nsq"),
-            F.posexplode(F.col("s.dots")).alias("query_id", "dot"),
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            "neighbor_id",
-            "label",
-            (
-                F.col("dot")
-                / F.sqrt(
-                    F.col("nsq").cast("double")
-                    * F.element_at(qnsq_arr, F.col("query_id") + 1)
-                )
-            ).alias("cosine"),
-        )
-    )
+    scored = _multi_query_scores(e, sf_dir, n_q)
     # Both arms rank the SAME scored relation in the SAME (cosine DESC,
     # neighbor_id) order, so one sorted window pass serves both: brute
     # rank is row_number(); the IVF arm's rank among cell-restricted
@@ -643,6 +654,83 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
         )
         .orderBy("query_id")
+    )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS qvec
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             CAST({_DD_DOT_FP.format(a="e.embedding", b="q.qvec")} AS BIGINT)
+               / SQRT(CAST(CAST({_DD_DOT_FP.format(a="e.embedding", b="e.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_DD_DOT_FP.format(a="q.qvec", b="q.qvec")} AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM embeddings e JOIN q
+        ON e.vec_id <> q.query_id AND e.label <> q.q_label
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           neighbor_label, cosine
+    FROM (
+      SELECT query_id, neighbor_id, neighbor_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each panel query vector,
+    the 3 most-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that make embedding-training triplets
+    informative (the in-batch/ANN negative mining of DPR, Karpukhin et
+    al. 2020 §5.2, run as a batch corpus job).
+
+    Scale shape: reuses ann_recall_at_k's fused kernel
+    (_multi_query_scores — query matrix in the task closure, ONE corpus
+    scan, one Arrow pass), filters to label mismatches scan-side (the
+    query panel's labels are literals in a CASE map, no join), and
+    takes the per-query top-3 via a WindowGroupLimit-prunable rank —
+    each map task forwards ≤ 3 rows per query."""
+    from pyspark.sql import Window as W
+
+    n_q, k = 5, 3
+    e = load(spark, sf_dir, "embeddings")
+    # Panel labels: n_q driver-side lookups against the tiny vec_id
+    # prefix — a broadcast-free literal map, cached per sf_dir with the
+    # query vectors themselves.
+    q_labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in e.filter(F.col("vec_id") < n_q)
+        .select("vec_id", "label")
+        .collect()
+    }
+    q_label_of = F.element_at(
+        F.array(*[F.lit(q_labels[i]) for i in range(n_q)]),
+        F.col("query_id").cast("int") + 1,
+    )
+    scored = _multi_query_scores(e, sf_dir, n_q)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("label") != q_label_of)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").alias("neighbor_label"),
+            "cosine",
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+        .orderBy("query_id", "rank")
     )
 
 
