@@ -1,0 +1,116 @@
+"""Oracle + semantic-invariant tests for the round-4b operators:
+semantic_dedup, pq_codes, dsir_importance_weights,
+winnowing_overlap_pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trialstreamer_spark.operators.clustering import K_CLUSTERS, PQ_K, PQ_M
+from trialstreamer_spark.operators.quality import (
+    WINNOW_MIN_SHARED,
+)
+from trialstreamer_spark.plans.all_queries import ORACLES, QUERIES
+
+from tests.oracle_util import assert_matches
+
+NEW_QUERIES = [
+    "semantic_dedup",
+    "pq_codes",
+    "dsir_importance_weights",
+    "winnowing_overlap_pairs",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_round4b_matches_oracle(spark, sf_dir, name):
+    assert name in ORACLES, f"{name} not registered with an oracle"
+    assert_matches(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_semantic_dedup_accounting(spark, sf_dir):
+    rows = QUERIES["semantic_dedup"](spark, sf_dir).collect()
+    n_vecs = sum(r.n_vectors for r in rows)
+    from trialstreamer_spark.io import load
+
+    assert n_vecs == load(spark, sf_dir, "embeddings").count()
+    assert len(rows) <= K_CLUSTERS
+    for r in rows:
+        # every pair contributes exactly one pruned candidate (its higher
+        # id), so distinct-pruned can never exceed the pair count ...
+        assert 0 <= r.n_pruned <= r.n_dup_pairs
+        # ... and the lowest-id member of any dup pair survives, so a
+        # cluster is never pruned to empty
+        assert 0 < r.keep_frac <= 1.0
+        assert r.n_pruned < r.n_vectors
+
+
+def test_pq_codes_seed_vectors_reconstruct_exactly(spark, sf_dir):
+    df = QUERIES["pq_codes"](spark, sf_dir)
+    rows = {r.vec_id: r for r in df.collect()}
+    code_cols = [f"code_{s}" for s in range(PQ_M)]
+    for vid, r in rows.items():
+        for c in code_cols:
+            assert 0 <= r[c] < PQ_K
+        assert r.recon_dist_fp >= 0
+    # a seed vector's every slice IS sub-centroid vec_id, distance 0
+    for vid in range(PQ_K):
+        r = rows[vid]
+        assert r.recon_dist_fp == 0
+        for c in code_cols:
+            assert r[c] == vid
+
+
+def test_dsir_target_language_scores_higher(spark, sf_dir):
+    """The importance weight must rank the target (en) population above
+    the rest on average — the whole point of the operator. Deterministic
+    data + deterministic arithmetic ⇒ a stable assertion, not a flake."""
+    df = QUERIES["dsir_importance_weights"](spark, sf_dir).withColumn(
+        "rate", F.col("score_fp") / F.col("n_bigrams")
+    )
+    means = {
+        r["is_en"]: r["m"]
+        for r in df.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("rate").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_dsir_bigram_counts_agree_with_repetition_stats(spark, sf_dir):
+    """Cross-operator invariant: both operators count the same bigrams
+    (same regex extraction), so per-doc n_bigrams must agree exactly."""
+    a = QUERIES["dsir_importance_weights"](spark, sf_dir).select(
+        "doc_id", "n_bigrams"
+    )
+    b = QUERIES["quality_repetition_stats"](spark, sf_dir).select(
+        "doc_id", F.col("n_bigrams").alias("n_b2")
+    )
+    diff = a.join(b, "doc_id").where(F.col("n_bigrams") != F.col("n_b2"))
+    assert diff.count() == 0
+
+
+def test_winnowing_overlap_pairs_bounds(spark, sf_dir):
+    rows = QUERIES["winnowing_overlap_pairs"](spark, sf_dir).collect()
+    assert rows, "planted near-dups should yield at least one pair"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared >= WINNOW_MIN_SHARED
+        assert 0.0 < r.overlap_frac <= 1.0
+
+
+def test_winnowing_pairs_catch_ngram_jaccard_dups(spark, sf_dir):
+    """Docs flagged as near-identical by exact 3-gram Jaccard (>=0.8)
+    share ≥6-token runs by construction, so winnowing's guarantee says
+    they must also surface as fingerprint-overlap candidates."""
+    strong = (
+        QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    winnow = QUERIES["winnowing_overlap_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    missing = strong.join(winnow, ["doc_a", "doc_b"], "left_anti")
+    assert missing.count() == 0

@@ -151,3 +151,241 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+#: SemDeDup cosine threshold: pairs at/above it within a cluster are
+#: semantic duplicates; on the synthetic corpus (no planted embedding
+#: dups) 0.3 sits at the ~99th percentile of within-cluster cosines, so
+#: the prune stage does real work without flagging everything.
+SEMDEDUP_TAU = 0.3
+
+_COS = (
+    f"CAST({{d}} AS BIGINT) / SQRT(CAST(CAST({{na}} AS BIGINT) AS DOUBLE)"
+    f" * CAST(CAST({{nb}} AS BIGINT) AS DOUBLE))"
+)
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             CAST({_DOT.format(a="e.embedding", b="e.embedding")} AS BIGINT)
+             - 2 * CAST({_DOT.format(a="e.embedding", b="c.cemb")} AS BIGINT)
+             + CAST({_DOT.format(a="c.cemb", b="c.cemb")} AS BIGINT) AS dist_fp
+      FROM embeddings e CROSS JOIN c
+    ),
+    asn AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM (SELECT vec_id, embedding, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn FROM d)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM asn a JOIN asn b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_COS.format(
+          d=_DOT.format(a="a.embedding", b="b.embedding"),
+          na=_DOT.format(a="a.embedding", b="a.embedding"),
+          nb=_DOT.format(a="b.embedding", b="b.embedding"),
+      )} >= {SEMDEDUP_TAU}
+    ),
+    agg AS (
+      SELECT cluster, COUNT(*) AS n_dup_pairs,
+             COUNT(DISTINCT vec_b) AS n_pruned
+      FROM pairs GROUP BY cluster
+    ),
+    sizes AS (SELECT cluster, COUNT(*) AS n_vectors FROM asn GROUP BY cluster)
+    SELECT CAST(s.cluster AS INTEGER) AS cluster,
+           s.n_vectors,
+           COALESCE(a.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(a.n_pruned, 0) AS n_pruned,
+           (s.n_vectors - COALESCE(a.n_pruned, 0)) * 1.0 / s.n_vectors
+             AS keep_frac
+    FROM sizes s LEFT JOIN agg a ON s.cluster = a.cluster
+    ORDER BY cluster
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the k-means
+    assignment above, then mark within-cluster pairs with cosine ≥ τ as
+    semantic duplicates and prune every non-lowest-id member. Extends the
+    reference's embedding surface (PICO_search.py:18-85 stops at ANN) with
+    the curation step modern pipelines run before training.
+
+    Scale shape: the assignment is the same closure-broadcast Arrow stage
+    as kmeans_assign (no shuffle); candidate pairs come ONLY from the
+    within-cluster equi-join — never corpus × corpus — and the verify is
+    the shared fixed-point cosine kernel in one fused Arrow pass. At
+    100 TB, k grows ~√N (SemDeDup's own regime) so per-cluster pair
+    counts stay bounded; cluster-id skew is the knob, and AQE skew-join
+    covers stragglers. Output is the per-cluster prune accounting a
+    curation run logs."""
+    from trialstreamer_spark.operators.similarity import cosine_pairs_pd
+
+    e = load(spark, sf_dir, "embeddings")
+    c = seed_centroids(e, cache_key=sf_dir)
+    a = assign_udf(c)
+    asn = e.select(
+        "vec_id",
+        "embedding",
+        a(F.col("embedding")).getField("cluster").alias("cluster"),
+    )
+    l, r = asn.alias("l"), asn.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.cluster").alias("cluster"),
+            F.col("r.vec_id").alias("vec_b"),
+            cosine_pairs_pd(F.col("l.embedding"), F.col("r.embedding")).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    agg = pairs.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("vec_b").alias("n_pruned"),
+    )
+    sizes = asn.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    return (
+        sizes.join(agg, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vectors",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce(F.col("n_pruned"), F.lit(0)).alias("n_pruned"),
+            (
+                (F.col("n_vectors") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+                * F.lit(1.0)
+                / F.col("n_vectors")
+            ).alias("keep_frac"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64-d vectors → 4 subspaces × 16 dims, 8 codes each.
+#: One code byte per subspace ⇒ 4 bytes per vector vs 256 (64×f32) raw —
+#: the 64× compression that makes billion-vector ANN shards RAM-resident.
+PQ_M = 4
+PQ_DIM = 16
+PQ_K = 8
+
+_PQ_TYPE = StructType(
+    [StructField(f"code_{s}", IntegerType()) for s in range(PQ_M)]
+    + [StructField("recon_dist_fp", LongType())]
+)
+
+
+def pq_assign_udf(centroids: np.ndarray):
+    """pandas UDF: per-subspace nearest sub-centroid codes for every
+    vector in one vectorized pass. ``centroids`` is the (PQ_K, dim) seed
+    matrix; sub-codebook s = its dims [s·PQ_DIM, (s+1)·PQ_DIM). The same
+    fixed-point distance as assign_udf, applied per slice, so codes and
+    reconstruction distances are bit-identical across engines."""
+    c = np.asarray(centroids, dtype=np.float64).reshape(PQ_K, PQ_M, PQ_DIM)
+    scale = float(SCALE)
+
+    def assign(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            cols = {f"code_{s}": pd.Series(dtype="int32") for s in range(4)}
+            cols["recon_dist_fp"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        m = np.stack(v.to_numpy()).astype(np.float64).reshape(len(v), PQ_M, PQ_DIM)
+        # fp(a,a), fp(c,c) per subspace; fp_dot(a,c) for all (row, code, s)
+        nsq_a = np.floor(m * m * scale).astype(np.int64).sum(axis=2)
+        nsq_c = np.floor(c * c * scale).astype(np.int64).sum(axis=2)
+        cross = (
+            np.floor(m[:, None, :, :] * c[None, :, :, :] * scale)
+            .astype(np.int64)
+            .sum(axis=3)
+        )
+        d = nsq_a[:, None, :] - 2 * cross + nsq_c[None, :, :]
+        best = d.argmin(axis=1)  # (n, PQ_M); ties -> lowest code
+        recon = d.min(axis=1).sum(axis=1)
+        out = {
+            f"code_{s}": best[:, s].astype("int32") for s in range(PQ_M)
+        }
+        out["recon_dist_fp"] = recon
+        return pd.DataFrame(out)
+
+    return F.pandas_udf(assign, _PQ_TYPE)
+
+
+def _pq_oracle() -> str:
+    legs = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_DIM + 1, (s + 1) * PQ_DIM
+        a, b = f"e.embedding[{lo}:{hi}]", f"c.cemb[{lo}:{hi}]"
+        legs.append(
+            f"""
+      SELECT e.vec_id, {s} AS s, c.cid,
+             CAST({_DOT.format(a=a, b=a)} AS BIGINT)
+             - 2 * CAST({_DOT.format(a=a, b=b)} AS BIGINT)
+             + CAST({_DOT.format(a=b, b=b)} AS BIGINT) AS dist_fp
+      FROM embeddings e CROSS JOIN c"""
+        )
+    union = "\n      UNION ALL\n".join(legs)
+    case = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN s = {s} THEN cid END) AS INTEGER) AS code_{s}"
+        for s in range(PQ_M)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    d AS ({union}
+    ),
+    best AS (
+      SELECT vec_id, s, cid, dist_fp, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY dist_fp, cid) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           {case},
+           CAST(SUM(dist_fp) AS BIGINT) AS recon_dist_fp
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+@query("pq_codes", oracle=_pq_oracle())
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    vector into PQ_M subspaces, assign each slice to its nearest
+    sub-centroid (sub-codebooks = slices of the lowest-id seed vectors),
+    and emit the code tuple plus the total fixed-point reconstruction
+    distance. This is the compressed representation the IVF path
+    (similarity.ivf_centroids) would store per cell at 100 TB: 4 code
+    bytes instead of 256 raw bytes per vector.
+
+    Scale shape: identical to kmeans_assign — the (PQ_K × dim) codebook
+    rides in the Arrow closure, assignment is one narrow vectorized
+    stage, no join, no shuffle; the output is columnar codes ready to be
+    written partition-aligned with the source vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    c = seed_centroids(e, k=PQ_K, cache_key=sf_dir)
+    a = pq_assign_udf(c)
+    code_cols = [F.col(f"a.code_{s}").alias(f"code_{s}") for s in range(PQ_M)]
+    return (
+        e.select("vec_id", a(F.col("embedding")).alias("a"))
+        .select("vec_id", *code_cols, F.col("a.recon_dist_fp").alias("recon_dist_fp"))
+        .orderBy("vec_id")
+    )

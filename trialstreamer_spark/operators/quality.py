@@ -723,3 +723,283 @@ def winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting
+# ---------------------------------------------------------------------------
+
+#: Hashed-bigram feature space size. 16 buckets keeps the oracle SQL
+#: readable; production uses 10k+ (the bucket-stats sidecar stays tiny
+#: either way — B rows regardless of corpus size).
+DSIR_BUCKETS = 16
+#: Fixed-point resolution for the per-bucket likelihood-ratio weight.
+DSIR_SCALE = 1_000_000
+
+
+def _bucket_col(g: Column) -> Column:
+    """Hashed n-gram feature bucket: first 8 md5 hex chars mod B — the
+    same engine-portable hash family as sample_stratified / winnowing."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % DSIR_BUCKETS
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+      FROM bi
+    ),
+    bstats AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS s_b,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(s_b) AS BIGINT) AS s_tot,
+             CAST(SUM(t_b) AS BIGINT) AS t_tot
+      FROM bstats
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(FLOOR((t_b + 0.5) * s_tot / ((s_b + 0.5) * t_tot)
+                        * {DSIR_SCALE}.0) AS BIGINT) AS w_fp
+      FROM bstats, tot
+    ),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS c_b FROM b GROUP BY doc_id, bucket),
+    s AS (
+      SELECT doc_id, CAST(SUM(c_b) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c_b * w_fp) AS BIGINT) AS score_fp
+      FROM c JOIN w USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id, d.lang AS lang, n_bigrams, score_fp
+    FROM s JOIN documents d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every document
+    by how much its hashed-bigram profile resembles a target distribution
+    (here lang='en' — the in-domain set) relative to the full corpus.
+    Per-bucket weight = the smoothed likelihood ratio
+    (t_b+0.5)·S / ((s_b+0.5)·T), floored to 1e-6 fixed point; per-doc
+    score = Σ_b c_b · w_fp(b), an exact int64 sum. (DSIR proper
+    exponentiates log-ratios; this is the transcendental-free linear
+    proxy — same ranking direction, bit-stable across engines, same
+    trade the bm25 rational idf makes, retrieval.py:9-18.)
+
+    Scale shape: the bucket-stats table is B rows REGARDLESS of corpus
+    size (a once-per-corpus sidecar at 100 TB, like dedup's postings);
+    the per-doc pass is explode → two doc_id-keyed aggregations sharing
+    one exchange, with the B-row weight table broadcast onto the gram
+    stream. Nothing driver-side, no skew (md5-uniform buckets)."""
+    n_parts = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "lang", "text")
+        .where(F.col("text").isNotNull())
+        .repartition(n_parts, F.col("doc_id"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode_outer(grams_col(F.col("text"), 2)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", "lang", _bucket_col(F.col("g")).alias("bucket"))
+    )
+    bstats = grams.groupBy("bucket").agg(
+        F.count("*").alias("s_b"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+    )
+    tot = bstats.agg(
+        F.sum("s_b").alias("s_tot"), F.sum("t_b").alias("t_tot")
+    )
+    weights = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (F.col("t_b") + F.lit(0.5))
+            * F.col("s_tot")
+            / ((F.col("s_b") + F.lit(0.5)) * F.col("t_tot"))
+            * F.lit(float(DSIR_SCALE))
+        )
+        .cast("long")
+        .alias("w_fp"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c_b"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_b").alias("n_bigrams"),
+            F.sum(F.col("c_b") * F.col("w_fp")).alias("score_fp"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_bigrams", "score_fp")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-fingerprint overlap pairs
+# ---------------------------------------------------------------------------
+
+#: Candidate-pair thresholds: docs must share ≥ MIN_SHARED selected
+#: fingerprints; fingerprints appearing in > DF_CAP docs are dropped
+#: first (the hot-shingle valve, same rationale as dedup.jaccard df-cap).
+WINNOW_MIN_SHARED = 2
+WINNOW_DF_CAP = 50
+
+_WINNOW_POSTINGS_SQL = f"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::BIGINT AS h
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sel AS (
+      SELECT doc_id, pos,
+             MIN(h * {_POS_MOD} + ({_POS_MOD - 1} - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS sel_key,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM tri
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, sel_key // {_POS_MOD} AS fp
+      FROM sel
+      WHERE pos <= n_grams - {WINNOW_W - 1} AND n_grams >= {WINNOW_W}
+    ),
+    capped AS (
+      SELECT doc_id, fp FROM fps
+      WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                   HAVING COUNT(*) <= {WINNOW_DF_CAP})
+    ),
+    nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM capped GROUP BY doc_id)
+"""
+
+
+@query(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_POSTINGS_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM capped a JOIN capped b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, n_shared,
+           n_shared * 1.0 / LEAST(na.n_fp, nb.n_fp) AS overlap_frac
+    FROM pairs
+    JOIN nfp na ON na.doc_id = doc_a
+    JOIN nfp nb ON nb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style partial-overlap candidates: two docs are candidates when
+    they share ≥ MIN_SHARED winnowing fingerprints (winnowing_stats
+    selects them; here the POSITION half of the packed key is stripped so
+    fingerprints compare across documents). The overlap fraction is the
+    containment-style n_shared / min(|fp_a|, |fp_b|).
+
+    This is the dedup-family member tuned for PARTIAL overlap (quotation,
+    template reuse, cross-posting) that whole-document MinHash dilutes
+    away: winnowing guarantees any ≥6-token verbatim run shares a
+    fingerprint, independent of document length.
+
+    Scale shape: same candidate-generation spine as minhash_candidates —
+    postings equi-join on the fingerprint, never docs × docs; the df-cap
+    drops boilerplate fingerprints BEFORE the self-join (at 100 TB a
+    fingerprint shared by 10⁶ docs would otherwise alone contribute 10¹²
+    pairs — same valve as dedup_jaccard_capped, dedup.py). Both the
+    window-min selection and the pair rollup key on doc_id first."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(grams_col(F.col("text"), 3)).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+    )
+    w_fwd = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = grams.select(
+        "doc_id",
+        "pos",
+        F.min(F.col("h") * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("pos")))
+        .over(w_fwd)
+        .alias("sel_key"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
+    )
+    fps = (
+        sel.where(
+            (F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+            & (F.col("n_grams") >= WINNOW_W)
+        )
+        .select("doc_id", F.expr(f"sel_key DIV {_POS_MOD}").alias("fp"))
+        .distinct()
+    )
+    df_w = W.partitionBy("fp")
+    capped = (
+        fps.withColumn("df", F.count("*").over(df_w))
+        .where(F.col("df") <= WINNOW_DF_CAP)
+        .drop("df")
+    )
+    nfp = capped.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    na, nb = nfp.alias("na"), nfp.alias("nb")
+    return (
+        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                * F.lit(1.0)
+                / F.least(F.col("na.n_fp"), F.col("nb.n_fp"))
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
