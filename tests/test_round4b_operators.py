@@ -20,6 +20,10 @@ NEW_QUERIES = [
     "pq_codes",
     "dsir_importance_weights",
     "winnowing_overlap_pairs",
+    "ivfpq_topk",
+    "chunk_dedup_stats",
+    "shipping_priority_topk",
+    "knn_graph_topk",
 ]
 
 
@@ -114,3 +118,95 @@ def test_winnowing_pairs_catch_ngram_jaccard_dups(spark, sf_dir):
     )
     missing = strong.join(winnow, ["doc_a", "doc_b"], "left_anti")
     assert missing.count() == 0
+
+
+def test_ivfpq_adc_agrees_with_codes_and_lut(spark, sf_dir):
+    """Cross-check the JVM element_at arithmetic against a driver-side
+    numpy recomputation from pq_codes + the ADC LUT."""
+    import numpy as np
+
+    from trialstreamer_spark.io import load
+    from trialstreamer_spark.operators.clustering import (
+        _adc_lut,
+        seed_centroids,
+    )
+    from trialstreamer_spark.operators.similarity import _query_vector
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = _query_vector(e, 0, "vec_id", "embedding")
+    lut = _adc_lut(qvec, seed_centroids(e, k=PQ_K))
+    codes = {
+        r.vec_id: [r[f"code_{s}"] for s in range(PQ_M)]
+        for r in QUERIES["pq_codes"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["ivfpq_topk"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    prev = None
+    for r in rows:
+        assert r.neighbor_id != 0
+        expect = int(
+            np.sum([lut[s][codes[r.neighbor_id][s]] for s in range(PQ_M)])
+        )
+        assert r.adc_dist_fp == expect
+        if prev is not None:
+            assert r.adc_dist_fp >= prev
+        prev = r.adc_dist_fp
+
+
+def test_ivfpq_candidates_come_only_from_probed_cells(spark, sf_dir):
+    from trialstreamer_spark.io import load
+    from trialstreamer_spark.operators.similarity import (
+        _query_vector,
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = _query_vector(e, 0, "vec_id", "embedding")
+    cells = set(ivf_probe_cells(ivf_centroids(spark, sf_dir), qvec, nprobe=2))
+    for r in QUERIES["ivfpq_topk"](spark, sf_dir).collect():
+        assert r.label in cells
+
+
+def test_chunk_dedup_bounds_and_counts_agree_with_doc_chunks(spark, sf_dir):
+    rows = QUERIES["chunk_dedup_stats"](spark, sf_dir).collect()
+    assert any(r.n_dup_chunks > 0 for r in rows), (
+        "planted near-dups should share at least one chunk"
+    )
+    for r in rows:
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert 0.0 <= r.dup_chunk_frac <= 1.0
+    # both operators chunk identically, so per-doc counts must agree
+    per_doc = {
+        r.doc_id: r.n
+        for r in QUERIES["doc_chunks"](spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_chunks == per_doc[r.doc_id]
+
+
+def test_knn_graph_edges_are_symmetric_candidates_and_ranked(spark, sf_dir):
+    rows = QUERIES["knn_graph_topk"](spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r.src_id != r.dst_id
+        by_src.setdefault(r.src_id, []).append(r)
+    for src, edges in by_src.items():
+        assert len(edges) <= 3
+        ranks = [e.rank for e in edges]
+        assert ranks == list(range(1, len(edges) + 1))
+        cosines = [e.cosine for e in edges]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_shipping_priority_revenue_positive_and_bounded(spark, sf_dir):
+    rows = QUERIES["shipping_priority_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r.revenue_cents for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    for r in rows:
+        assert r.revenue_cents > 0

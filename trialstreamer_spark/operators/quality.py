@@ -806,23 +806,37 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc pass is explode → two doc_id-keyed aggregations sharing
     one exchange, with the B-row weight table broadcast onto the gram
     stream. Nothing driver-side, no skew (md5-uniform buckets)."""
-    n_parts = spark.sparkContext.defaultParallelism
+    from trialstreamer_spark.util import cached_plan
+
     d = load(spark, sf_dir, "documents")
-    grams = (
-        d.select("doc_id", "lang", "text")
-        .where(F.col("text").isNotNull())
-        .repartition(n_parts, F.col("doc_id"))
-        .select(
-            "doc_id",
-            "lang",
-            F.explode_outer(grams_col(F.col("text"), 2)).alias("g"),
+
+    def build_per_db() -> DataFrame:
+        # ONE regex-explode pass; everything downstream (bucket stats,
+        # totals, per-doc scores) derives from this compact
+        # (doc_id, lang, bucket, c_b) table — without the cache, the
+        # three consumers would each recompute the explode.
+        n_parts = spark.sparkContext.defaultParallelism
+        return (
+            d.select("doc_id", "lang", "text")
+            .where(F.col("text").isNotNull())
+            .repartition(n_parts, F.col("doc_id"))
+            .select(
+                "doc_id",
+                "lang",
+                F.explode_outer(grams_col(F.col("text"), 2)).alias("g"),
+            )
+            .filter(F.col("g").isNotNull())
+            .select("doc_id", "lang", _bucket_col(F.col("g")).alias("bucket"))
+            .groupBy("doc_id", "lang", "bucket")
+            .agg(F.count("*").alias("c_b"))
         )
-        .filter(F.col("g").isNotNull())
-        .select("doc_id", "lang", _bucket_col(F.col("g")).alias("bucket"))
-    )
-    bstats = grams.groupBy("bucket").agg(
-        F.count("*").alias("s_b"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+
+    per_db = cached_plan(spark, ("dsir_per_db", sf_dir), build_per_db)
+    bstats = per_db.groupBy("bucket").agg(
+        F.sum("c_b").alias("s_b"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c_b")).otherwise(0)).alias(
+            "t_b"
+        ),
     )
     tot = bstats.agg(
         F.sum("s_b").alias("s_tot"), F.sum("t_b").alias("t_tot")
@@ -839,9 +853,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_fp"),
     )
     per_doc = (
-        grams.groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("c_b"))
-        .join(F.broadcast(weights), "bucket")
+        per_db.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("c_b").alias("n_bigrams"),
@@ -940,39 +952,54 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-min selection and the pair rollup key on doc_id first."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
-    grams = (
-        d.where(F.col("text").isNotNull())
-        .select("doc_id", F.posexplode(grams_col(F.col("text"), 3)).alias("pos0", "g"))
-        .select(
+    from trialstreamer_spark.util import cached_plan
+
+    def build_capped() -> DataFrame:
+        # the expensive featurization (regex posexplode → window-min →
+        # distinct → df-cap) feeds FIVE references below (self-join ×2,
+        # per-doc sizes ×2 via aliases, and the pair rollup); cache it
+        # once per corpus version or each reference recomputes it.
+        d = load(spark, sf_dir, "documents")
+        grams = (
+            d.where(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.posexplode(grams_col(F.col("text"), 3)).alias("pos0", "g"),
+            )
+            .select(
+                "doc_id",
+                (F.col("pos0") + 1).alias("pos"),
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+        )
+        w_fwd = (
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+        )
+        sel = grams.select(
             "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h"),
+            "pos",
+            F.min(F.col("h") * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("pos")))
+            .over(w_fwd)
+            .alias("sel_key"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
         )
-    )
-    w_fwd = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    sel = grams.select(
-        "doc_id",
-        "pos",
-        F.min(F.col("h") * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("pos")))
-        .over(w_fwd)
-        .alias("sel_key"),
-        F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
-    )
-    fps = (
-        sel.where(
-            (F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
-            & (F.col("n_grams") >= WINNOW_W)
+        fps = (
+            sel.where(
+                (F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+                & (F.col("n_grams") >= WINNOW_W)
+            )
+            .select("doc_id", F.expr(f"sel_key DIV {_POS_MOD}").alias("fp"))
+            .distinct()
         )
-        .select("doc_id", F.expr(f"sel_key DIV {_POS_MOD}").alias("fp"))
-        .distinct()
-    )
-    df_w = W.partitionBy("fp")
-    capped = (
-        fps.withColumn("df", F.count("*").over(df_w))
-        .where(F.col("df") <= WINNOW_DF_CAP)
-        .drop("df")
-    )
+        return (
+            fps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
+            .where(F.col("df") <= WINNOW_DF_CAP)
+            .drop("df")
+        )
+
+    capped = cached_plan(spark, ("winnow_postings", sf_dir), build_capped)
     nfp = capped.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
@@ -1003,3 +1030,95 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "chunk_dedup_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, i * {CHUNK_STRIDE} + 1,
+                                 i * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')) AS h
+      FROM toks, UNNEST(range(0, ((len(t) - 1) // {CHUNK_STRIDE}) + 1)) AS u(i)
+      WHERE len(t) >= 1
+    ),
+    g AS (SELECT h, COUNT(*) AS n_occ FROM ch GROUP BY h),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks
+      FROM ch JOIN g USING (h) GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           n_dup_chunks * 1.0 / n_chunks AS dup_chunk_frac
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at the chunk granularity doc_chunks
+    already produces — the C4/RefinedWeb "line-level dedup" stage adapted
+    to this corpus (the synthetic text has no newlines, so the pipeline's
+    own 32-token chunks are the natural unit). A chunk is duplicated when
+    its content hash occurs more than once ANYWHERE in the corpus
+    (cross-doc boilerplate or within-doc repetition alike); per-doc
+    output is the chunk count, duplicated-chunk count, and fraction —
+    the signal used to strip boilerplate from otherwise-unique documents
+    that whole-document dedup keeps.
+
+    Scale shape: chunking is doc_chunks' pure map stage; the global
+    chunk-hash census shuffles (md5, count) pairs — md5-uniform keys, no
+    skew valve needed — and the per-doc rollup rides the doc_id keys the
+    chunk stream already carries. At 100 TB the census output is the
+    corpus's chunk-frequency sidecar, shareable with decontamination."""
+    from trialstreamer_spark.util import cached_plan
+
+    ch = cached_plan(
+        spark,
+        ("chunk_hashes", sf_dir),
+        lambda: doc_chunks(spark, sf_dir).select(
+            "doc_id", F.col("chunk_md5").alias("h")
+        ),
+    )
+    g = ch.groupBy("h").agg(F.count("*").alias("n_occ"))
+    return (
+        ch.join(g, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks") * F.lit(1.0) / F.col("n_chunks")).alias(
+                "dup_chunk_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
+    """Offline featurization hook (bench/deploy): materialize the
+    once-per-corpus curation sidecars — DSIR per-doc bucket counts,
+    winnowing fingerprint postings, chunk hashes — so query latency
+    measures the search/rollup path, same contract as dedup's
+    prepare_dedup and similarity's prepare_indexes."""
+    from trialstreamer_spark.util import materialize_plan
+
+    # building the query DAGs registers the cached subtrees ...
+    dsir_importance_weights(spark, sf_dir)
+    winnowing_overlap_pairs(spark, sf_dir)
+    chunk_dedup_stats(spark, sf_dir)
+    # ... then materialize exactly the sidecar entries
+    for name in ("dsir_per_db", "winnow_postings", "chunk_hashes"):
+        materialize_plan(spark, (name, sf_dir))

@@ -907,3 +907,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
         .limit(10)
     )
+
+
+@query(
+    "knn_graph_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_DD_BUCKET} AS bucket FROM embeddings),
+    e AS (
+      SELECT a.vec_id AS src_id, c.vec_id AS dst_id,
+             CAST({_DD_DOT_FP.format(a="a.embedding", b="c.embedding")} AS BIGINT)
+               / SQRT(CAST(CAST({_DD_DOT_FP.format(a="a.embedding", b="a.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_DD_DOT_FP.format(a="c.embedding", b="c.embedding")} AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    r AS (
+      SELECT src_id, dst_id, cosine, row_number() OVER (
+               PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS rank
+      FROM e
+    )
+    SELECT src_id, dst_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM r WHERE rank <= 3
+    ORDER BY src_id, rank
+    """,
+)
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN-graph construction: each vector's top-3 neighbors
+    among its sign-LSH bucket peers — the substrate for graph-based
+    curation (k-NN clustering, label propagation over near-dup
+    communities, graph-connectivity quality signals). Candidate edges
+    come from the SAME bucket equi-join as dedup_embedding_cosine; the
+    exact fixed-point cosine is computed ONCE per unordered pair and
+    symmetrized by a union of both orientations (projection only — no
+    second Arrow pass), then a per-source window keeps the top-3.
+
+    Scale shape: bucket equi-join (never corpus × corpus) → one window
+    partitioned by src_id. At 100 TB, raise n_planes so expected bucket
+    size stays O(1); the window's partition count is the vector count —
+    uniform by construction, no skew valve needed."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = lsh_candidate_pairs(e).select("vec_a", "vec_b", "cosine")
+    # both orientations from ONE pass over the pair stream (a union of
+    # two projections would reference — and recompute — the Arrow
+    # cosine subtree twice)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("src_id"),
+                    F.col("vec_b").alias("dst_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("src_id"),
+                    F.col("vec_a").alias("dst_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("dst_id"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("src_id", "dst_id", F.col("rank").cast("int").alias("rank"), "cosine")
+        .orderBy("src_id", "rank")
+    )

@@ -1123,3 +1123,59 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.col("bucket") * 1000).alias("quantile_lower_bound"))
         .orderBy("p")
     )
+
+
+@query(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: unshipped-revenue top-10
+    over customer ⋈ orders ⋈ lineitem with selective filters on all
+    three inputs. Catalyst orders the join; the plan that survives
+    100 TB broadcasts the filtered customer-segment dim into the
+    orders join, keeps the date predicates pushed into both fact scans
+    (partition pruning on a date-partitioned warehouse), and finishes
+    with TakeOrderedAndProject — no global sort. Revenue uses the
+    per-row round-to-cents-then-sum discipline (see regional_revenue).
+    Timestamps leave as epoch micros per the registry conventions."""
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1996-01-01"
+    )
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1996-01-01"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select("orderkey", "revenue_cents", "orderdate_us", "orderpriority")
+        .orderBy(F.col("revenue_cents").desc(), F.col("orderkey"))
+        .limit(10)
+    )

@@ -53,6 +53,41 @@ def inline_rows(
     )
 
 
+# (session JVM id, *key) → lazily-persisted DataFrame. See cached_plan.
+_PLAN_CACHE: dict[tuple, "DataFrame"] = {}
+
+
+def cached_plan(spark: SparkSession, key: tuple, builder):
+    """Session-scoped persisted sidecar for a plan subtree referenced by
+    multiple downstream branches (self-joins, census-join-back rollups).
+
+    Spark recomputes a shared subtree once PER REFERENCE unless it is
+    persisted — a self-join over an expensive featurization (regex
+    explode, window-min, Arrow assignment) silently multiplies its cost
+    by the fan-out. This registers the subtree once per (session, key)
+    and persists LAZILY: the first action materializes it, every later
+    reference — in the same query or a later one — reads the cache. The
+    same once-per-corpus-version pattern as dedup's shingle postings and
+    the IVF centroid sidecar; on a cluster these would be materialized
+    tables/Delta sidecars instead of StorageLevel caches."""
+    from pyspark.sql import DataFrame  # noqa: F401  (type only)
+
+    k = (id(spark._jsparkSession), *key)
+    df = _PLAN_CACHE.get(k)
+    if df is None:
+        df = builder().persist()
+        _PLAN_CACHE[k] = df
+    return df
+
+
+def materialize_plan(spark: SparkSession, key: tuple) -> None:
+    """Force a cached_plan entry to materialize now (offline-prep hook);
+    no-op if the plan was never registered."""
+    df = _PLAN_CACHE.get((id(spark._jsparkSession), *key))
+    if df is not None:
+        df.count()
+
+
 def ensure_worker_imports(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, _FLAG, False):
