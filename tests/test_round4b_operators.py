@@ -210,3 +210,52 @@ def test_shipping_priority_revenue_positive_and_bounded(spark, sf_dir):
     assert revs == sorted(revs, reverse=True)
     for r in rows:
         assert r.revenue_cents > 0
+
+
+def test_bloom_matches_oracle(spark, sf_dir):
+    assert_matches(
+        QUERIES["bloom_decontaminate_stats"](spark, sf_dir),
+        ORACLES["bloom_decontaminate_stats"],
+        sf_dir,
+    )
+
+
+def test_bloom_has_no_false_negatives_and_bounded_fp_rate(spark, sf_dir):
+    """A Bloom filter may over-approximate but NEVER under-approximate:
+    every true member must be a bloom hit."""
+    rows = QUERIES["bloom_decontaminate_stats"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_bloom_hits > 0 for r in rows), (
+        "filter sized to exercise the hit path"
+    )
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_true_members
+        assert r.n_false_positives == r.n_bloom_hits - min(
+            r.n_bloom_hits, r.n_true_members
+        ) or r.n_false_positives <= r.n_bloom_hits
+        assert 0.0 <= r.fp_rate <= 1.0
+
+
+def test_ivfpq_search_plan_is_jvm_only_with_no_shuffle(spark, sf_dir):
+    """The IVFPQ claim made in SCALE.md, asserted on the physical plan:
+    after the code-table sidecar is built, the search contains no
+    Python evaluation (codes scored via literal-array element_at), no
+    join, and no exchange before the top-k."""
+    from trialstreamer_spark.operators.clustering import pq_codes_table
+
+    pq_codes_table(spark, sf_dir).count()  # sidecar built (offline stage)
+    plan = (
+        QUERIES["ivfpq_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the cached code table's stored BUILD plan (one offline Arrow pass)
+    # prints below its InMemoryTableScan; the live search path is
+    # everything above the cache scan
+    search_path = plan.split("InMemoryTableScan")[0]
+    for forbidden in ("ArrowEvalPython", "BatchEvalPython", "Join", "Exchange"):
+        assert forbidden not in search_path, (
+            f"{forbidden} in IVFPQ search path:\n{search_path}"
+        )
+    assert "TakeOrderedAndProject" in search_path

@@ -1282,3 +1282,170 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: BLOOM_M bits, BLOOM_K md5-derived hash positions per
+#: item. Sized SMALL against the fixture's ~50-doc eval set so the
+#: false-positive path is actually exercised (load ≈ 0.44 ⇒ fp ≈ 8%);
+#: production sizes m for the target fp rate (~10 bits/item for 1%).
+BLOOM_M = 256
+BLOOM_K = 3
+#: Eval-set cut for the decontamination fixtures (doc_id < BLOOM_EVAL_CUT
+#: stands in for the held-out benchmark, as in decontaminate_overlap).
+BLOOM_EVAL_CUT = 50
+
+# sf_dir → sorted list of set bit positions (the serialized filter).
+_BLOOM_CACHE: dict[str, list[int]] = {}
+
+
+def _bloom_pos_col(fp: Column, i: int) -> Column:
+    """Hash position i of a fingerprint: first 8 md5 hex chars of the
+    salted fingerprint, mod BLOOM_M — the engine-portable hash family
+    used across the repo (sample_stratified, winnowing, DSIR)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(fp, F.lit(f":{i}"))), 1, 8), 16, 10)
+        .cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_build(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Build (once per corpus version) the eval-set Bloom filter: the
+    sorted set of bit positions lit by the eval fingerprints. BLOOM_M
+    bits regardless of eval size — the artifact a 100 TB run ships to
+    every executor instead of joining against the eval set."""
+    cached = _BLOOM_CACHE.get(sf_dir)
+    if cached is None:
+        d = load(spark, sf_dir, "documents")
+        evalfp = (
+            d.where(F.col("doc_id") < BLOOM_EVAL_CUT)
+            .select(normalized_fp(F.col("text")).alias("fp"))
+            .distinct()
+        )
+        pos = evalfp.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos_col(F.col("fp"), i) for i in range(1, BLOOM_K + 1)]
+                )
+            ).alias("p")
+        ).distinct()
+        cached = sorted(r.p for r in pos.collect())
+        _BLOOM_CACHE[sf_dir] = cached
+    return cached
+
+
+def _bloom_oracle() -> str:
+    def pos_sql(fp_expr: str, i: int) -> str:
+        return (
+            f"('0x' || substr(md5({fp_expr} || ':{i}'), 1, 8))::BIGINT % {BLOOM_M}"
+        )
+
+    hit = " AND ".join(
+        f"{pos_sql('t.fingerprint', i)} IN (SELECT p FROM pos)"
+        for i in range(1, BLOOM_K + 1)
+    )
+    pos_legs = ", ".join(str(i) for i in range(1, BLOOM_K + 1))
+    return f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    evalfp AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id < {BLOOM_EVAL_CUT}
+    ),
+    pos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(fingerprint || ':' || i), 1, 8))::BIGINT % {BLOOM_M} AS p
+      FROM evalfp, UNNEST([{pos_legs}]) AS u(i)
+    ),
+    train AS (
+      SELECT f.doc_id, d.source, f.fingerprint
+      FROM fp f JOIN documents d USING (doc_id)
+      WHERE f.doc_id >= {BLOOM_EVAL_CUT}
+    ),
+    probe AS (
+      SELECT t.source,
+             CASE WHEN {hit} THEN 1 ELSE 0 END AS bloom_hit,
+             CASE WHEN t.fingerprint IN (SELECT fingerprint FROM evalfp)
+                  THEN 1 ELSE 0 END AS true_member
+      FROM train t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(true_member) AS BIGINT) AS n_true_members,
+           CAST(SUM(CASE WHEN bloom_hit = 1 AND true_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           SUM(CASE WHEN bloom_hit = 1 AND true_member = 0 THEN 1 ELSE 0 END)
+             * 1.0 / (COUNT(*) - SUM(true_member)) AS fp_rate
+    FROM probe
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("bloom_decontaminate_stats", oracle=_bloom_oracle())
+def bloom_decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (the Bloom 1970 bitset, as deployed
+    by large corpus pipelines): the held-out eval set is serialized into
+    a BLOOM_M-bit filter ONCE (bloom_build sidecar), and the corpus
+    probe is pure JVM column arithmetic — BLOOM_K md5 positions per doc
+    checked against a literal position array. The exact membership join
+    (broadcast — the eval set is tiny by construction) runs alongside
+    ONLY to measure the filter's false-positive rate per source; a
+    production run ships just the bitset, never the eval set.
+
+    100 TB shape: the probe stage is embarrassingly parallel with a
+    constant-size closure (the filter), no shuffle until the per-source
+    rollup (bounded by source cardinality); this is the decontamination
+    pattern when even the eval-set broadcast of decontaminate_overlap
+    is unwanted on the hot path."""
+    bits = bloom_build(spark, sf_dir)
+    bitset = F.array(*[F.lit(int(p)) for p in bits])
+    d = load(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", "source", normalized_fp(F.col("text")).alias("fingerprint")
+    )
+    evalfp = (
+        fps.where(F.col("doc_id") < BLOOM_EVAL_CUT)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("is_member", F.lit(1))
+    )
+    hit = None
+    for i in range(1, BLOOM_K + 1):
+        term = F.array_contains(bitset, _bloom_pos_col(F.col("fingerprint"), i))
+        hit = term if hit is None else hit & term
+    probe = (
+        fps.where(F.col("doc_id") >= BLOOM_EVAL_CUT)
+        .join(F.broadcast(evalfp), "fingerprint", "left")
+        .select(
+            "source",
+            F.when(hit, 1).otherwise(0).alias("bloom_hit"),
+            F.coalesce(F.col("is_member"), F.lit(0)).alias("true_member"),
+        )
+    )
+    fpos = F.when(
+        (F.col("bloom_hit") == 1) & (F.col("true_member") == 0), 1
+    ).otherwise(0)
+    return (
+        probe.groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum("bloom_hit").alias("n_bloom_hits"),
+            F.sum("true_member").alias("n_true_members"),
+            F.sum(fpos).alias("n_false_positives"),
+            (
+                F.sum(fpos)
+                * F.lit(1.0)
+                / (F.count("*") - F.sum("true_member"))
+            ).alias("fp_rate"),
+        )
+        .orderBy("source")
+    )

@@ -993,6 +993,8 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.expr(f"sel_key DIV {_POS_MOD}").alias("fp"))
             .distinct()
         )
+        # the df-cap window shuffles on fp, so the persisted layout is
+        # already hash-partitioned on the candidate-join key
         return (
             fps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
             .where(F.col("df") <= WINNOW_DF_CAP)
@@ -1014,9 +1016,14 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+    # nfp is one row per DOCUMENT (corpus-sized at 100 TB); the filtered
+    # pair list is the small side — broadcast it into both lookups so
+    # the corpus-sized dim never shuffles
     na, nb = nfp.alias("na"), nfp.alias("nb")
     return (
-        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        pairs.hint("broadcast")
+        .join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .hint("broadcast")
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .select(
             "doc_a",
