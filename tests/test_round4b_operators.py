@@ -259,3 +259,40 @@ def test_ivfpq_search_plan_is_jvm_only_with_no_shuffle(spark, sf_dir):
             f"{forbidden} in IVFPQ search path:\n{search_path}"
         )
     assert "TakeOrderedAndProject" in search_path
+
+
+def test_frame_features_match_oracle_and_cover_all_videos(spark, sf_dir):
+    from trialstreamer_spark.io import load
+
+    assert_matches(
+        QUERIES["multimodal_frame_features"](spark, sf_dir),
+        ORACLES["multimodal_frame_features"],
+        sf_dir,
+    )
+    rows = QUERIES["multimodal_frame_features"](spark, sf_dir).collect()
+    media_ids = {r.media_id for r in rows}
+    d = load(spark, sf_dir, "documents")
+    videos = {r.doc_id for r in d.where(F.col("doc_id") % 3 == 2).collect()}
+    assert media_ids == videos  # every video sampled at least once
+    for r in rows:
+        assert r.frame_ts_ms % 1000 == 0
+        assert 0.0 <= r.f0 <= 1.0
+
+
+def test_resize_images_byte_geometry_contract(spark, sf_dir):
+    from trialstreamer_spark.dist import ship_package
+    from trialstreamer_spark.io import load
+    from trialstreamer_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    ship_package(spark)
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    out = resize_images(media, width=32, height=16).collect()
+    assert out
+    n_images = media.where(F.col("modality") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        assert r.n_bytes_out == 32 * 16
+        assert len(r.content) == 32 * 16

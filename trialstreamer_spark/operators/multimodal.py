@@ -186,3 +186,129 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
         "content",
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, content binary, n_bytes_out int"
+)
+
+
+def fake_resizer(content: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize: produce exactly w·h
+    bytes by tiling/truncating the source. Same signature as a PIL-backed
+    resizer (bytes in, bytes out, target geometry), so the pipeline is
+    swap-tested without the codec."""
+    need = w * h
+    if not content:
+        return b"\x00" * need
+    reps = -(-need // len(content))
+    return (content * reps)[:need]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resizer,
+) -> DataFrame:
+    """Image resize as a mapInPandas stage: modality filter + metadata
+    pruning stay ABOVE the Arrow boundary (only image rows' binary
+    crosses); one resizer init per batch. Production injects a
+    PIL/libvips-backed resizer; the fake keeps the byte-geometry
+    contract (len == width·height) testable here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = [resizer(bytes(c), width, height) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                    "n_bytes_out": [len(c) for c in out],
+                }
+            )
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAME_FEATURE_SCHEMA = "media_id long, frame_ts_ms long, f0 float"
+
+
+def fake_frame_decoder(content: bytes, ts_ms: int) -> float:
+    """Per-frame feature stand-in: first md5-derived float of the frame
+    'decoded' at ts_ms (hash of content bytes + ':' + timestamp — the
+    portable hash family, reproducible in SQL)."""
+    h = hashlib.md5(content + f":{ts_ms}".encode()).hexdigest()
+    return int(h[:4], 16) / 65535.0
+
+
+@query(
+    "multimodal_frame_features",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, text,
+             CAST(n_chars % 5000 AS INTEGER) AS duration_ms
+      FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT media_id, CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+             md5(text || ':' || CAST(i * 1000 AS BIGINT)) AS fh
+      FROM media,
+           UNNEST(range(0, GREATEST(duration_ms // 1000, 1))) AS u(i)
+    )
+    SELECT media_id, frame_ts_ms,
+           CAST({_DD_HEX4.format(h="fh")} / 65535.0 AS REAL) AS f0
+    FROM frames
+    ORDER BY media_id, frame_ts_ms
+    """,
+)
+def multimodal_frame_features(spark, sf_dir: str) -> DataFrame:
+    """Driver-checked frame-sampling pipeline: synthesize media → explode
+    sample timestamps from METADATA ONLY (frame_sample — no binary is
+    touched to decide the frames) → Arrow-batched per-frame decode
+    (deterministic fake in place of the libav seam). One row per
+    (video, sampled frame) with the frame's first feature.
+
+    Scale shape: the explode multiplies rows BEFORE the Python stage, so
+    each Arrow batch carries (content, ts) pairs and the decoder inits
+    once per batch — the same batch-amortization a real video pipeline
+    needs; no shuffle anywhere (narrow end-to-end until the final
+    presentation sort)."""
+    from trialstreamer_spark.dist import ship_package
+    from trialstreamer_spark.io import load
+
+    ship_package(spark)
+    d = load(spark, sf_dir, "documents")
+    frames = frame_sample(synthesize_media(d), every_ms=1000)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "f0": pd.Series(
+                        [
+                            fake_frame_decoder(bytes(c), int(t))
+                            for c, t in zip(pdf["content"], pdf["frame_ts_ms"])
+                        ],
+                        dtype="float32",
+                    ),
+                }
+            )
+
+    return (
+        frames.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)
+        .orderBy("media_id", "frame_ts_ms")
+    )
