@@ -296,3 +296,26 @@ def test_resize_images_byte_geometry_contract(spark, sf_dir):
     for r in out:
         assert r.n_bytes_out == 32 * 16
         assert len(r.content) == 32 * 16
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting is physical routing only — the salted plan's result must
+    be IDENTICAL to the plain join the oracle runs."""
+    assert_matches(
+        QUERIES["salted_skew_join_totals"](spark, sf_dir),
+        ORACLES["salted_skew_join_totals"],
+        sf_dir,
+    )
+    # and the salted plan really joins on the composite (key, salt):
+    from trialstreamer_spark.plans.relational import SKEW_SALT
+
+    plan = (
+        QUERIES["salted_skew_join_totals"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "salt" in plan
+    rows = QUERIES["salted_skew_join_totals"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_events > 0 for r in rows)

@@ -149,3 +149,37 @@ def test_parquet_table_gc_respects_reader_grace(spark, tmp_path):
     # the current pointer always resolves to a surviving version
     assert eager.current_version() in versions(eager.path)
     assert eager.read().count() == 5
+
+
+def test_parquet_table_compact_bounds_files_and_preserves_rows(spark, tmp_path):
+    """compact() must rewrite the current version into the target file
+    count without changing the table's contents."""
+    import glob
+
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "ct"), gc_min_age_s=0.0)
+    df1 = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.merge(df1.repartition(8), key="k")
+    df2 = spark.range(50, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.merge(df2.repartition(8), key="k")
+    before = sorted(r.k for r in t.read().collect())
+
+    def n_files() -> int:
+        v = t.current_version()
+        return len(glob.glob(os.path.join(str(tmp_path / "ct"), v, "*.parquet")))
+
+    assert n_files() > 1
+    t.compact(target_files=1)
+    assert n_files() == 1
+    after_rows = {r.k: r.v for r in t.read().collect()}
+    assert sorted(after_rows) == before
+    # last-writer-wins survived the rewrite
+    assert after_rows[60] == 180 and after_rows[10] == 20
+    # compacting an empty table is a no-op, not an error
+    empty = ParquetTable(spark, str(tmp_path / "empty"))
+    empty.compact()

@@ -107,3 +107,36 @@ def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     STDOUT csv header``). Each partition writes its own file; coalesce
     upstream if a single file is required."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet write — the physical layout that
+    makes partition PRUNING (not just row-group predicate pushdown) work
+    at 100 TB: a filter on a partition column eliminates whole
+    directories before any file is opened. Pair with
+    ``spark.read.parquet(path)`` and assert pruning via ``inputFiles()``
+    (tests/test_layout.py does)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write (Spark's hash-bucketing): rows are
+    hash-distributed into ``n_buckets`` files per partition ON the join/
+    aggregation key at WRITE time, so every later equi-join or groupBy on
+    that key between same-bucketed tables runs WITHOUT a shuffle — the
+    exchange is prepaid once at ingest. This is the co-located-join
+    strategy for fact tables repeatedly joined on the same key at 100 TB
+    (bucket counts should match or divide each other)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -127,6 +127,19 @@ class ParquetTable:
             base = self.read()
         self.overwrite(merge_upsert(base, batch, key, deletes))
 
+    def compact(self, target_files: int = 1) -> None:
+        """Small-file compaction (the Delta OPTIMIZE analog): rewrite the
+        current version into ``target_files`` files and flip the pointer.
+        Every MERGE writes one file per shuffle partition, so daily
+        incremental merges accumulate small files that erode scan
+        throughput at 100 TB (footer reads + task-launch overhead
+        dominate); periodic compaction bounds the file count. coalesce,
+        not repartition — a narrow rewrite with no shuffle. No-op on an
+        empty table."""
+        if self.current_version() is None:
+            return
+        self.overwrite(self.read().coalesce(target_files))
+
     def _gc(self, keep: int) -> None:
         versions = sorted(
             d for d in os.listdir(self.path) if d.startswith("v") and

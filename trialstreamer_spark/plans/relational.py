@@ -1179,3 +1179,68 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_cents").desc(), F.col("orderkey"))
         .limit(10)
     )
+
+
+#: Salt fan-out for the manual skew-join pattern below.
+SKEW_SALT = 4
+
+
+@query(
+    "salted_skew_join_totals",
+    oracle="""
+    SELECT e.user_id, c.c_name AS name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY e.user_id, c.c_name
+    ORDER BY user_id
+    """,
+)
+def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key-salting, the skew valve for joins AQE can't fix
+    (stream-static joins, dims too large to broadcast, pre-AQE runtimes):
+    the dim side is replicated SKEW_SALT times with an explicit salt
+    column, the fact side routes each row to one replica
+    (event_id % SKEW_SALT — any per-row deterministic spreader works),
+    and the join key becomes (user_id, salt) so one hot user's rows land
+    on SKEW_SALT partitions instead of one straggler.
+
+    The ORACLE is the plain unsalted join — salting is a physical
+    routing trick and must be result-invariant; the driver hash-compare
+    proves exactly that. The aggregation salts away too: the per-user
+    rollup re-merges the replicas' partial counts (map-side combine
+    keeps the extra shuffle rows bounded by users × salt).
+
+    In THIS engine's own queries AQE skew-join handles the relational
+    paths (session.py enables it) — this operator documents and tests
+    the manual pattern for the cases above."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (F.col("event_id") % SKEW_SALT).alias("salt"),
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(SKEW_SALT)])
+            ).alias("salt"),
+        )
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.join(
+            c,
+            (F.col("user_id") == F.col("c_custkey"))
+            & (e.salt == c.salt),
+        )
+        .groupBy("user_id", F.col("c_name").alias("name"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
