@@ -319,3 +319,11 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     rows = QUERIES["salted_skew_join_totals"](spark, sf_dir).collect()
     assert rows
     assert all(r.n_events > 0 for r in rows)
+
+
+def test_stream_static_join_parity_matches_batch(spark, sf_dir):
+    assert_matches(
+        QUERIES["stream_static_join_parity"](spark, sf_dir),
+        ORACLES["stream_static_join_parity"],
+        sf_dir,
+    )

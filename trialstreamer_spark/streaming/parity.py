@@ -276,3 +276,55 @@ def dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = _run_stream_to_table(spark, deduped, "dedup")
     return t.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+@query(
+    "stream_static_join_parity",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def stream_static_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join driver-checked against the batch join: the
+    events STREAM is enriched against the static customer→nation dim
+    chain (re-resolved per micro-batch — the pattern for slowly-changing
+    dims), then rolled up per nation in complete mode so the single
+    replay batch emits exactly the batch GROUP BY.
+
+    Scale notes: the static side is broadcast per micro-batch when small
+    (here), and when it is NOT broadcastable the stream side must
+    shuffle every batch on the join key — which is where the manual
+    salting of plans/relational.salted_skew_join_totals applies, since
+    AQE cannot re-plan a running stream. Money is exact integer cents
+    (round-then-sum, the engine's float discipline)."""
+    from trialstreamer_spark.io import load
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(c.join(n, c.c_nationkey == n.n_nationkey))
+    e = _stream_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    joined = (
+        e.join(dim, e.user_id == dim.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    t = _run_stream_to_table(
+        spark, joined, "stream_static", output_mode="complete"
+    )
+    return t.select(
+        "nation",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    ).orderBy("nation")
