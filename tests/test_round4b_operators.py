@@ -327,3 +327,30 @@ def test_stream_static_join_parity_matches_batch(spark, sf_dir):
         ORACLES["stream_static_join_parity"],
         sf_dir,
     )
+
+
+def test_stream_stream_join_parity_matches_batch(spark, sf_dir):
+    assert_matches(
+        QUERIES["stream_stream_join_parity"](spark, sf_dir),
+        ORACLES["stream_stream_join_parity"],
+        sf_dir,
+    )
+    for r in QUERIES["stream_stream_join_parity"](spark, sf_dir).collect():
+        assert 0 <= r.click_us - r.view_us <= 10 * 60 * 1_000_000
+
+
+def test_kmeans_lloyd2_matches_oracle_and_improves_fit(spark, sf_dir):
+    assert_matches(
+        QUERIES["kmeans_lloyd2"](spark, sf_dir),
+        ORACLES["kmeans_lloyd2"],
+        sf_dir,
+    )
+    # Lloyd's guarantee: total within-cluster distance never increases
+    # between the seed assignment and the post-update reassignment
+    d1 = sum(
+        r.dist_fp for r in QUERIES["kmeans_assign"](spark, sf_dir).collect()
+    )
+    d2 = sum(
+        r.dist_fp for r in QUERIES["kmeans_lloyd2"](spark, sf_dir).collect()
+    )
+    assert d2 <= d1

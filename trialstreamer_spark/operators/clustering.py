@@ -570,3 +570,125 @@ def prepare_semdedup(spark: SparkSession, sf_dir: str) -> None:
 
     semantic_dedup(spark, sf_dir)
     materialize_plan(spark, ("semdedup_asn", sf_dir))
+
+
+def _lloyd2_oracle() -> str:
+    dist1 = (
+        f"CAST({_DOT.format(a='e.embedding', b='e.embedding')} AS BIGINT)"
+        f" - 2 * CAST({_DOT.format(a='e.embedding', b='c.cemb')} AS BIGINT)"
+        f" + CAST({_DOT.format(a='c.cemb', b='c.cemb')} AS BIGINT)"
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ),
+    d1 AS (
+      SELECT e.vec_id, c.cid, {dist1} AS dist_fp
+      FROM embeddings e CROSS JOIN c
+    ),
+    asn1 AS (
+      SELECT vec_id, cid
+      FROM (SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn FROM d1)
+      WHERE rn = 1
+    ),
+    vals AS (
+      SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS idx,
+             unnest(e.embedding) AS val
+      FROM embeddings e
+    ),
+    sums AS (
+      SELECT a.cid AS cluster, v.idx,
+             CAST(SUM(CAST(FLOOR(CAST(v.val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*) AS cv
+      FROM vals v JOIN asn1 a ON a.vec_id = v.vec_id
+      GROUP BY 1, 2
+    ),
+    cent2 AS (SELECT cluster, list(cv ORDER BY idx) AS cvec FROM sums GROUP BY cluster),
+    d2 AS (
+      SELECT e.vec_id, c2.cluster AS cid,
+             CAST({_DOT.format(a="e.embedding", b="e.embedding")} AS BIGINT)
+             - 2 * CAST({_DOT.format(a="e.embedding", b="c2.cvec")} AS BIGINT)
+             + CAST({_DOT.format(a="c2.cvec", b="c2.cvec")} AS BIGINT) AS dist_fp
+      FROM embeddings e CROSS JOIN cent2 c2
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist_fp
+    FROM (SELECT vec_id, cid, dist_fp, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn FROM d2)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@query("kmeans_lloyd2", oracle=_lloyd2_oracle())
+def kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL Lloyd iteration — assign (seed centroids) → centroid
+    UPDATE (fixed-point per-cluster means, the vector_centroids
+    mechanics keyed by the round-1 assignment) → REASSIGN against the
+    updated centroids. Shows the iterative-refinement loop composing
+    from the engine's own pieces, with the round-2 centroid matrix
+    collected driver-side (k×dim doubles — broadcast-sized, the
+    ivf_centroids precedent) and the reassignment again one narrow
+    Arrow stage.
+
+    Determinism across engines: centroid components are
+    sum(floor(val·1e6))/1e6/count — exact int64 sums, then the identical
+    two-division sequence in both engines → bit-identical doubles →
+    bit-identical fixed-point distances (oracle unrolls the same two
+    rounds in SQL). Empty clusters cannot occur: each seed vector is
+    distance 0 from its own centroid in round 1.
+
+    At 100 TB: each iteration is one narrow Arrow pass + one
+    (cluster, dim)-keyed aggregation whose shuffle is k×dim rows
+    regardless of corpus size; iterations materialize nothing but the
+    tiny centroid matrix."""
+    e = load(spark, sf_dir, "embeddings")
+    a1 = assign_udf(seed_centroids(e, cache_key=sf_dir))
+    asn1 = e.select(
+        "vec_id",
+        "embedding",
+        a1(F.col("embedding")).getField("cluster").alias("cluster"),
+    )
+    sums = (
+        asn1.select(
+            "cluster", F.posexplode("embedding").alias("idx0", "val")
+        )
+        .select(
+            "cluster",
+            (F.col("idx0") + 1).alias("idx"),
+            F.floor(F.col("val").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("v_fp"),
+        )
+        .groupBy("cluster", "idx")
+        .agg((F.sum("v_fp") / 1_000_000.0 / F.count("*")).alias("cv"))
+    )
+    rows = (
+        sums.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s.cv,
+            ).alias("cvec")
+        )
+        .collect()
+    )
+    cent2 = np.stack(
+        [
+            np.asarray(r["cvec"], dtype=np.float64)
+            for r in sorted(rows, key=lambda r: r["cluster"])
+        ]
+    )
+    # round-2 cluster ids = positions in the sorted centroid matrix; all
+    # K_CLUSTERS clusters are non-empty (each seed sits in its own), so
+    # position == round-1 cluster id
+    a2 = assign_udf(cent2)
+    return (
+        e.select("vec_id", a2(F.col("embedding")).alias("a"))
+        .select(
+            "vec_id",
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.dist_fp").alias("dist_fp"),
+        )
+        .orderBy("vec_id")
+    )

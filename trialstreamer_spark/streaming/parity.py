@@ -328,3 +328,71 @@ def stream_static_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_cents").cast("long").alias("total_cents"),
     ).orderBy("nation")
+
+
+@query(
+    "stream_stream_join_parity",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(c.ts) AS click_us
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    ORDER BY v.user_id, view_id, click_id
+    """,
+)
+def stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→click attribution within 10
+    minutes, per user) driver-checked against the batch interval join.
+    Both sides carry watermarks — REQUIRED by Spark for stream-stream
+    joins, since the time-range condition is what lets the engine expire
+    buffered rows: a view older than the click watermark minus the join
+    window can never match again and its state is dropped. In the
+    single-batch replay every in-window pair is emitted, so append-mode
+    output equals the batch join exactly.
+
+    Scale shape: state is co-partitioned on user_id (the equi-key); its
+    size is bounded by watermark delay × event rate per key, not stream
+    length. The 100 TB knobs are the watermark delay (state) and key
+    salting for hot users (plans/relational.salted_skew_join_totals —
+    AQE cannot re-plan a running stream)."""
+    v = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    c = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    t = _run_stream_to_table(spark, joined, "stream_stream")
+    return t.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    ).orderBy("user_id", "view_id", "click_id")
