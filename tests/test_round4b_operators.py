@@ -354,3 +354,20 @@ def test_kmeans_lloyd2_matches_oracle_and_improves_fit(spark, sf_dir):
         r.dist_fp for r in QUERIES["kmeans_lloyd2"](spark, sf_dir).collect()
     )
     assert d2 <= d1
+
+
+def test_linear_probe_distinct_sketch_bounds(spark, sf_dir):
+    assert_matches(
+        QUERIES["linear_probe_distinct"](spark, sf_dir),
+        ORACLES["linear_probe_distinct"],
+        sf_dir,
+    )
+    import math
+
+    for r in QUERIES["linear_probe_distinct"](spark, sf_dir).collect():
+        # occupancy can never exceed the bitmap or the true cardinality
+        assert 0 < r.n_occupied <= min(r.m, r.n_distinct)
+        # the linear-counting estimate lands within 15% of truth at the
+        # fixture's load factor (deterministic data => stable assertion)
+        est = -r.m * math.log(1 - r.n_occupied / r.m)
+        assert abs(est - r.n_distinct) / r.n_distinct < 0.15

@@ -183,3 +183,32 @@ def test_parquet_table_compact_bounds_files_and_preserves_rows(spark, tmp_path):
     # compacting an empty table is a no-op, not an error
     empty = ParquetTable(spark, str(tmp_path / "empty"))
     empty.compact()
+
+
+def test_parquet_table_time_travel_reads_immutable_snapshots(spark, tmp_path):
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "tt"))
+    t.merge(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.lit("a").alias("v")),
+        key="k",
+    )
+    v1 = t.current_version()
+    t.merge(
+        spark.range(5, 15).select(F.col("id").alias("k"), F.lit("b").alias("v")),
+        key="k",
+    )
+    v2 = t.current_version()
+    assert v1 != v2 and t.versions() == [v1, v2]
+    # the old snapshot is intact: 10 rows, all 'a'
+    old = t.read_version(v1)
+    assert old.count() == 10
+    assert {r.v for r in old.collect()} == {"a"}
+    # current merged view: 15 rows, keys 5..9 overwritten to 'b'
+    cur = {r.k: r.v for r in t.read().collect()}
+    assert len(cur) == 15 and cur[7] == "b" and cur[2] == "a"
+    # unknown version -> clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_version("v0")

@@ -607,3 +607,84 @@ def abbrev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("m").alias("abbrev", "definition"))
         .orderBy("doc_id")
     )
+
+
+#: Linear-counting bitmap width (buckets). At 100 TB the sketch state
+#: per group is LC_M bits regardless of cardinality; estimate error
+#: ~sqrt(m)·(e^{n/m}-1) — size m to the cardinality band of interest.
+LC_M = 1024
+
+
+@query(
+    "linear_probe_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+      FROM documents
+    ),
+    exact AS (
+      SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+      FROM toks GROUP BY lang
+    ),
+    occ AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_occupied
+      FROM (SELECT DISTINCT lang,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LC_M} AS bucket
+            FROM toks)
+      GROUP BY lang
+    )
+    SELECT e.lang AS lang, e.n_distinct, o.n_occupied,
+           CAST({LC_M} AS BIGINT) AS m
+    FROM exact e JOIN occ o ON e.lang = o.lang
+    ORDER BY lang
+    """,
+)
+def linear_probe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear counting (Whang et al. 1990) — the bounded-state distinct
+    sketch: hash every token into an LC_M-bit bitmap per language and
+    count occupied buckets. The cardinality estimate is
+    −m·ln(1−occupied/m), applied by the caller (ln is engine-divergent
+    in the last ulp, so only the EXACT integers cross the oracle
+    boundary — same discipline as cms_heavy_hitter_estimate).
+
+    The exact distinct count is computed alongside ONLY to measure the
+    sketch (it is what the sketch replaces): the sketch path's shuffle
+    is bounded by langs × m buckets regardless of token volume —
+    map-side partial distinct reduces each partition to at most m rows
+    per group before the exchange — while the exact path shuffles the
+    full distinct token set. Spark's own approx_count_distinct (HLL++)
+    is the production alternative; linear counting is used here because
+    its md5-bucket state is engine-portable and oracle-checkable."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    exact = (
+        toks.distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_distinct"))
+    )
+    occ = (
+        toks.select(
+            "lang",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % LC_M
+            ).alias("bucket"),
+        )
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_occupied"))
+    )
+    return (
+        exact.join(occ, "lang")
+        .select(
+            "lang",
+            "n_distinct",
+            "n_occupied",
+            F.lit(LC_M).cast("long").alias("m"),
+        )
+        .orderBy("lang")
+    )

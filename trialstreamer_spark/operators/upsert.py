@@ -127,6 +127,28 @@ class ParquetTable:
             base = self.read()
         self.overwrite(merge_upsert(base, batch, key, deletes))
 
+    def versions(self) -> list[str]:
+        """All retained version ids, oldest first — the time-travel
+        surface. Retention = the `_gc(keep=3)` horizon plus the
+        concurrent-reader grace period."""
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("v") and os.path.isdir(os.path.join(self.path, d))
+        )
+
+    def read_version(self, version: str) -> DataFrame:
+        """Time travel: read a specific retained version (Delta's
+        `versionAsOf`). The training-data use case: a model card pins the
+        corpus version it trained on; as long as the version is within
+        the retention horizon the exact snapshot is reproducible —
+        version dirs are immutable once the pointer moves past them."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version!r} not retained (have {self.versions()})"
+            )
+        return self.spark.read.parquet(os.path.join(self.path, version))
+
     def compact(self, target_files: int = 1) -> None:
         """Small-file compaction (the Delta OPTIMIZE analog): rewrite the
         current version into ``target_files`` files and flip the pointer.
