@@ -371,3 +371,55 @@ def test_linear_probe_distinct_sketch_bounds(spark, sf_dir):
         # fixture's load factor (deterministic data => stable assertion)
         est = -r.m * math.log(1 - r.n_occupied / r.m)
         assert abs(est - r.n_distinct) / r.n_distinct < 0.15
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["substring_dup_coverage", "quality_budget_selection", "embedding_dim_stats"],
+)
+def test_round4c_matches_oracle(spark, sf_dir, name):
+    assert name in ORACLES, f"{name} not registered with an oracle"
+    assert_matches(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_substring_dup_coverage_invariants(spark, sf_dir):
+    from trialstreamer_spark.operators.quality import SPAN_K
+
+    rows = QUERIES["substring_dup_coverage"](spark, sf_dir).collect()
+    assert rows, "non-empty corpus must produce rows"
+    for r in rows:
+        # window count is exactly the sliding count for the doc length
+        assert r.n_windows == max(r.n_tokens - SPAN_K + 1, 0)
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        # interval-union coverage is bounded by both the token count and
+        # the max possible span of the duplicated windows
+        assert r.n_cov_tokens <= min(r.n_tokens, r.n_dup_windows * SPAN_K)
+        # a duplicated window covers at least SPAN_K tokens
+        if r.n_dup_windows > 0:
+            assert r.n_cov_tokens >= SPAN_K
+
+
+def test_quality_budget_selection_budget_holds(spark, sf_dir):
+    from trialstreamer_spark.operators.quality import BUDGET_DEN, BUDGET_NUM
+
+    for r in QUERIES["quality_budget_selection"](spark, sf_dir).collect():
+        assert 1 <= r.n_kept <= r.n_docs
+        assert 0 < r.tokens_kept <= r.tokens_total
+        # kept mass reaches the budget (or the whole source is smaller),
+        # and removing the boundary doc would drop below it — i.e. the
+        # selection is the MINIMAL prefix meeting the budget
+        budget = r.tokens_total * BUDGET_NUM / BUDGET_DEN
+        if r.n_kept < r.n_docs:
+            assert r.tokens_kept >= budget
+
+
+def test_embedding_dim_stats_moments_are_consistent(spark, sf_dir):
+    from trialstreamer_spark.io import load
+
+    rows = QUERIES["embedding_dim_stats"](spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r.n == n_vecs  # every vector contributes to every dim
+        # Cauchy-Schwarz: n·Σf² ≥ (Σf)² — exact integers, must hold
+        assert r.n * r.sumsq_fp >= r.sum_fp * r.sum_fp
+        assert abs(r.mean) <= 1.0  # unit-ish embeddings

@@ -1129,3 +1129,229 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     # ... then materialize exactly the sidecar entries
     for name in ("dsir_per_db", "winnow_postings", "chunk_hashes"):
         materialize_plan(spark, (name, sf_dir))
+
+
+#: Exact-substring dedup window width (tokens). Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better") use
+#: 50-token spans over a suffix array; the fixture corpus has ~150-token
+#: docs, so 8 keeps the duplicated-span rate measurable.
+SPAN_K = 8
+
+
+@query(
+    "substring_dup_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(t, i + 1, i + {SPAN_K}), ' ')) AS h
+      FROM toks, UNNEST(range(0, len(t) - {SPAN_K} + 1)) AS u(i)
+      WHERE len(t) >= {SPAN_K}
+    ),
+    g AS (SELECT h, COUNT(*) AS n_occ FROM win GROUP BY h),
+    dup AS (SELECT doc_id, i FROM win JOIN g USING (h) WHERE n_occ > 1),
+    dups AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+      FROM dup GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_cov_tokens
+      FROM dup, UNNEST(range(i, i + {SPAN_K})) AS p(pos)
+      GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(GREATEST(len(t) - {SPAN_K} + 1, 0) AS BIGINT) AS n_windows
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_windows,
+           COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(c.n_cov_tokens, 0) AS n_cov_tokens,
+           COALESCE(c.n_cov_tokens, 0) * 1.0 / b.n_tokens AS dup_cover_frac
+    FROM base b
+    LEFT JOIN dups d USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage — the signal behind suffix-
+    array dedup (Lee et al. 2022): for every overlapping SPAN_K-token
+    window, is that exact token span repeated ANYWHERE in the corpus, and
+    what fraction of each document's tokens lie inside at least one such
+    repeated span? Differs from chunk_dedup_stats (fixed-stride chunks)
+    in that windows slide by 1 token, so a duplicated passage is caught
+    at ANY alignment — the property the suffix array buys — and the
+    per-doc output is interval-union coverage, the quantity the Lee
+    pipeline actually cuts on.
+
+    Scale shape (the suffix-array-free realization): the window census is
+    a single md5-count shuffle whose volume is the corpus token count —
+    the same order as the suffix array's LCP scan, but expressed as a
+    hash aggregation Spark partial-aggregates map-side. Position explode
+    (×SPAN_K) runs only on DUPLICATED windows — the rare path on a
+    post-dedup corpus — and the interval union is a distinct-count riding
+    the doc_id keys the window stream already carries."""
+    from trialstreamer_spark.operators.textstats import tokens_col
+    from trialstreamer_spark.util import cached_plan
+
+    d = load(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        d.select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+    )
+    win = cached_plan(
+        spark,
+        ("dup_span_windows", sf_dir),
+        lambda: toks.where(F.size("t") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (F.size("t") - SPAN_K).cast("long"))
+            ).alias("i"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(" ", F.slice("t", F.col("i") + 1, SPAN_K))).alias("h"),
+        ),
+    )
+    g = win.groupBy("h").agg(F.count("*").alias("n_occ"))
+    dup = win.join(g, "h").where(F.col("n_occ") > 1).select("doc_id", "i")
+    dups = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
+    cov = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SPAN_K - 1).cast("long"))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("n_cov_tokens"))
+    )
+    base = toks.where(F.size("t") > 0).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.greatest(F.size("t") - F.lit(SPAN_K - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return (
+        base.join(dups, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias("n_dup_windows"),
+            F.coalesce("n_cov_tokens", F.lit(0).cast("long")).alias("n_cov_tokens"),
+            (
+                F.coalesce("n_cov_tokens", F.lit(0).cast("long"))
+                * F.lit(1.0)
+                / F.col("n_tokens")
+            ).alias("dup_cover_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Token-budget selection keeps the highest-quality prefix holding
+#: BUDGET_NUM/BUDGET_DEN of each source's tokens (exact rational — no
+#: float budget thresholds).
+BUDGET_NUM, BUDGET_DEN = 1, 4
+
+
+@query(
+    "quality_budget_selection",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  s -> s <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                  s -> s <> ''))) AS BIGINT) AS q
+      FROM documents
+    ),
+    w AS (
+      SELECT source, doc_id, n_tokens, q,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n_tokens) OVER (PARTITION BY source) AS total
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (cum - n_tokens) * {BUDGET_DEN}
+                         < total * {BUDGET_NUM} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN (cum - n_tokens) * {BUDGET_DEN}
+                         < total * {BUDGET_NUM} THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: within each source, rank documents by
+    quality (distinct-token count, deterministic doc_id tie-break) and
+    keep the best prefix until the source's token budget
+    (BUDGET_NUM/BUDGET_DEN of its total) is reached — the per-source
+    curation step that turns quality scores + mixture weights into an
+    actual training corpus. A document is kept iff it STARTS inside the
+    budget (cum_before × DEN < total × NUM — exact integer predicate), so
+    the boundary document that crosses the budget line is included and
+    every source keeps ≥1 document.
+
+    Scale shape: one window over (source) ordered by the quality key —
+    a single sort-shuffle on the source key. Skewed sources (one source
+    = half the corpus) serialize in that window at 100 TB; the deployed
+    variant first computes per-source quality-score histograms (one
+    narrow agg) and derives the score CUTOFF per source from the
+    histogram, turning selection into a stateless filter — same output,
+    no global sort. The window form here is the oracle-checkable
+    reference semantics."""
+    from pyspark.sql import Window as W
+    from trialstreamer_spark.operators.textstats import tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("q"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("q").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("source")
+    kept = (F.col("cum") - F.col("n_tokens")) * BUDGET_DEN < F.col(
+        "total"
+    ) * BUDGET_NUM
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("total", F.sum("n_tokens").over(wt))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -975,3 +975,52 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "dst_id", F.col("rank").cast("int").alias("rank"), "cosine")
         .orderBy("src_id", "rank")
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT CAST(idx AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f) AS BIGINT) AS sum_fp,
+           CAST(SUM(f * f) AS BIGINT) AS sumsq_fp,
+           CAST(SUM(f) AS BIGINT) / 1000000.0 / COUNT(*) AS mean
+    FROM (
+      SELECT generate_subscripts(embedding, 1) AS idx,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS f
+      FROM embeddings
+    )
+    GROUP BY idx
+    ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment sidecar (count, fixed-point sum and
+    sum-of-squares, mean) — the statistics a feature-normalization /
+    whitening pass needs before similarity search or probe training.
+    Callers derive std from the exact int64 moments; only the mean
+    crosses the oracle boundary as a float (single division chain, same
+    expression shape both engines — see vector_centroids).
+
+    Scale shape: posexplode is a pure map stage; map-side partial
+    aggregation reduces each partition to at most DIM rows before the
+    exchange, so the shuffle is O(partitions × dims) int64 triples
+    regardless of corpus size — the canonical fits-at-100-TB moment
+    computation. Fixed-point floor(x·1e6) keeps the sums exact integers
+    (engine-portable), with |f| ≤ 1e6 and corpus rows < 2^43 safely
+    inside int64 for sum and sum-of-squares alike."""
+    e = load(spark, sf_dir, "embeddings")
+    f = F.floor(F.col("val").cast("double") * 1_000_000).cast("long")
+    return (
+        e.select(F.posexplode("embedding").alias("idx0", "val"))
+        .select((F.col("idx0") + 1).cast("int").alias("dim"), f.alias("f"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("f").alias("sum_fp"),
+            F.sum(F.col("f") * F.col("f")).alias("sumsq_fp"),
+            (F.sum("f") / 1_000_000.0 / F.count("*")).alias("mean"),
+        )
+        .orderBy("dim")
+    )
