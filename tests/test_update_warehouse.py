@@ -212,3 +212,32 @@ def test_parquet_table_time_travel_reads_immutable_snapshots(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.read_version("v0")
+
+
+def test_parquet_table_diff_classifies_changes(spark, tmp_path):
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "diff"))
+    t.merge(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.lit("a").alias("v")),
+        key="k",
+    )
+    v1 = t.current_version()
+    # keys 0-4 unchanged, 5-9 updated, 10-12 inserted, then delete 0-1
+    t.merge(
+        spark.range(5, 13).select(F.col("id").alias("k"), F.lit("b").alias("v")),
+        key="k",
+        deletes=spark.range(0, 2).select(F.col("id").alias("k")),
+    )
+    v2 = t.current_version()
+    changes = {r.k: r.change for r in t.diff(v1, v2, key="k").collect()}
+    assert changes == {
+        **{k: "delete" for k in (0, 1)},
+        **{k: "update" for k in range(5, 10)},
+        **{k: "insert" for k in range(10, 13)},
+    }
+    # unchanged keys 2-4 are absent from the diff
+    assert not any(k in changes for k in (2, 3, 4))
+    # diff is symmetric-ish: reversing swaps insert/delete
+    rev = {r.k: r.change for r in t.diff(v2, v1, key="k").collect()}
+    assert rev[0] == "insert" and rev[10] == "delete" and rev[7] == "update"

@@ -27,7 +27,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -148,6 +148,42 @@ class ParquetTable:
                 f"version {version!r} not retained (have {self.versions()})"
             )
         return self.spark.read.parquet(os.path.join(self.path, version))
+
+    def diff(self, from_version: str, to_version: str, key: str) -> DataFrame:
+        """Snapshot diff between two retained versions (Delta CDF /
+        `table_changes` analog): one row per key that was added, removed,
+        or changed, with a `change` column in {'insert','delete','update'}.
+        The audit surface for incremental corpus builds — "what did
+        yesterday's merge actually do" — and the input to downstream
+        incremental re-processing (re-embed only changed docs).
+
+        Plan shape: a single full-outer join on the key plus one
+        hash-compare of the non-key columns; both sides shuffle on the
+        key (co-located for free when the table is bucketed by it). The
+        change predicate uses md5 over all non-key columns so the diff
+        needs no per-column schema knowledge."""
+        old, new = self.read_version(from_version), self.read_version(to_version)
+        cols = [c for c in new.columns if c != key]
+
+        def fp(df: DataFrame) -> Column:
+            return F.md5(F.concat_ws("\x1f", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+            ]))
+
+        o = old.select(key, fp(old).alias("__old_fp"))
+        n = new.select(key, fp(new).alias("__new_fp"))
+        joined = o.join(n, key, "full_outer")
+        return joined.select(
+            key,
+            F.when(F.col("__old_fp").isNull(), F.lit("insert"))
+            .when(F.col("__new_fp").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+        ).where(
+            F.col("__old_fp").isNull()
+            | F.col("__new_fp").isNull()
+            | (F.col("__old_fp") != F.col("__new_fp"))
+        )
 
     def compact(self, target_files: int = 1) -> None:
         """Small-file compaction (the Delta OPTIMIZE analog): rewrite the
