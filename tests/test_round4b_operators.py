@@ -423,3 +423,15 @@ def test_embedding_dim_stats_moments_are_consistent(spark, sf_dir):
         # Cauchy-Schwarz: n·Σf² ≥ (Σf)² — exact integers, must hold
         assert r.n * r.sumsq_fp >= r.sum_fp * r.sum_fp
         assert abs(r.mean) <= 1.0  # unit-ish embeddings
+
+
+def test_source_overlap_matrix_matches_oracle_and_bounds(spark, sf_dir):
+    assert_matches(
+        QUERIES["source_overlap_matrix"](spark, sf_dir),
+        ORACLES["source_overlap_matrix"],
+        sf_dir,
+    )
+    for r in QUERIES["source_overlap_matrix"](spark, sf_dir).collect():
+        assert r.source_a < r.source_b  # each unordered pair exactly once
+        assert 0 < r.n_shared <= min(r.spans_a, r.spans_b)
+        assert 0.0 < r.overlap_coef <= 1.0

@@ -1126,8 +1126,14 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     dsir_importance_weights(spark, sf_dir)
     winnowing_overlap_pairs(spark, sf_dir)
     chunk_dedup_stats(spark, sf_dir)
+    _span_windows(spark, sf_dir)
     # ... then materialize exactly the sidecar entries
-    for name in ("dsir_per_db", "winnow_postings", "chunk_hashes"):
+    for name in (
+        "dsir_per_db",
+        "winnow_postings",
+        "chunk_hashes",
+        "dup_span_windows",
+    ):
         materialize_plan(spark, (name, sf_dir))
 
 
@@ -1136,6 +1142,53 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
 #: 50-token spans over a suffix array; the fixture corpus has ~150-token
 #: docs, so 8 keeps the duplicated-span rate measurable.
 SPAN_K = 8
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t) token arrays, repartitioned so the tokenize+hash CPU
+    of the span operators lands on every core (same rationale as
+    doc_chunks)."""
+    from trialstreamer_spark.operators.textstats import tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        d.select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+    )
+
+
+def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding SPAN_K-token window census rows (doc_id, i, h) — one
+    per window position, md5 over the joined span — shared by
+    substring_dup_coverage and source_overlap_matrix via the
+    `dup_span_windows` sidecar (once per corpus version)."""
+    from trialstreamer_spark.util import cached_plan
+
+    toks = _doc_tokens(spark, sf_dir)
+    return cached_plan(
+        spark,
+        ("dup_span_windows", sf_dir),
+        lambda: toks.where(F.size("t") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), (F.size("t") - SPAN_K).cast("long")
+                )
+            ).alias("i"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(" ", F.slice("t", F.col("i") + 1, SPAN_K))).alias(
+                "h"
+            ),
+        ),
+    )
 
 
 @query(
@@ -1196,34 +1249,8 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (×SPAN_K) runs only on DUPLICATED windows — the rare path on a
     post-dedup corpus — and the interval union is a distinct-count riding
     the doc_id keys the window stream already carries."""
-    from trialstreamer_spark.operators.textstats import tokens_col
-    from trialstreamer_spark.util import cached_plan
-
-    d = load(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    toks = (
-        d.select("doc_id", "text")
-        .where(F.col("text").isNotNull())
-        .repartition(n_parts, F.col("doc_id"))
-        .select("doc_id", tokens_col(F.col("text")).alias("t"))
-    )
-    win = cached_plan(
-        spark,
-        ("dup_span_windows", sf_dir),
-        lambda: toks.where(F.size("t") >= SPAN_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), (F.size("t") - SPAN_K).cast("long"))
-            ).alias("i"),
-            F.col("t"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat_ws(" ", F.slice("t", F.col("i") + 1, SPAN_K))).alias("h"),
-        ),
-    )
+    toks = _doc_tokens(spark, sf_dir)
+    win = _span_windows(spark, sf_dir)
     g = win.groupBy("h").agg(F.count("*").alias("n_occ"))
     dup = win.join(g, "h").where(F.col("n_occ") > 1).select("doc_id", "i")
     dups = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
@@ -1354,4 +1381,96 @@ def quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT source,
+             md5(array_to_string(list_slice(t, i + 1, i + {SPAN_K}), ' ')) AS h
+      FROM toks, UNNEST(range(0, len(t) - {SPAN_K} + 1)) AS u(i)
+      WHERE len(t) >= {SPAN_K}
+    ),
+    sd AS (SELECT DISTINCT source, h FROM win),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM sd GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sd a JOIN sd b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           ta.n_spans AS spans_a, tb.n_spans AS spans_b,
+           n_shared * 1.0 / LEAST(ta.n_spans, tb.n_spans) AS overlap_coef
+    FROM pairs
+    JOIN tot ta ON ta.source = source_a
+    JOIN tot tb ON tb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every source pair, how many
+    distinct SPAN_K-token spans do both corpora contain, and what
+    fraction of the smaller source's span vocabulary is shared (overlap
+    coefficient)? The corpus-level view of decontaminate_overlap — run
+    BEFORE mixing sources into a training set to find benchmark suites
+    hiding inside crawls or mirror sites inflating a source's weight.
+
+    Scale shape: the (source, span) projection is DISTINCT'd per source
+    BEFORE the self-join, so a span shared by millions of documents
+    contributes at most one posting per source — the self-join fan-out is
+    bounded by n_sources per span (≤ sources² pairs total), which is why
+    this needs no df-cap while the doc-level joins do. Reuses the
+    substring census windows (`dup_span_windows` sidecar) joined to the
+    narrow doc→source projection on the doc_id keys it already carries."""
+    d = load(spark, sf_dir, "documents")
+    win = _span_windows(spark, sf_dir)
+    sd = (
+        win.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    tot = sd.groupBy("source").agg(F.count("*").alias("n_spans"))
+    a, b = sd.alias("a"), sd.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    return (
+        pairs.hint("broadcast")
+        .join(ta, F.col("source_a") == F.col("ta.source"))
+        .hint("broadcast")
+        .join(tb, F.col("source_b") == F.col("tb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("ta.n_spans").alias("spans_a"),
+            F.col("tb.n_spans").alias("spans_b"),
+            (
+                F.col("n_shared")
+                * F.lit(1.0)
+                / F.least(F.col("ta.n_spans"), F.col("tb.n_spans"))
+            ).alias("overlap_coef"),
+        )
+        .orderBy("source_a", "source_b")
     )
