@@ -435,3 +435,61 @@ def test_source_overlap_matrix_matches_oracle_and_bounds(spark, sf_dir):
         assert r.source_a < r.source_b  # each unordered pair exactly once
         assert 0 < r.n_shared <= min(r.spans_a, r.spans_b)
         assert 0.0 < r.overlap_coef <= 1.0
+
+
+def test_stratified_eval_split_partitions_corpus(spark, sf_dir):
+    assert_matches(
+        QUERIES["stratified_eval_split"](spark, sf_dir),
+        ORACLES["stratified_eval_split"],
+        sf_dir,
+    )
+    from trialstreamer_spark.io import load
+
+    rows = QUERIES["stratified_eval_split"](spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    # disjoint + exhaustive: per-source split counts sum to the source total
+    per_source = {
+        r.source: r.n for r in d.groupBy("source").agg(
+            F.count("*").alias("n")).collect()
+    }
+    got = {}
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        got[r.source] = got.get(r.source, 0) + r.n_docs
+    assert got == per_source
+    # the split is stable: recomputing yields identical assignment counts
+    again = {(r.source, r.split): r.n_docs
+             for r in QUERIES["stratified_eval_split"](spark, sf_dir).collect()}
+    assert {(r.source, r.split): r.n_docs for r in rows} == again
+    # train dominates (~92% band of the hash space)
+    tr = sum(r.n_docs for r in rows if r.split == "train")
+    assert tr / sum(per_source.values()) > 0.8
+
+
+def test_diff_drives_incremental_annotation(spark, tmp_path):
+    """ParquetTable.diff -> incremental re-annotation: only changed/new
+    keys flow through the (stub) annotator - the incremental-reprocessing
+    loop a 100 TB corpus runs nightly."""
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "corp"))
+    t.merge(
+        spark.range(0, 20).select(
+            F.col("id").alias("pmid"), F.lit("x").alias("body")
+        ),
+        key="pmid",
+    )
+    v1 = t.current_version()
+    t.merge(
+        spark.range(15, 25).select(
+            F.col("id").alias("pmid"), F.lit("y").alias("body")
+        ),
+        key="pmid",
+    )
+    v2 = t.current_version()
+    changed = t.diff(v1, v2, key="pmid").where(F.col("change") != "delete")
+    # re-process ONLY the changed keys: anti-join semantics mirror
+    # incremental_annotate's skiplist, driven by the CDF rows
+    todo = t.read().join(changed.select("pmid"), "pmid", "inner")
+    assert todo.count() == 10  # 5 updates + 5 inserts, not the full 25
+    assert {r.pmid for r in todo.select("pmid").collect()} == set(range(15, 25))

@@ -1474,3 +1474,70 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+#: Train/val/test split boundaries on the first two hex digits of
+#: md5(doc_id): [00..eb] train (~92%), [ec..f5] val (~4%), [f6..ff] test
+#: (~4%). Exact hex-range predicates — deterministic, engine-portable,
+#: and stable under repartitioning/re-runs.
+SPLIT_VAL_LO, SPLIT_TEST_LO = "ec", "f6"
+
+
+@query(
+    "stratified_eval_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       >= '{SPLIT_TEST_LO}' THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       >= '{SPLIT_VAL_LO}' THEN 'val'
+                  ELSE 'train' END AS split,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment, stratified per source:
+    the split is a pure function of md5(doc_id) hex ranges, so it is (a)
+    disjoint and exhaustive BY CONSTRUCTION — no coordination, no RNG
+    state across 1000 executors, (b) stable under re-runs, re-partitions
+    and incremental appends (a new doc lands in the same split forever —
+    eval contamination can't creep in through pipeline re-shuffles), and
+    (c) consistent with sample_stratified's hash-prefix mechanism. The
+    rollup reports per-(source, split) doc and token counts — the sanity
+    table reviewed before a training run.
+
+    Scale: split assignment is a scan-side expression (no shuffle); the
+    rollup is one partial-aggregated exchange on (source, split) —
+    cardinality sources × 3."""
+    d = load(spark, sf_dir, "documents")
+    from trialstreamer_spark.operators.textstats import tokens_col
+
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix >= SPLIT_TEST_LO, F.lit("test"))
+        .when(prefix >= SPLIT_VAL_LO, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
