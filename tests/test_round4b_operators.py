@@ -493,3 +493,23 @@ def test_diff_drives_incremental_annotation(spark, tmp_path):
     todo = t.read().join(changed.select("pmid"), "pmid", "inner")
     assert todo.count() == 10  # 5 updates + 5 inserts, not the full 25
     assert {r.pmid for r in todo.select("pmid").collect()} == set(range(15, 25))
+
+
+def test_oov_rate_stats_bounds(spark, sf_dir):
+    assert_matches(
+        QUERIES["oov_rate_stats"](spark, sf_dir),
+        ORACLES["oov_rate_stats"],
+        sf_dir,
+    )
+    from trialstreamer_spark.io import load
+
+    rows = QUERIES["oov_rate_stats"](spark, sf_dir).collect()
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .where("text IS NOT NULL AND length(trim(text)) > 0")
+        .count()
+    )
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_frac <= 1.0

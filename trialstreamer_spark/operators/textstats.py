@@ -688,3 +688,87 @@ def linear_probe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Vocabulary size for the tokenizer-coverage check. Real tokenizers
+#: carry 32k-256k entries; 256 keeps the fixture's OOV rate measurable.
+VOCAB_N = 256
+
+
+@query(
+    "oov_rate_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT {VOCAB_N}
+      )
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             AS oov_frac
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def oov_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check: build the corpus's top-VOCAB_N token
+    vocabulary (count-desc, token tie-break — a total order, so the
+    boundary is deterministic) and report each document's out-of-
+    vocabulary token count and rate. High-OOV documents are the ones a
+    fixed tokenizer will shred into bytes — the pre-training audit run
+    before committing a tokenizer to a corpus (and the mechanism behind
+    vocabulary-fit checks in BPE training pipelines).
+
+    Scale shape: the vocabulary rollup partial-aggregates map-side and
+    its top-N is a TakeOrdered over (count, token) — driver state is
+    VOCAB_N rows. The per-doc pass then BROADCASTS the vocabulary into
+    the token stream (map-side hash lookup, no shuffle of the corpus
+    tokens for the join) and rolls up on the doc_id keys the explode
+    already carries. The corpus is scanned twice; a production run
+    builds the vocab once per corpus version (same sidecar discipline as
+    prepare_dedup) and amortizes the first scan away."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(VOCAB_N)
+        .select("tok")
+    )
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))),
+            "tok",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") * F.lit(1.0) / F.col("n_tokens")).alias(
+                "oov_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
