@@ -513,3 +513,17 @@ def test_oov_rate_stats_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert 0.0 <= r.oov_frac <= 1.0
+
+
+def test_embedding_quantize_int8_error_bound(spark, sf_dir):
+    assert_matches(
+        QUERIES["embedding_quantize_int8"](spark, sf_dir),
+        ORACLES["embedding_quantize_int8"],
+        sf_dir,
+    )
+    for r in QUERIES["embedding_quantize_int8"](spark, sf_dir).collect():
+        assert r.fmin <= r.fmax
+        # affine SQ8 guarantees: per-value error < one quantization step
+        step = (r.fmax - r.fmin) / 255 if r.fmax > r.fmin else 0
+        assert r.max_err_fp <= step + 1  # +1 for the integer floor
+        assert r.sum_abs_err_fp <= r.n * (step + 1)

@@ -1024,3 +1024,92 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH f AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS f
+      FROM embeddings
+    ),
+    rng AS (
+      SELECT dim, MIN(f) AS fmin, MAX(f) AS fmax FROM f GROUP BY dim
+    ),
+    q AS (
+      SELECT f.dim, f.f, rng.fmin, rng.fmax,
+             CASE WHEN rng.fmax = rng.fmin THEN 0
+                  ELSE ((f.f - rng.fmin) * 255) // (rng.fmax - rng.fmin)
+             END AS code
+      FROM f JOIN rng USING (dim)
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(fmin) AS BIGINT) AS fmin,
+           CAST(MAX(fmax) AS BIGINT) AS fmax,
+           CAST(SUM(ABS(f - (fmin + (code * (fmax - fmin)) // 255)))
+                AS BIGINT) AS sum_abs_err_fp,
+           CAST(MAX(ABS(f - (fmin + (code * (fmax - fmin)) // 255)))
+                AS BIGINT) AS max_err_fp
+    FROM q
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization (the scalar-quantization
+    compressed vector layout — FAISS SQ8 / Milvus SQ8 analog, the
+    4×-smaller index tier between full floats and PQ codes) with exact
+    reconstruction-error accounting. The whole pipeline — range, code
+    assignment, dequantize, error — runs in fixed-point int64 arithmetic
+    (f = floor(x·1e6), integer // division), so codes and error sums are
+    bit-identical across engines and runs: the audit table that decides
+    whether SQ8 is accurate enough for a corpus before re-encoding
+    1000 executors' worth of vectors.
+
+    Scale shape: two passes, both shuffle-light — the range pass
+    partial-aggregates (dim, min, max) map-side to O(partitions × dims)
+    rows; the code/error pass joins the BROADCAST range table (dims
+    rows) into the exploded stream and rolls up the same way. Codes
+    never leave the executor: at deploy the second pass writes the int8
+    arrays; here it emits the error audit."""
+    e = load(spark, sf_dir, "embeddings")
+    f = (
+        e.select(F.posexplode("embedding").alias("dim0", "val"))
+        .select(
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+            F.floor(F.col("val").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("f"),
+        )
+    )
+    rng = f.groupBy("dim").agg(
+        F.min("f").alias("fmin"), F.max("f").alias("fmax")
+    )
+    q = f.join(F.broadcast(rng), "dim").withColumn(
+        "code",
+        F.when(F.col("fmax") == F.col("fmin"), F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (F.col("f") - F.col("fmin"))
+                * 255
+                / (F.col("fmax") - F.col("fmin"))
+            ).cast("long")
+        ),
+    )
+    recon = F.col("fmin") + F.floor(
+        F.col("code") * (F.col("fmax") - F.col("fmin")) / F.lit(255)
+    ).cast("long")
+    err = F.abs(F.col("f") - recon)
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("fmin").alias("fmin"),
+            F.max("fmax").alias("fmax"),
+            F.sum(err).alias("sum_abs_err_fp"),
+            F.max(err).alias("max_err_fp"),
+        )
+        .orderBy("dim")
+    )
