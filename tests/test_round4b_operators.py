@@ -527,3 +527,30 @@ def test_embedding_quantize_int8_error_bound(spark, sf_dir):
         step = (r.fmax - r.fmin) / 255 if r.fmax > r.fmin else 0
         assert r.max_err_fp <= step + 1  # +1 for the integer floor
         assert r.sum_abs_err_fp <= r.n * (step + 1)
+
+
+def test_multimodal_audio_segments_cover_clip(spark, sf_dir):
+    assert_matches(
+        QUERIES["multimodal_audio_segments"](spark, sf_dir),
+        ORACLES["multimodal_audio_segments"],
+        sf_dir,
+    )
+    from trialstreamer_spark.operators.multimodal import (
+        AUDIO_HOP_MS,
+        AUDIO_WIN_MS,
+    )
+
+    rows = QUERIES["multimodal_audio_segments"](spark, sf_dir).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for segs in by_media.values():
+        segs.sort(key=lambda r: r.seg_idx)
+        # contiguous indexes from 0; hop spacing; clipped final end
+        assert [s.seg_idx for s in segs] == list(range(len(segs)))
+        for s in segs:
+            assert s.start_ms == s.seg_idx * AUDIO_HOP_MS
+            assert s.start_ms < s.end_ms <= s.start_ms + AUDIO_WIN_MS
+            assert s.n_samples == (s.end_ms - s.start_ms) * 16
+        # windows cover the clip: last end reaches the duration
+        assert segs[-1].end_ms > segs[-1].start_ms

@@ -312,3 +312,88 @@ def multimodal_frame_features(spark, sf_dir: str) -> DataFrame:
         frames.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)
         .orderBy("media_id", "frame_ts_ms")
     )
+
+
+#: Audio segmentation window/hop (ms): 1 s windows every 500 ms — the
+#: overlapping pre-segmentation an ASR/embedding pass consumes.
+AUDIO_WIN_MS, AUDIO_HOP_MS = 1000, 500
+
+
+def audio_segments(media: DataFrame) -> DataFrame:
+    """Audio window plan: one row per (media, segment window), computed
+    from TYPED METADATA ONLY (duration_ms, sample_rate) — the binary
+    column never crosses to Python here; the expensive decode runs later
+    on exactly the surviving segment rows (same defer-the-decode
+    discipline as frame_sample). Windows start every AUDIO_HOP_MS and
+    are clipped to the clip's duration; n_samples is exact integer
+    arithmetic over the metadata."""
+    seg_start = F.col("seg_idx") * AUDIO_HOP_MS
+    seg_end = F.least(seg_start + AUDIO_WIN_MS, F.col("meta.duration_ms"))
+    return (
+        media.filter(
+            (F.col("modality") == "audio") & (F.col("meta.duration_ms") > 0)
+        )
+        .select(
+            "media_id",
+            "content",
+            "meta",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("meta.duration_ms") / AUDIO_HOP_MS).cast("int")
+                    - 1,
+                )
+            ).alias("seg_idx"),
+        )
+        .select(
+            "media_id",
+            "content",
+            "seg_idx",
+            seg_start.cast("long").alias("start_ms"),
+            seg_end.cast("long").alias("end_ms"),
+            ((seg_end - seg_start) * F.col("meta.sample_rate") / 1000)
+            .cast("long")
+            .alias("n_samples"),
+        )
+    )
+
+
+@query(
+    "multimodal_audio_segments",
+    oracle=f"""
+    WITH audio AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars % 5000 AS INTEGER) AS duration_ms
+      FROM documents
+      WHERE doc_id % 3 = 1 AND n_chars % 5000 > 0
+    ),
+    segs AS (
+      SELECT media_id, CAST(i AS INTEGER) AS seg_idx,
+             CAST(i * {AUDIO_HOP_MS} AS BIGINT) AS start_ms,
+             CAST(LEAST(i * {AUDIO_HOP_MS} + {AUDIO_WIN_MS}, duration_ms)
+                  AS BIGINT) AS end_ms
+      FROM audio,
+           UNNEST(range(0, CAST(CEIL(duration_ms / {AUDIO_HOP_MS}.0) AS BIGINT)))
+             AS u(i)
+    )
+    SELECT media_id, seg_idx, start_ms, end_ms,
+           CAST((end_ms - start_ms) * 16000 // 1000 AS BIGINT) AS n_samples
+    FROM segs
+    ORDER BY media_id, seg_idx
+    """,
+)
+def multimodal_audio_segments(spark, sf_dir: str) -> DataFrame:
+    """Driver-checked audio pre-segmentation: synthesize media →
+    metadata-only overlapping windows (audio_segments) → per-segment
+    bounds and exact sample counts. Completes the per-modality stage
+    set: resize (image), frame-sample (video), segment (audio) — all
+    three prune/plan from typed metadata and defer binary decode to the
+    Arrow seam."""
+    from trialstreamer_spark.io import load
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        audio_segments(synthesize_media(d))
+        .select("media_id", "seg_idx", "start_ms", "end_ms", "n_samples")
+        .orderBy("media_id", "seg_idx")
+    )
