@@ -554,3 +554,26 @@ def test_multimodal_audio_segments_cover_clip(spark, sf_dir):
             assert s.n_samples == (s.end_ms - s.start_ms) * 16
         # windows cover the clip: last end reaches the duration
         assert segs[-1].end_ms > segs[-1].start_ms
+
+
+def test_join_explosion_audit_predicts_exact_cardinality(spark, sf_dir):
+    assert_matches(
+        QUERIES["join_explosion_audit"](spark, sf_dir),
+        ORACLES["join_explosion_audit"],
+        sf_dir,
+    )
+    from trialstreamer_spark.io import load
+
+    top = QUERIES["join_explosion_audit"](spark, sf_dir).collect()
+    assert 0 < len(top) <= 10
+    # the audit's product is EXACTLY the join's output count for that key
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    k = top[0].join_key
+    actual = (
+        o.where(F.col("o_custkey") == k)
+        .join(e.where(F.col("user_id") % 1000 == k),
+              F.col("o_custkey") == F.col("user_id") % 1000)
+        .count()
+    )
+    assert actual == top[0].out_rows

@@ -1244,3 +1244,56 @@ def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "join_explosion_audit",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    ec AS (
+      SELECT user_id % 1000 AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id % 1000
+    )
+    SELECT oc.k AS join_key, oc.n_orders, ec.n_events,
+           oc.n_orders * ec.n_events AS out_rows
+    FROM oc JOIN ec ON oc.k = ec.k
+    ORDER BY out_rows DESC, join_key
+    LIMIT 10
+    """,
+)
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join output-cardinality audit: |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k),
+    exactly, from per-key counts alone — the check a pipeline runs BEFORE
+    launching a join whose output might be quadratic in a hot key (the
+    many-to-many trap behind most 100 TB job blowups). Returns the top
+    contributing keys with both sides' multiplicities and their product;
+    the full-audit variant sums `out_rows` for the total estimate.
+
+    Scale shape: each side collapses to (key, count) with map-side
+    partial aggregation BEFORE any join — the audit's own join is over
+    two key-cardinality-sized tables, orders of magnitude smaller than
+    the data join it predicts; the top-k is TakeOrderedAndProject. The
+    key overlap here (custkey vs bucketed user_id) is synthetic but the
+    shape is the production one: fact × fact on a shared key."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    oc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_orders")
+    )
+    ec = e.groupBy((F.col("user_id") % 1000).alias("k")).agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        oc.join(ec, "k")
+        .select(
+            F.col("k").alias("join_key"),
+            "n_orders",
+            "n_events",
+            (F.col("n_orders") * F.col("n_events")).alias("out_rows"),
+        )
+        .orderBy(F.col("out_rows").desc(), "join_key")
+        .limit(10)
+    )
