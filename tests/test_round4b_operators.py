@@ -577,3 +577,27 @@ def test_join_explosion_audit_predicts_exact_cardinality(spark, sf_dir):
         .count()
     )
     assert actual == top[0].out_rows
+
+
+def test_ngram_novelty_score_invariants(spark, sf_dir):
+    assert_matches(
+        QUERIES["ngram_novelty_score"](spark, sf_dir),
+        ORACLES["ngram_novelty_score"],
+        sf_dir,
+    )
+    rows = QUERIES["ngram_novelty_score"](spark, sf_dir).collect()
+    assert rows[0].doc_id == min(r.doc_id for r in rows)
+    # the ingest-order first document is 100% novel by definition
+    assert rows[0].n_novel == rows[0].n_shingles
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty_frac <= 1.0
+    # every shingle has exactly one first occurrence: totals agree
+    from trialstreamer_spark.io import load
+    from trialstreamer_spark.operators.dedup import shingle_postings
+
+    n_distinct_shingles = (
+        shingle_postings(load(spark, sf_dir, "documents"))
+        .select("shingle").distinct().count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct_shingles

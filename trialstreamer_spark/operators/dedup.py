@@ -1449,3 +1449,61 @@ def bloom_decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    g AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    first AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM g GROUP BY shingle
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) AS novelty_frac
+    FROM g JOIN first f USING (shingle)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content-novelty: the fraction of a document's
+    distinct shingles whose FIRST corpus occurrence (min doc_id — the
+    ingest-order proxy) is this document. Low-novelty docs restate
+    content the corpus already has even when no single near-dup pair
+    crosses a dedup threshold (diffuse duplication) — the marginal-
+    contribution signal data-pruning work cuts on, and the corpus-level
+    complement of the pairwise dedup family.
+
+    Scale shape: rides the SAME shingle-postings sidecar as minhash /
+    jaccard / CC (`prepare_dedup` builds it once per corpus version);
+    the first-occurrence table is one min-aggregation partial-aggregated
+    map-side, joined back on the shingle key the postings already carry,
+    and the per-doc rollup reuses the postings' doc_id partitioning —
+    no new featurization, two bounded exchanges."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_postings(d, cache_key=sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel") * F.lit(1.0) / F.col("n_shingles")).alias(
+                "novelty_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
