@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -140,3 +141,47 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def zvalue_col(a, b, bits: int = 16):
+    """Morton (Z-order) interleaving of the low ``bits`` bits of two
+    non-negative integer columns — the multi-dimensional clustering key.
+    Pure bitwise/shift column arithmetic (JVM codegen, no UDF)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # disjoint bit positions, so integer + IS bitwise-or here
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write (Delta `OPTIMIZE ZORDER BY` /
+    Iceberg sort-order analog): range-partition and sort rows by the
+    Morton interleaving of two filter columns, so each output file holds
+    a compact rectangle of (a, b) space and its parquet min/max
+    statistics are TIGHT on BOTH columns simultaneously. A later filter
+    on either column (or both) then skips most files/row-groups at the
+    footer — single-column sorting buys that for one column only; at
+    100 TB this is the difference between scanning a full fact table and
+    touching a few percent of it. tests/test_layout.py measures the
+    per-file range shrinkage against an unclustered write."""
+    z = zvalue_col(F.col(col_a), F.col(col_b)).alias("__z")
+    (
+        df.select("*", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
