@@ -98,3 +98,46 @@ def test_fake_frame_decoder_bounded_and_deterministic(content, ts):
     f = fake_frame_decoder(content, ts)
     assert 0.0 <= f <= 1.0
     assert f == fake_frame_decoder(content, ts)
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_is_bijective_and_ordered(a, b):
+    """Driver-side mirror of io.zvalue_col's bit arithmetic: interleave
+    is a bijection (de-interleave recovers both inputs) and z-value high
+    bits come from the keys' high bits (the locality property Z-order
+    clustering relies on)."""
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    # de-interleave
+    ra = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (ra, rb) == (a, b)
+    # quadrant ordering: halving both domains halves the z-domain twice
+    assert (z >> 30) == (((b >> 15) & 1) << 1 | ((a >> 15) & 1))
+
+
+def test_zvalue_col_matches_python_mirror(spark):
+    from trialstreamer_spark.io import zvalue_col
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.range(0, 512)
+        .select(
+            F.col("id").alias("a"),
+            ((F.col("id") * 7919) % 65536).alias("b"),
+            zvalue_col(F.col("id"), (F.col("id") * 7919) % 65536).alias("z"),
+        )
+        .collect()
+    )
+    for r in rows:
+        z = 0
+        for i in range(16):
+            z |= ((r.a >> i) & 1) << (2 * i)
+            z |= ((r.b >> i) & 1) << (2 * i + 1)
+        assert r.z == z

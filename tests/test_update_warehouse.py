@@ -241,3 +241,25 @@ def test_parquet_table_diff_classifies_changes(spark, tmp_path):
     # diff is symmetric-ish: reversing swaps insert/delete
     rev = {r.k: r.change for r in t.diff(v2, v1, key="k").collect()}
     assert rev[0] == "insert" and rev[10] == "delete" and rev[7] == "update"
+
+
+def test_parquet_table_survives_stale_tmp_pointer(spark, tmp_path):
+    """A crash between writing _current.tmp and the atomic rename leaves
+    a stray tmp file; readers and the next writer must be unaffected."""
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "crashy"))
+    t.merge(
+        spark.range(0, 5).select(F.col("id").alias("k"), F.lit("a").alias("v")),
+        key="k",
+    )
+    # simulate the crash residue
+    with open(t._pointer + ".tmp", "w") as f:
+        f.write("vGARBAGE_NEVER_COMMITTED")
+    assert t.read().count() == 5  # readers resolve the COMMITTED pointer
+    t.merge(
+        spark.range(5, 8).select(F.col("id").alias("k"), F.lit("b").alias("v")),
+        key="k",
+    )
+    assert t.read().count() == 8  # next writer replaces the residue
+    assert t.current_version() in t.versions()
