@@ -601,3 +601,28 @@ def test_ngram_novelty_score_invariants(spark, sf_dir):
         .select("shingle").distinct().count()
     )
     assert sum(r.n_novel for r in rows) == n_distinct_shingles
+
+
+def test_doc_keywords_topk_ranks_consistently(spark, sf_dir):
+    assert_matches(
+        QUERIES["doc_keywords_topk"](spark, sf_dir),
+        ORACLES["doc_keywords_topk"],
+        sf_dir,
+    )
+    from trialstreamer_spark.operators.retrieval import KEYWORDS_K
+
+    rows = QUERIES["doc_keywords_topk"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for segs in by_doc.values():
+        # dense ranks from 1, at most K per doc
+        assert [s.rank for s in segs] == list(range(1, len(segs) + 1))
+        assert len(segs) <= KEYWORDS_K
+        # scores non-increasing down the ranking; ties broken by token
+        for hi, lo in zip(segs, segs[1:]):
+            assert hi.score_fp >= lo.score_fp
+            if hi.score_fp == lo.score_fp:
+                assert hi.tok < lo.tok
+        for s in segs:
+            assert s.tf >= 1 and s.df >= 1

@@ -246,3 +246,100 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_fp").desc(), "doc_id")
         .limit(20)
     )
+
+
+#: Keywords emitted per document by doc_keywords_topk.
+KEYWORDS_K = 3
+
+
+@query(
+    "doc_keywords_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(FLOOR(1000000.0 * tf.tf * (n.n + 1) / (df.df + 1))
+                  AS BIGINT) AS score_fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) * (n.n + 1) / (df.df + 1) DESC,
+                        tf.tok) AS rk
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rank, tok, tf, df, score_fp
+    FROM scored WHERE rk <= {KEYWORDS_K}
+    ORDER BY doc_id, rank
+    """,
+)
+def doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top KEYWORDS_K terms
+    by tf · (N+1)/(df+1) — the rational-idf variant (module docstring:
+    transcendental-free, so the ranking signal is engine-portable), with
+    the deterministic (score desc, token) tie-break. Keywords feed index
+    previews, cluster labeling, and weak-supervision features in corpus
+    curation.
+
+    Scale shape: tf is a (doc_id, tok) rollup riding the explode's doc
+    partitioning; df partial-aggregates map-side to one row per distinct
+    token; N is a 1-row broadcast. The scoring join shuffles the tf
+    table on tok once, and the per-doc top-k window rides the doc_id
+    keys back out. Everything is counts + one fixed expression — the
+    floored fixed-point score crosses the oracle boundary, the double
+    only orders within a doc."""
+    from trialstreamer_spark.operators.textstats import tokens_col
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n") + 1)
+            / (F.col("df") + 1),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYWORDS_K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "tok",
+            "tf",
+            "df",
+            # same operation ORDER as the oracle's expression — floored
+            # doubles only match when every intermediate rounding does
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("tf")
+                * (F.col("n") + 1)
+                / (F.col("df") + 1)
+            )
+            .cast("long")
+            .alias("score_fp"),
+        )
+        .orderBy("doc_id", "rank")
+    )
