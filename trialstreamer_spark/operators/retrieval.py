@@ -307,9 +307,17 @@ def doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n = toks.agg(F.countDistinct("doc_id").alias("n"))
+    # One explode feeds everything: df and N derive from the tf rollup
+    # (already one row per (doc, tok)), not from a second corpus scan.
+    from trialstreamer_spark.util import cached_plan
+
+    tf = cached_plan(
+        spark,
+        ("doc_tf", sf_dir),
+        lambda: toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")),
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
     scored = (
         tf.join(df, "tok")
         .crossJoin(F.broadcast(n))
