@@ -626,3 +626,16 @@ def test_doc_keywords_topk_ranks_consistently(spark, sf_dir):
                 assert hi.tok < lo.tok
         for s in segs:
             assert s.tf >= 1 and s.df >= 1
+
+
+def test_event_gap_stats_bounds(spark, sf_dir):
+    assert_matches(
+        QUERIES["event_gap_stats"](spark, sf_dir),
+        ORACLES["event_gap_stats"],
+        sf_dir,
+    )
+    for r in QUERIES["event_gap_stats"](spark, sf_dir).collect():
+        assert r.n_events >= 1
+        assert 0 <= r.n_gaps <= r.n_events - 1
+        # the worst single gap can never exceed the type's full span
+        assert (r.max_gap_us is None) or (0 <= r.max_gap_us <= r.span_us)

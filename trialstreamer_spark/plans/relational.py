@@ -1297,3 +1297,61 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("out_rows").desc(), "join_key")
         .limit(10)
     )
+
+
+#: Gap threshold for event-stream continuity monitoring (µs).
+GAP_THRESHOLD_US = 60_000_000  # 1 minute
+
+
+@query(
+    "event_gap_stats",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts_us - prev_us > {GAP_THRESHOLD_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(MAX(ts_us - prev_us) AS BIGINT) AS max_gap_us,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us
+    FROM ordered
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream continuity audit: per event type, how many
+    inter-arrival gaps exceed GAP_THRESHOLD_US and how large the worst
+    gap is — the monitoring query an ingestion pipeline (reference's
+    daily PubMed/ICTRP update cadence, crontab:1-2) runs to detect
+    stalled feeds and backfill holes before they become silent data
+    loss. Epoch arithmetic on exact int64 microseconds; ordering ties
+    broken by event_id so the lag sequence is total.
+
+    Scale shape: one sort-shuffle on event_type for the lag window
+    (same exchange the rollup reuses), all expressions integer. At
+    100 TB the deployed variant windows per (event_type, day-bucket) so
+    partitions bound sort memory; semantics are identical away from
+    bucket edges."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.col("prev_us")
+    return (
+        e.select("event_type", F.unix_micros("ts").alias("ts_us"), "event_id")
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(gap > GAP_THRESHOLD_US, 1).otherwise(0)
+            ).alias("n_gaps"),
+            F.max(gap).alias("max_gap_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+        )
+        .orderBy("event_type")
+    )
