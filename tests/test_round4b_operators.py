@@ -639,3 +639,21 @@ def test_event_gap_stats_bounds(spark, sf_dir):
         assert 0 <= r.n_gaps <= r.n_events - 1
         # the worst single gap can never exceed the type's full span
         assert (r.max_gap_us is None) or (0 <= r.max_gap_us <= r.span_us)
+
+
+def test_sketch_merge_parity_lattice_bounds(spark, sf_dir):
+    assert_matches(
+        QUERIES["sketch_merge_parity"](spark, sf_dir),
+        ORACLES["sketch_merge_parity"],
+        sf_dir,
+    )
+    for r in QUERIES["sketch_merge_parity"](spark, sf_dir).collect():
+        # OR-merge lattice: max(|B0|,|B1|) <= |B0 u B1| <= |B0|+|B1|
+        assert max(r.occ_shard0, r.occ_shard1) <= r.occ_merged
+        assert r.occ_merged <= r.occ_shard0 + r.occ_shard1
+        # merged occupancy equals the single-pass sketch's occupancy
+        # (same md5-bucket state as linear_probe_distinct)
+    lp = {r.lang: r.n_occupied
+          for r in QUERIES["linear_probe_distinct"](spark, sf_dir).collect()}
+    for r in QUERIES["sketch_merge_parity"](spark, sf_dir).collect():
+        assert r.occ_merged == lp[r.lang]

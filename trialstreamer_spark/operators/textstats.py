@@ -772,3 +772,75 @@ def oov_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sketch_merge_parity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    buckets AS (
+      SELECT DISTINCT lang, doc_id % 2 AS shard,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LC_M} AS bucket
+      FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT CASE WHEN shard = 0 THEN bucket END)
+                AS BIGINT) AS occ_shard0,
+           CAST(COUNT(DISTINCT CASE WHEN shard = 1 THEN bucket END)
+                AS BIGINT) AS occ_shard1,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS occ_merged
+    FROM buckets
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sketch_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY proof — the property that makes bounded-state
+    sketches work on a 1000-executor cluster: each shard builds its own
+    linear-counting bitmap independently, and the union (bitwise OR) of
+    the shard bitmaps is EXACTLY the bitmap of the union of the data.
+    Emitted per language: each shard's occupancy and the merged
+    occupancy, with merged = |B0 ∪ B1| (tested: bounded by the sum,
+    at least the max — the lattice the OR-merge lives in). Counters
+    (CMS) merge by +, bitmaps (LC, Bloom) by OR, HLL by max — this query
+    is the engine's executable witness for the OR case over the same
+    md5-bucket state as linear_probe_distinct.
+
+    Scale shape: the distinct (lang, shard, bucket) projection is
+    map-side-partial distinct bounded by langs × shards × LC_M rows per
+    partition — corpus volume never reaches the exchange."""
+    d = load(spark, sf_dir, "documents")
+    buckets = (
+        d.select(
+            "lang",
+            (F.col("doc_id") % 2).alias("shard"),
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .select(
+            "lang",
+            "shard",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % LC_M
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    return (
+        buckets.groupBy("lang")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("shard") == 0, F.col("bucket"))
+            ).alias("occ_shard0"),
+            F.countDistinct(
+                F.when(F.col("shard") == 1, F.col("bucket"))
+            ).alias("occ_shard1"),
+            F.countDistinct("bucket").alias("occ_merged"),
+        )
+        .orderBy("lang")
+    )
