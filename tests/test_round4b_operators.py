@@ -657,3 +657,21 @@ def test_sketch_merge_parity_lattice_bounds(spark, sf_dir):
           for r in QUERIES["linear_probe_distinct"](spark, sf_dir).collect()}
     for r in QUERIES["sketch_merge_parity"](spark, sf_dir).collect():
         assert r.occ_merged == lp[r.lang]
+
+
+def test_knn_label_consistency_bounds(spark, sf_dir):
+    assert_matches(
+        QUERIES["knn_label_consistency"](spark, sf_dir),
+        ORACLES["knn_label_consistency"],
+        sf_dir,
+    )
+    rows = QUERIES["knn_label_consistency"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_consistent <= r.n_vectors
+        assert 0.0 <= r.consistency_frac <= 1.0
+    # every vector counted at most once (rank-1 edge per source)
+    from trialstreamer_spark.io import load
+
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) <= n_vecs

@@ -1113,3 +1113,91 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "knn_label_consistency",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, label, {_DD_BUCKET} AS bucket FROM embeddings),
+    e AS (
+      SELECT a.vec_id AS src_id, c.vec_id AS dst_id,
+             a.label AS src_label, c.label AS dst_label,
+             CAST({_DD_DOT_FP.format(a="a.embedding", b="c.embedding")} AS BIGINT)
+               / SQRT(CAST(CAST({_DD_DOT_FP.format(a="a.embedding", b="a.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_DD_DOT_FP.format(a="c.embedding", b="c.embedding")} AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    nn AS (
+      SELECT src_id, src_label, dst_label, row_number() OVER (
+               PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS rank
+      FROM e
+    )
+    SELECT src_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent,
+           SUM(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) AS consistency_frac
+    FROM nn WHERE rank = 1
+    GROUP BY src_label
+    ORDER BY label
+    """,
+)
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label-consistency audit: for every vector with an LSH-bucket
+    neighbor, does its NEAREST neighbor share its label? Low per-label
+    consistency flags label noise or entangled embedding clusters — the
+    cleanlab-style screen run before trusting labels for training or
+    using the embedding space for retrieval. Rides the kNN graph's
+    rank-1 edges (same bucket equi-join + one Arrow cosine pass), so it
+    adds only a label join on keys already in flight plus a label-keyed
+    rollup (cardinality = label count)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    pairs = lsh_candidate_pairs(e).select("vec_a", "vec_b", "cosine")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("src_id"),
+                    F.col("vec_b").alias("dst_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("src_id"),
+                    F.col("vec_a").alias("dst_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    w = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("dst_id"))
+    nn = edges.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") == 1
+    )
+    sl = labels.withColumnRenamed("vec_id", "src_id").withColumnRenamed(
+        "label", "src_label"
+    )
+    dl = labels.withColumnRenamed("vec_id", "dst_id").withColumnRenamed(
+        "label", "dst_label"
+    )
+    same = F.when(F.col("dst_label") == F.col("src_label"), 1).otherwise(0)
+    # unhinted joins: the label projection is corpus-sized at 100 TB, so
+    # these must stay shuffle joins on the vec_id keys the rank-1 edges
+    # already carry; AQE broadcasts them at test scale on its own
+    return (
+        nn.join(sl, "src_id")
+        .join(dl, "dst_id")
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(same).alias("n_consistent"),
+            (F.sum(same) * F.lit(1.0) / F.count("*")).alias(
+                "consistency_frac"
+            ),
+        )
+        .orderBy("label")
+    )
