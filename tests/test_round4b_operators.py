@@ -230,9 +230,9 @@ def test_bloom_has_no_false_negatives_and_bounded_fp_rate(spark, sf_dir):
     )
     for r in rows:
         assert r.n_bloom_hits >= r.n_true_members
-        assert r.n_false_positives == r.n_bloom_hits - min(
-            r.n_bloom_hits, r.n_true_members
-        ) or r.n_false_positives <= r.n_bloom_hits
+        # hits ⊇ members (no false negatives), so the fp count is
+        # exactly hits minus members — assert the identity directly.
+        assert r.n_false_positives == r.n_bloom_hits - r.n_true_members
         assert 0.0 <= r.fp_rate <= 1.0
 
 

@@ -14,6 +14,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trialstreamer_spark import util
+
 TABLES = (
     "region",
     "nation",
@@ -35,6 +37,8 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # On a long-lived cluster this is the table-catalog / buffer-pool analog:
 # re-reading footers + rebuilding scan plans per query is pure fixed cost.
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+util.register_cache_evictor(lambda token: util.evict_dict_cache(_TABLE_CACHE, token))
 
 
 def warm_cache(

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+from trialstreamer_spark import util
 from trialstreamer_spark.io import load
 from trialstreamer_spark.operators.similarity import SCALE
 from trialstreamer_spark.plans.registry import query
@@ -40,7 +41,7 @@ _ASSIGN_TYPE = StructType(
     [StructField("cluster", IntegerType()), StructField("dist_fp", LongType())]
 )
 
-_centroid_cache: dict[str, np.ndarray] = {}
+_centroid_cache: dict[tuple[str, int], np.ndarray] = {}
 
 
 def seed_centroids(
@@ -50,9 +51,11 @@ def seed_centroids(
     k-means++ of a reproducible pipeline is any pure function of the
     corpus version; lowest-id is the simplest). Tiny driver-side read of
     k rows (same precedent as similarity._query_vector), memoized per
-    corpus dir."""
-    if cache_key is not None and cache_key in _centroid_cache:
-        return _centroid_cache[cache_key]
+    (corpus dir, k) — k is part of the key so callers requesting
+    different cluster counts against the same corpus never share a
+    wrong-sized matrix."""
+    if cache_key is not None and (cache_key, k) in _centroid_cache:
+        return _centroid_cache[(cache_key, k)]
     rows = (
         e.filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
@@ -61,7 +64,7 @@ def seed_centroids(
     )
     c = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     if cache_key is not None:
-        _centroid_cache[cache_key] = c
+        _centroid_cache[(cache_key, k)] = c
     return c
 
 
@@ -405,6 +408,13 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONCE per corpus version (the offline stage of every PQ system); the
 # search below touches only codes + the 32-entry distance LUT.
 _PQ_CODES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+util.register_cache_evictor(
+    lambda token: [
+        util.evict_dict_cache(c, token)
+        for c in (_centroid_cache, _PQ_CODES_CACHE)
+    ]
+)
 
 
 def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trialstreamer_spark import util
 from trialstreamer_spark.io import load
 from trialstreamer_spark.operators.textstats import tokens_col
 from trialstreamer_spark.plans.registry import query
@@ -52,6 +53,13 @@ _POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
 # equi-join over k·|docs| tiny rows, with no md5 recompute over the
 # (much larger) postings. Built by prepare_dedup().
 _SIG_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
+
+util.register_cache_evictor(
+    lambda token: [
+        util.evict_dict_cache(c, token)
+        for c in (_POSTINGS_CACHE, _SIG_CACHE, _BLOOM_CACHE)
+    ]
+)
 
 
 def normalized_fp(text: Column) -> Column:

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trialstreamer_spark import util
 from trialstreamer_spark.io import load
 from trialstreamer_spark.plans.registry import query
 
@@ -49,6 +50,12 @@ _stats_cache: dict = {}
 # corpus version, not once per query. prepare_stats() is the offline
 # build; without a cache_key every call recomputes from the scan.
 _perdoc_cache: dict = {}
+
+util.register_cache_evictor(
+    lambda token: [
+        util.evict_dict_cache(c, token) for c in (_stats_cache, _perdoc_cache)
+    ]
+)
 
 
 def _per_doc(

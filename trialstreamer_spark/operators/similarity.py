@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+from trialstreamer_spark import util
 from trialstreamer_spark.io import load
 from trialstreamer_spark.plans.registry import query
 
@@ -320,6 +321,12 @@ def lsh_candidate_pairs(
 # dim doubles), so they live driver-side and the SEARCH query contains no
 # full-corpus aggregation.
 _IVF_CENTROIDS: dict[str, list[tuple[int, np.ndarray]]] = {}
+
+util.register_cache_evictor(
+    lambda token: [
+        util.evict_dict_cache(c, token) for c in (_QVEC_CACHE, _IVF_CENTROIDS)
+    ]
+)
 
 
 def centroids_df(e: DataFrame) -> DataFrame:

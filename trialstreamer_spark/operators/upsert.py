@@ -104,8 +104,31 @@ class ParquetTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.parquet(os.path.join(self.path, v))
 
+    @staticmethod
+    def _vnum(d: str) -> int | None:
+        """Numeric id of a version dir name, or None for non-version dirs."""
+        if not d.startswith("v"):
+            return None
+        try:
+            return int(d[1:])
+        except ValueError:
+            return None
+
+    def _all_version_dirs(self) -> list[tuple[int, str]]:
+        out = []
+        for d in os.listdir(self.path):
+            n = self._vnum(d)
+            if n is not None and os.path.isdir(os.path.join(self.path, d)):
+                out.append((n, d))
+        return sorted(out)
+
     def overwrite(self, df: DataFrame) -> None:
-        v = f"v{int(time.time() * 1000)}"
+        # Version ids are a monotonic counter seeded from the existing
+        # dirs (never wall-clock: two overwrites in the same millisecond
+        # must not reuse an id and silently clobber a committed
+        # snapshot). max()+1 also sorts after any legacy ms-style id.
+        dirs = self._all_version_dirs()
+        v = f"v{(dirs[-1][0] + 1) if dirs else 1}"
         out = os.path.join(self.path, v)
         df.write.mode("overwrite").parquet(out)
         tmp = self._pointer + ".tmp"
@@ -113,6 +136,13 @@ class ParquetTable:
             f.write(v)
         os.replace(tmp, self._pointer)
         self._gc(keep=3)
+        # Version bump = cache lifecycle boundary: unpersist/evict every
+        # per-corpus sidecar (shingle postings, IVF centroids, cached
+        # plans, table cache) keyed by this table's path or its corpus
+        # dir, so a long-lived engine doesn't serve stale pinned plans.
+        from trialstreamer_spark.util import evict_caches
+
+        evict_caches(self.path)
 
     def merge(
         self, batch: DataFrame, key: str, deletes: DataFrame | None = None
@@ -128,14 +158,20 @@ class ParquetTable:
         self.overwrite(merge_upsert(base, batch, key, deletes))
 
     def versions(self) -> list[str]:
-        """All retained version ids, oldest first — the time-travel
-        surface. Retention = the `_gc(keep=3)` horizon plus the
-        concurrent-reader grace period."""
-        return sorted(
-            d
-            for d in os.listdir(self.path)
-            if d.startswith("v") and os.path.isdir(os.path.join(self.path, d))
-        )
+        """All retained COMMITTED version ids, oldest first — the
+        time-travel surface. Retention = the `_gc(keep=3)` horizon plus
+        the concurrent-reader grace period.
+
+        Committed means id <= the current pointer: the pointer only ever
+        moves forward (monotonic ids), so a dir numerically beyond it is
+        residue from a crashed overwrite whose pointer flip never
+        happened — a partial, uncommitted snapshot that must not be
+        readable via time travel nor consume a retention slot."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        cur_n = self._vnum(cur)
+        return [d for n, d in self._all_version_dirs() if n <= cur_n]
 
     def read_version(self, version: str) -> DataFrame:
         """Time travel: read a specific retained version (Delta's
@@ -163,12 +199,20 @@ class ParquetTable:
         change predicate uses md5 over all non-key columns so the diff
         needs no per-column schema knowledge."""
         old, new = self.read_version(from_version), self.read_version(to_version)
-        cols = [c for c in new.columns if c != key]
+        if set(old.columns) != set(new.columns):
+            raise ValueError(
+                "diff requires both versions to share a column set; "
+                f"old-only={sorted(set(old.columns) - set(new.columns))}, "
+                f"new-only={sorted(set(new.columns) - set(old.columns))}"
+            )
+        cols = sorted(c for c in new.columns if c != key)
 
         def fp(df: DataFrame) -> Column:
-            return F.md5(F.concat_ws("\x1f", *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
-            ]))
+            # to_json over a struct is boundary- and NULL-safe: fields are
+            # delimited/quoted by the JSON encoding (no separator-shift
+            # collisions) and a NULL field is omitted entirely, which no
+            # in-band sentinel value can collide with.
+            return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
         o = old.select(key, fp(old).alias("__old_fp"))
         n = new.select(key, fp(new).alias("__new_fp"))
@@ -199,12 +243,15 @@ class ParquetTable:
         self.overwrite(self.read().coalesce(target_files))
 
     def _gc(self, keep: int) -> None:
-        versions = sorted(
-            d for d in os.listdir(self.path) if d.startswith("v") and
-            os.path.isdir(os.path.join(self.path, d))
-        )
+        # Eligible for removal: committed versions beyond the keep
+        # horizon, plus uncommitted residue dirs beyond the pointer
+        # (crashed overwrites) — residue must not consume a keep slot.
+        committed = self.versions()
+        doomed = [d for d in committed[:-keep]] + [
+            d for _, d in self._all_version_dirs() if d not in committed
+        ]
         now = time.time()
-        for d in versions[:-keep]:
+        for d in doomed:
             full = os.path.join(self.path, d)
             try:
                 age = now - os.path.getmtime(full)

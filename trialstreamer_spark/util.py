@@ -80,6 +80,59 @@ def cached_plan(spark: SparkSession, key: tuple, builder):
     return df
 
 
+def _path_related(a: str, b: str) -> bool:
+    a, b = a.rstrip("/"), b.rstrip("/")
+    return a == b or a.startswith(b + "/") or b.startswith(a + "/")
+
+
+def _key_references(key: tuple, token: str) -> bool:
+    """True when any string element of ``key`` is path-related to
+    ``token`` (equal, or one under the other at a path boundary) — a
+    table under a corpus dir invalidates caches keyed by that dir, and
+    vice versa."""
+    return any(
+        isinstance(el, str) and _path_related(el, token) for el in key
+    )
+
+
+# Module caches (shingle postings, IVF centroids, …) register an evictor
+# so ParquetTable version bumps can invalidate them without util knowing
+# their shapes. Each evictor is fn(token: str) -> None.
+_CACHE_EVICTORS: list = []
+
+
+def register_cache_evictor(fn) -> None:
+    _CACHE_EVICTORS.append(fn)
+
+
+def evict_dict_cache(cache: dict, token: str) -> None:
+    """Drop (and unpersist, when the value is a persisted DataFrame)
+    every entry of ``cache`` whose key references ``token``. Keys may be
+    tuples or plain strings."""
+    for k in [k for k in cache if _key_references(
+        k if isinstance(k, tuple) else (k,), token
+    )]:
+        v = cache.pop(k)
+        unp = getattr(v, "unpersist", None)
+        if callable(unp):
+            try:
+                unp()
+            except Exception:
+                pass
+
+
+def evict_caches(token: str) -> None:
+    """Cache lifecycle hook: invalidate every per-corpus cache entry
+    whose key references ``token`` (a ParquetTable path or corpus dir).
+    Called on every ParquetTable version bump so a long-lived engine
+    crossing corpus versions doesn't accumulate pinned DataFrames —
+    stale persisted plans are unpersisted (storage memory released) and
+    the next query rebuilds from the new version."""
+    evict_dict_cache(_PLAN_CACHE, token)
+    for fn in list(_CACHE_EVICTORS):
+        fn(token)
+
+
 def materialize_plan(spark: SparkSession, key: tuple) -> None:
     """Force a cached_plan entry to materialize now (offline-prep hook);
     no-op if the plan was never registered."""
