@@ -66,6 +66,7 @@ def main() -> None:
     from trialstreamer_spark.operators.quality import prepare_curation
     from trialstreamer_spark.operators.retrieval import prepare_stats
     from trialstreamer_spark.operators.similarity import prepare_indexes
+    from trialstreamer_spark.streaming.parity import prepare_parity
 
     for prep in (
         warm_cache,
@@ -75,6 +76,7 @@ def main() -> None:
         prepare_pq,
         prepare_semdedup,
         prepare_curation,
+        prepare_parity,
     ):
         # Dedup stage-1 featurization (shared shingle postings) and the
         # BM25 lexicon/per-doc index: one corpus-version build each,

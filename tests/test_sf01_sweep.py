@@ -1,0 +1,52 @@
+"""sf0.01 insurance sweep for queries the external driver has never
+sampled (marked ``sf01``).
+
+The driver hash-checks a SAMPLE of the registered queries per round at
+sf0.01; every query is oracle-checked at sf0.001 by
+test_relational_oracle every run, but a scale-dependent divergence
+(hash drift that only appears with more rows — the NTZ class of bug)
+would hide in the never-sampled set. This sweep closes that asymmetry:
+it re-runs the driver-style DuckDB compare at sf0.01 for exactly the
+queries with no green driver row in any CORRECTNESS_r*.json, so the
+union of (driver rows ∪ this sweep) covers the whole registry at
+sf0.01 every round. The set shrinks automatically as the driver samples
+more queries."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from tests.oracle_util import assert_matches
+from trialstreamer_spark.plans.all_queries import ORACLES, QUERIES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.01"
+
+
+def _never_driver_green() -> list[str]:
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(f))
+        except Exception:
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if isinstance(r, dict) and r.get("hash_match"):
+                seen.add(name)
+    return sorted(n for n in QUERIES if n not in seen and n in ORACLES)
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", _never_driver_green() or ["__none__"])
+def test_sf01_never_sampled_sweep(spark, name):
+    if name == "__none__":
+        pytest.skip("every registered query has a green driver row")
+    if not os.path.isdir(SF01):
+        pytest.skip("sf0.01 corpus not present")
+    assert_matches(QUERIES[name](spark, SF01), ORACLES[name], SF01)

