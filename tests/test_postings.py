@@ -108,3 +108,64 @@ def test_export_articles(spark, tables):
     assert set(out.columns) == {"pmid", "ti", "ab", "year", "pm_data"}
     with pytest.raises(ValueError):
         engine.export_articles(tables, "bogus")
+
+
+def test_written_postings_prune_shard_directories(spark, tables, tmp_path):
+    """The materialized postings layout (hive-partitioned by cui_shard,
+    sorted by cui): a term lookup must (a) put the shard predicate in
+    PartitionFilters — directory pruning before any file opens, (b)
+    physically touch a strict subset of the data files the exists()-era
+    full postings scan reads, and (c) return the identical pmid set."""
+    ann = tables.t("pubmed_annotations")
+    terms = _cooccurring_terms(ann)[:1]
+    exp = _expanded(tables, terms)
+    out = str(tmp_path / "postings_cui")
+    P.write_postings(P.build_postings(ann), out)
+
+    sharded = P.read_postings(spark, out)
+    got = P.matching_pmids(sharded, exp)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :]
+    pf = scan[scan.index("PartitionFilters") : scan.index("PushedFilters")]
+    assert "cui_shard" in pf, f"no directory pruning:\n{pf}"
+
+    touched, total = P.postings_files_for(out, exp)
+    assert 0 < touched < total, (
+        f"lookup touches {touched}/{total} files — expected a strict subset"
+    )
+
+    want = {
+        r.pmid for r in P.matching_pmids(P.build_postings(ann), exp).collect()
+    }
+    assert {r.pmid for r in got.collect()} == want and want
+
+
+def test_search_path_crossover(spark, tables):
+    """The planner picks each path at its intended scale, from catalog
+    byte stats alone: scan while the index is absent, scan while the
+    annotations table is below the crossover even WITH an index, and
+    postings only above it. Both paths return identical picosearch
+    rows."""
+    import shutil
+
+    post_dir = os.path.join(tables.root, engine.POSTINGS_DIR)
+    shutil.rmtree(post_dir, ignore_errors=True)
+    # no index on disk -> scan, at any threshold
+    assert engine.choose_search_path(tables, min_bytes=0) == "scan"
+
+    engine.prepare_postings(tables)
+    try:
+        # index present, but the fixture annotations are far below the
+        # 64 MB crossover -> the scan is still the right plan
+        assert engine.choose_search_path(tables) == "scan"
+        # above the crossover (forced by zeroing it) -> postings
+        assert engine.choose_search_path(tables, min_bytes=0) == "postings"
+
+        terms = _cooccurring_terms(tables.t("pubmed_annotations"))
+        via_scan = engine.picosearch(tables, terms, path="scan")
+        via_post = engine.picosearch(tables, terms, path="postings")
+        key = [r.pmid for r in via_scan.select("pmid").collect()]
+        assert key == [r.pmid for r in via_post.select("pmid").collect()]
+        assert key
+    finally:
+        shutil.rmtree(post_dir, ignore_errors=True)

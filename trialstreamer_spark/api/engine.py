@@ -82,6 +82,23 @@ def subtree_cuis(tables: Tables, cui: str, levels: int = 1) -> list[str]:
     return sorted(out)
 
 
+def expand_query(
+    tables: Tables, terms: list[dict], expand_terms: bool = True
+) -> list[dict]:
+    """Ontology-expand a term list into [{"field", "cuis"}] — the shared
+    query representation both search paths consume (literals baked at
+    query-build time, ref cnxapp.py:188-207)."""
+    return [
+        {
+            "field": t["field"],
+            "cuis": subtree_cuis(tables, t["cui"])
+            if expand_terms
+            else [t["cui"]],
+        }
+        for t in terms
+    ]
+
+
 def terms_predicate(
     tables: Tables, terms: list[dict], expand_terms: bool = True
 ) -> Column:
@@ -90,15 +107,71 @@ def terms_predicate(
     `exists(field_mesh, x -> x.cui IN (…))`; terms are ANDed. Pure
     Column tree — no UDF, Catalyst folds the literal IN list."""
     conjuncts = []
-    for term in terms:
-        cuis = (
-            subtree_cuis(tables, term["cui"]) if expand_terms else [term["cui"]]
-        )
+    for term in expand_query(tables, terms, expand_terms):
         field_col = f"{term['field']}_mesh"
+        cuis = term["cuis"]
         conjuncts.append(
             F.exists(F.col(field_col), lambda x: x["cui"].isin(cuis))
         )
     return reduce(lambda a, b: a & b, conjuncts)
+
+
+#: exists()-scan vs postings-path crossover (bytes of the annotations
+#: table, from catalog file stats — no data scan). Below it, one pass
+#: over a small table beats maintaining/probing an index; above it the
+#: postings path touches only the queried CUIs' shard directories while
+#: the scan cost keeps growing linearly. The default approximates where
+#: the scan stops fitting one executor's second of work.
+POSTINGS_MIN_BYTES = 64 * 1024 * 1024
+
+POSTINGS_DIR = "postings_cui"
+
+
+def _table_bytes(tables: Tables, name: str) -> int:
+    """On-disk size of a stored table — the catalog statistic the path
+    choice reads (Delta/Iceberg expose the same number from metadata)."""
+    versioned = os.path.join(tables.root, name)
+    if os.path.exists(os.path.join(versioned, "_current")):
+        from trialstreamer_spark.operators.upsert import ParquetTable
+
+        t = ParquetTable(tables.spark, versioned)
+        cur = t.current_version()
+        base = os.path.join(versioned, cur) if cur else versioned
+    else:
+        base = os.path.join(tables.root, f"{name}.parquet")
+    total = 0
+    for dirpath, _dirs, files in os.walk(base):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def prepare_postings(tables: Tables) -> str:
+    """Offline index build: explode the annotations into the sharded
+    postings layout (plans/postings.write_postings). Idempotent per
+    warehouse; returns the postings path."""
+    from trialstreamer_spark.plans import postings as P
+
+    out = os.path.join(tables.root, POSTINGS_DIR)
+    P.write_postings(P.build_postings(tables.t("pubmed_annotations")), out)
+    return out
+
+
+def choose_search_path(
+    tables: Tables, min_bytes: int = POSTINGS_MIN_BYTES
+) -> str:
+    """'scan' or 'postings', decided from catalog stats: the postings
+    path is chosen iff the index exists AND the annotations table has
+    outgrown the scan crossover. Never scans data to decide."""
+    post_dir = os.path.join(tables.root, POSTINGS_DIR)
+    if not os.path.isdir(post_dir):
+        return "scan"
+    if _table_bytes(tables, "pubmed_annotations") < min_bytes:
+        return "scan"
+    return "postings"
 
 
 def _cite(authors: Column, journal: Column, year: Column) -> Column:
@@ -119,6 +192,7 @@ def picosearch(
     terms: list[dict],
     order: str = "score",
     expand_terms: bool = True,
+    path: str = "auto",
 ) -> DataFrame:
     """Structured PICO search, json-short retmode (cnxapp.py:169-324).
 
@@ -127,8 +201,15 @@ def picosearch(
     declared per SURVEY §7.4: every leg carries a deterministic
     tiebreaker (pmid / regid / doi) so top-k sets are stable under ties —
     the reference's bare LIMIT is nondeterministic.
-    """
+
+    ``path``: 'scan' (exists() over the concept arrays), 'postings'
+    (shard-pruned inverted-index lookup + pmid semi-join — requires
+    prepare_postings), or 'auto' (choose_search_path from catalog
+    stats). Both paths return identical rows (tests/test_postings.py);
+    only the pubmed leg has a postings index — the small ictrp/preprint
+    dimension legs always scan."""
     assert order in ("year", "score")
+    assert path in ("auto", "scan", "postings")
     if not terms:
         return tables.spark.createDataFrame(
             [], "pmid string, ti string, year int, article_type string"
@@ -138,7 +219,21 @@ def picosearch(
     pm = tables.t("pubmed").filter(
         F.col("is_rct_balanced") & F.col("is_human")
     )
-    pa = tables.t("pubmed_annotations").filter(pred)
+    if path == "auto":
+        path = choose_search_path(tables)
+    if path == "postings":
+        from trialstreamer_spark.plans import postings as P
+
+        post = P.read_postings(
+            tables.spark, os.path.join(tables.root, POSTINGS_DIR)
+        )
+        pa = tables.t("pubmed_annotations").join(
+            P.matching_pmids(post, expand_query(tables, terms, expand_terms)),
+            "pmid",
+            "left_semi",
+        )
+    else:
+        pa = tables.t("pubmed_annotations").filter(pred)
     score = F.col("prob_low_rob") * F.col("num_randomized")
     joined = pm.join(F.broadcast(pa), "pmid").select(
         "pmid",
