@@ -1527,3 +1527,77 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Incremental-dedup batch selector (stands in for "today's crawl"):
+#: same convention as dedup_incremental's eval split.
+INCR_BATCH_MOD = 13
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH sh AS ({{_DD_SHINGLES}}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id % {INCR_BATCH_MOD} = 0 AND b.doc_id % {INCR_BATCH_MOD} <> 0
+    )
+    SELECT batch_doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(MIN(corpus_doc) AS BIGINT) AS first_match
+    FROM cand GROUP BY batch_doc ORDER BY doc_id
+    """.format(_DD_SHINGLES=_DD_SHINGLES),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup check: for each document of today's batch
+    (doc_id % INCR_BATCH_MOD == 0 stands in for the daily crawl), how
+    many existing corpus documents share at least one LSH band with it,
+    and the smallest such corpus doc (the canonical it would attach to).
+    The near-dup complement of dedup_incremental's exact-hash probe —
+    the daily admission gate of a continuously-growing training corpus.
+
+    Scale shape: corpus signatures come from the prepare_dedup sidecar
+    (signed once per corpus version); the daily batch's banded keys are
+    BROADCAST into the corpus side, so the corpus-sized band table never
+    shuffles (same discipline as dedup_incremental, asserted for that
+    operator in test_plan_hygiene). The rollup then shuffles only
+    candidate pairs — bounded by batch size × band fan-out, not corpus
+    size."""
+    d = load(spark, sf_dir, "documents")
+    banded = banded_keys(minhash_signatures(d, cache_key=sf_dir))
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    batch_b = banded.where(is_batch).select(
+        F.col("doc_id").alias("batch_doc"), "band_id", "band_key"
+    )
+    corpus_b = banded.where(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"), "band_id", "band_key"
+    )
+    return (
+        corpus_b.join(F.broadcast(batch_b), ["band_id", "band_key"])
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+        .groupBy(F.col("batch_doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.min("corpus_doc").alias("first_match"),
+        )
+        .orderBy("doc_id")
+    )

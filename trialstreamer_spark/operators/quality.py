@@ -1654,3 +1654,103 @@ def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+#: Erasure-request selector (stands in for a GDPR/takedown delete list).
+ERASE_MOD = 97
+
+
+from trialstreamer_spark.operators.dedup import _DD_SHINGLES as _SH_CTE
+
+
+@query(
+    "erasure_manifest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id
+      FROM toks, UNNEST(range(0, ((len(t) - 1) // {CHUNK_STRIDE}) + 1)) AS u(i)
+      WHERE len(t) >= 1
+    ),
+    sh AS ({_SH_CTE}),
+    posting AS (SELECT doc_id FROM sh, UNNEST(shingles) AS s(shingle))
+    SELECT * FROM (
+      SELECT 'chunks' AS artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM chunks WHERE doc_id % {ERASE_MOD} = 0
+      UNION ALL
+      SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+      FROM documents WHERE doc_id % {ERASE_MOD} = 0
+      UNION ALL
+      SELECT 'shingle_postings', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+      FROM posting WHERE doc_id % {ERASE_MOD} = 0
+    ) ORDER BY artifact
+    """,
+)
+def erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation manifest: given a delete list
+    (doc_id % ERASE_MOD == 0 stands in for the takedown request), how
+    many rows must be purged from EACH derived artifact — the source
+    rows themselves, the RAG/packing chunk table, and the dedup shingle
+    postings. A training-data platform runs exactly this audit before
+    and after an erasure job: before, it is the work manifest; after,
+    every count must read zero or deleted data is still leaking through
+    derived tables into training runs.
+
+    Scale shape: three independent aggregate legs, each filtering its
+    (already-materialized) featurization by the delete predicate and
+    partial-aggregating map-side to a single row — the union is three
+    rows total. In production the delete list is a broadcast semi-join
+    key set rather than a modulo predicate; the artifact inventory is
+    the sidecar registry itself, so a NEW featurization automatically
+    joins the audit."""
+    from trialstreamer_spark.operators.dedup import shingle_postings
+
+    d = load(spark, sf_dir, "documents")
+    doomed = F.col("doc_id") % ERASE_MOD == 0
+
+    def leg(df: DataFrame, artifact: str) -> DataFrame:
+        return (
+            df.where(doomed)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+            .select(
+                F.lit(artifact).alias("artifact"),
+                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            )
+        )
+
+    from trialstreamer_spark.util import cached_plan
+
+    # the chunk leg rides the SAME chunk_hashes sidecar chunk_dedup_stats
+    # persists (one row per chunk — exactly the purge unit), so the audit
+    # never re-tokenizes; the shingle leg likewise reads the prepared
+    # postings
+    chunks = cached_plan(
+        spark,
+        ("chunk_hashes", sf_dir),
+        lambda: doc_chunks(spark, sf_dir).select(
+            "doc_id", F.col("chunk_md5").alias("h")
+        ),
+    )
+    legs = [
+        leg(chunks, "chunks"),
+        leg(d, "documents"),
+        leg(
+            shingle_postings(d, cache_key=sf_dir).select("doc_id", "shingle"),
+            "shingle_postings",
+        ),
+    ]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionByName(other)
+    return out.orderBy("artifact")

@@ -844,3 +844,104 @@ def sketch_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: source-signature extraction knobs: a token must appear at least
+#: MIN_SOURCE_TF times within a source to be a signature candidate;
+#: DISTINCTIVE_K tokens reported per source.
+MIN_SOURCE_TF = 5
+DISTINCTIVE_K = 5
+
+
+@query(
+    "source_distinctive_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    st AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_st
+      FROM toks GROUP BY source, tok
+    ),
+    w AS (
+      SELECT source, tok, n_st,
+             CAST(SUM(n_st) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+             CAST(SUM(n_st) OVER (PARTITION BY tok) AS BIGINT) AS n_t,
+             CAST(SUM(n_st) OVER () AS BIGINT) AS n_total
+      FROM st
+    ),
+    scored AS (
+      SELECT source, tok, n_st,
+             CAST((1000000 * (n_st * (n_total - n_s)))
+                  // (GREATEST(n_t - n_st, 1) * n_s) AS BIGINT) AS lift_fp
+      FROM w WHERE n_st >= {MIN_SOURCE_TF}
+    )
+    SELECT source, CAST(rk AS INTEGER) AS rank, tok, n_st, lift_fp
+    FROM (SELECT s.*, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY lift_fp DESC, tok) AS rk
+          FROM scored s)
+    WHERE rk <= {DISTINCTIVE_K}
+    ORDER BY source, rank
+    """,
+)
+def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-signature extraction: the DISTINCTIVE_K tokens most
+    over-represented in each source relative to the rest of the corpus,
+    by rate lift — (tf_in_source / source_tokens) ÷ (tf_elsewhere /
+    other_tokens). The quick answer to "what makes this source
+    different", feeding mixture design, domain classifiers, and
+    contamination triage (a crawl whose signature tokens suddenly match
+    a benchmark's is a red flag).
+
+    Determinism: the lift is computed ENTIRELY in int64 — ``(10⁶ ·
+    n_st · (N − n_s)) div (max(n_t − n_st, 1) · n_s)`` — and ranked by
+    (lift_fp desc, tok): integer ordering, no float ever crosses the
+    comparison or the oracle boundary. (At a 10¹²-token corpus the
+    numerator needs 128-bit — DECIMAL(38) on both engines — before
+    int64 overflows; the shape is unchanged.)
+
+    Scale shape: everything downstream of the explode operates on the
+    (source, tok) rollup — vocabulary × sources rows, not corpus rows.
+    Its three statistics ride two window exchanges (tok-keyed, then
+    source-keyed) plus a 1-row broadcast total; the final top-k is a
+    WindowGroupLimit over the source partitioning the rollup already
+    carries. MIN_SOURCE_TF prunes the rare-token tail before ranking."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n_st"))
+    )
+    tot = st.agg(F.sum("n_st").alias("n_total"))
+    w = (
+        st.withColumn("n_t", F.sum("n_st").over(W.partitionBy("tok")))
+        .withColumn("n_s", F.sum("n_st").over(W.partitionBy("source")))
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = w.where(F.col("n_st") >= MIN_SOURCE_TF).withColumn(
+        "lift_fp",
+        F.expr(
+            "(1000000 * (n_st * (n_total - n_s)))"
+            " DIV (GREATEST(n_t - n_st, 1) * n_s)"
+        ),
+    )
+    rk = W.partitionBy("source").orderBy(F.col("lift_fp").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= DISTINCTIVE_K)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "tok",
+            "n_st",
+            "lift_fp",
+        )
+        .orderBy("source", "rank")
+    )

@@ -1355,3 +1355,241 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: classic decision-support plan shapes not yet in the registry
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "small_qty_revenue",
+    oracle="""
+    WITH d AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM d GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           CAST(SUM(d.price_c) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d
+    JOIN stats s ON s.l_partkey = d.l_partkey
+    JOIN part p  ON p.p_partkey = d.l_partkey
+    WHERE 5 * d.qty * s.cnt < s.sum_qty
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-subquery pattern: revenue from
+    lineitems whose quantity is below 20% of their part's average
+    quantity, rolled up per brand. The correlated scalar subquery
+    becomes a per-part aggregate joined back — the decorrelation every
+    engine performs, written directly.
+
+    Determinism: the threshold ``qty < 0.2 · avg(qty)`` is evaluated as
+    ``5 · qty · cnt < sum_qty`` — pure int64, no floating average
+    crossing the comparison, so the row set is bit-identical across
+    engines (module docstring discipline).
+
+    Scale shape: the per-part stats table partial-aggregates map-side to
+    one row per partkey, and BOTH joins key on partkey, so the stats
+    join co-locates with the fact shuffle (one exchange of lineitem; on
+    a partkey-bucketed warehouse, zero) — never a window sort over the
+    full fact table. The part dim is broadcast. AQE handles partkey
+    skew; no driver-side anything."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    stats = l.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"), F.sum("qty").alias("sum_qty")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(stats, "l_partkey")
+        .where(5 * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum("price_c").alias("revenue_cents"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped outer-join distribution: how many customers
+    placed 0, 1, 2, … orders. The LEFT join is what distinguishes the
+    shape — customers with no orders must survive with count 0
+    (COUNT(o_orderkey) counts non-null matches only), which an inner
+    join silently drops.
+
+    Scale shape: orders partial-aggregates map-side per custkey BEFORE
+    the outer join (aggregate pushdown written explicitly — joining raw
+    orders first would shuffle the whole fact), so the join carries one
+    row per customer on each side, keyed and co-partitioned on custkey;
+    the second aggregation's key space is the tiny distinct-count
+    domain. All counts, all exact."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust_orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        c.join(per_cust_orders, c.c_custkey == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+#: A customer is dormant when they placed no order on/after this date.
+DORMANT_CUTOFF = "2000-01-01"
+
+
+@query(
+    "dormant_rich_customers",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    thresh AS (
+      SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cust WHERE bal_c > 0
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(c.bal_c) AS BIGINT) AS balance_cents
+    FROM cust c CROSS JOIN thresh t
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.bal_c * t.cnt > t.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF} 00:00:00')
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped opportunity query: customers whose balance is
+    above the positive-balance average but who never placed an order,
+    per nation — "no order" meaning none on/after DORMANT_CUTOFF (the
+    lapsed-customer variant; the synthetic corpus has essentially no
+    customer with zero lifetime orders, which would make the classic
+    formulation vacuous). Two classic sub-shapes in one plan: an
+    aggregate-derived threshold (scalar subquery → 1-row broadcast
+    crossJoin) and a NOT EXISTS (→ left_anti join) whose inner side
+    carries a pushed-down date predicate.
+
+    Determinism: ``bal > avg(bal⁺)`` evaluates as ``bal_c · cnt >
+    sum_c`` in int64 cents — no floating average crosses the comparison.
+
+    Scale shape: the threshold is a 1-row broadcast; the anti-join keys
+    on custkey against the map-side-distinct order keys (at 100 TB both
+    sides bucket on custkey and the anti-join co-locates); the nation
+    dim broadcasts. The only full exchange is the fact-sized anti
+    join's."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    thresh = cust.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"), F.count("*").alias("cnt")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= DORMANT_CUTOFF)
+        .select("o_custkey")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .join(o, cust.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), cust.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal_c").alias("balance_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+#: An order ships "late" when any of its lineitems ships this many days
+#: after the order date.
+LATE_SHIP_DAYS = 90
+
+
+@query(
+    "late_shipment_priority",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS query: orders with at least one lineitem
+    shipping more than LATE_SHIP_DAYS after the order date, counted per
+    priority. EXISTS compiles to a left_semi join — each order emitted
+    at most once no matter how many late lineitems it has (an inner
+    join + distinct would shuffle the duplicates first; the semi join
+    never materializes them).
+
+    Scale shape: semi join keys on orderkey — co-partitioned with the
+    fact's natural bucketing; the non-equi date conjunct evaluates
+    inside the join without widening the shuffle key. Timestamp
+    arithmetic stays in the engine's exact timestamp domain (no epoch
+    floats)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_late_orders"))
+        .orderBy("priority")
+    )
