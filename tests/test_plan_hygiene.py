@@ -24,7 +24,7 @@ from trialstreamer_spark.io import load
 from trialstreamer_spark.operators import dedup, similarity
 from trialstreamer_spark.plans.registry import QUERIES
 
-import trialstreamer_spark.plans.relational  # noqa: F401  (registry fill)
+import trialstreamer_spark.plans.all_queries  # noqa: F401  (registry fill)
 
 
 def plan_of(df) -> str:
@@ -163,3 +163,82 @@ def test_decontaminate_broadcasts_eval_postings(spark, sf_dir):
     p = plan_of(QUERIES["decontaminate_overlap"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_minhash_incremental_broadcasts_batch_side(spark, sf_dir):
+    """dedup_minhash_incremental's scale contract: the daily batch's
+    banded keys BROADCAST; the corpus-sized band table streams map-side
+    (no SortMergeJoin = no corpus shuffle for the candidate join)."""
+    p = plan_of(QUERIES["dedup_minhash_incremental"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_small_qty_revenue_is_decorrelated_not_windowed(spark, sf_dir):
+    """The Q17 shape must run as per-part aggregate + co-partitioned
+    join back — never a Window sort over the full fact table — and the
+    part dim must broadcast."""
+    p = plan_of(QUERIES["small_qty_revenue"](spark, sf_dir))
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_late_shipment_runs_as_semi_join(spark, sf_dir):
+    """EXISTS compiles to LeftSemi — late lineitems are never
+    materialized per-order (an inner join + distinct would be)."""
+    p = plan_of(QUERIES["late_shipment_priority"](spark, sf_dir))
+    assert "LeftSemi" in p
+
+
+def test_doc_keywords_rides_sidecar_with_group_limit(spark, sf_dir):
+    """After the doc_tf_stats sidecar exists, the keyword query must
+    (a) read the cached statistics table, not re-tokenize (no
+    regexp/split in the executed plan), and (b) prune the per-doc
+    window with WindowGroupLimit before the final sort."""
+    from trialstreamer_spark.operators.retrieval import doc_tf_stats
+
+    doc_tf_stats(spark, sf_dir)  # register + (lazily) build the sidecar
+    df = QUERIES["doc_keywords_topk"](spark, sf_dir)
+    p = plan_of(df)
+    assert "InMemoryTableScan" in p
+    assert "WindowGroupLimit" in p
+    # the query-side plan (everything ABOVE the cached relation — the
+    # relation's stored build plan legitimately contains the tokenizer)
+    # must not re-tokenize
+    query_side = p.split("InMemoryRelation")[0]
+    assert "split" not in query_side and "regexp" not in query_side
+
+
+def test_erasure_manifest_reads_materialized_featurizations(spark, sf_dir):
+    """The audit legs must scan the chunk-hash and shingle-postings
+    sidecars (InMemoryTableScan), never re-tokenize the corpus: the
+    only parquet scan in the plan is the documents leg's."""
+    # build both sidecars first (prepare_curation/prepare_dedup analog)
+    from trialstreamer_spark.operators.dedup import shingle_postings
+
+    shingle_postings(load(spark, sf_dir, "documents"), cache_key=sf_dir)
+    p = plan_of(QUERIES["erasure_manifest"](spark, sf_dir))
+    assert p.count("InMemoryTableScan") >= 2, p
+
+
+def test_parity_second_call_reuses_completed_replay(spark, sf_dir):
+    """A completed parity replay is memoized per (operator, corpus):
+    the second invocation must return the SAME sink table without
+    starting a new streaming query or a new checkpoint."""
+    from trialstreamer_spark.streaming import parity
+
+    first = QUERIES["dedup_stream_parity"](spark, sf_dir)
+    keys_after_first = {
+        k for k in parity._SINK_CACHE if k[1] == "dedup" and k[2] == sf_dir
+    }
+    assert len(keys_after_first) == 1
+    (key,) = keys_after_first
+    name = parity._SINK_CACHE[key][1]
+    second = QUERIES["dedup_stream_parity"](spark, sf_dir)
+    assert set(parity._SINK_CACHE) >= keys_after_first  # entry survived
+    assert name == parity._SINK_CACHE[key][1]  # same sink, no re-run
+    # and the two invocations agree row-for-row
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, second.collect())
+    )
