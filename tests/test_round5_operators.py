@@ -131,3 +131,47 @@ def test_erasure_manifest_reconciles_with_direct_counts(spark, sf_dir):
     # purge predicate is the complement of the audit predicate
     survivors = d.where(F.col("doc_id") % 97 != 0)
     assert survivors.where(F.col("doc_id") % 97 == 0).count() == 0
+
+
+def test_cluster_size_histogram_reconciles_with_cc(spark, sf_dir):
+    """Histogram totals must reconcile with the per-doc CC view: sum of
+    n_docs = corpus size, and per-size doc counts equal size·clusters."""
+    hist = QUERIES["dup_cluster_size_histogram"](spark, sf_dir).collect()
+    n_docs_total = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in hist) == n_docs_total
+    for r in hist:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    cc = QUERIES["dedup_connected_components"](spark, sf_dir).collect()
+    from collections import Counter
+
+    sizes = Counter(r.cluster_size for r in cc)
+    assert {r.cluster_size: r.n_docs for r in hist} == dict(sizes)
+
+
+def test_embedding_norm_outliers_bounds(spark, sf_dir):
+    rows = QUERIES["embedding_norm_outliers"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n_vecs
+        assert r.min_norm_fp <= r.max_norm_fp
+
+
+def test_hopping_rollup_double_counts_tumbling(spark, sf_dir):
+    """Every event lands in exactly two hopping windows, so the hopping
+    rollup's total count must be exactly 2× the event count."""
+    total = (
+        QUERIES["hopping_rollup_stream_parity"](spark, sf_dir)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    n_events = load(spark, sf_dir, "events").count()
+    assert total == 2 * n_events
+
+
+def test_dup_rate_by_quality_reconciles(spark, sf_dir):
+    rows = QUERIES["dup_rate_by_quality"](spark, sf_dir).collect()
+    n_docs_total = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert abs(r.dup_frac - r.n_dup_docs / r.n_docs) < 1e-12

@@ -193,6 +193,10 @@ def prepare_dedup(spark: SparkSession, sf_dir: str) -> None:
 
     shingle_postings(load(spark, sf_dir, "documents"), cache_key=sf_dir)
     minhash_signatures(load(spark, sf_dir, "documents"), cache_key=sf_dir)
+    # stage 3: the cluster-label mapping (iterative union-find) — the
+    # most expensive dedup artifact, shared by the CC view, the size
+    # histogram, and canonical application
+    cc_labels(spark, sf_dir).count()
 
 
 def minhash_signatures(
@@ -1106,6 +1110,23 @@ _MINHASH_PAIRS_SQL = """
 """
 
 
+def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) near-dup cluster labels — the canonical
+    mapping of the whole dedup pipeline, and therefore a per-corpus
+    sidecar (prepare_dedup materializes it): the iterative union-find
+    runs ONCE per corpus version; every consumer (per-doc view, size
+    histogram, canonical apply) reads the labels."""
+    from trialstreamer_spark.util import cached_plan
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        return connected_components(
+            d.select("doc_id"), minhash_candidates(d, cache_key=sf_dir)
+        )
+
+    return cached_plan(spark, ("cc_labels", sf_dir), build)
+
+
 @query(
     "dedup_connected_components",
     oracle=f"""
@@ -1149,14 +1170,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → (doc_id, component, cluster_size). The oracle
     states the same fixpoint via a recursive CTE (min reachable label).
     """
-    d = load(spark, sf_dir, "documents")
-    labels = connected_components(
-        d.select("doc_id"), minhash_candidates(d, cache_key=sf_dir)
-    )
     from pyspark.sql import Window as W
 
     return (
-        labels.withColumn(
+        cc_labels(spark, sf_dir)
+        .withColumn(
             "cluster_size", F.count("*").over(W.partitionBy("component"))
         )
         .orderBy("doc_id")
@@ -1600,4 +1618,73 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("corpus_doc").alias("first_match"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({{SH}}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    pairs AS ({{PAIRS}}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    sized AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sized GROUP BY cluster_size ORDER BY cluster_size
+    """.format(SH=_DD_SHINGLES, PAIRS=_MINHASH_PAIRS_SQL),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: for each cluster size, how
+    many clusters and how many documents live at that size — the
+    dedup-yield report (singletons = unique content; the tail's mass =
+    how many docs deduplication would remove; a giant component = a
+    boilerplate explosion or a band-tuning bug). Read together with
+    minhash_band_tuning it closes the dedup feedback loop: tune bands →
+    inspect the size distribution → apply canonical.
+
+    Scale shape: rides the cc_labels sidecar (the union-find runs once
+    per corpus version in prepare_dedup); the histogram itself is two
+    cascaded aggregations whose key spaces are |clusters| then
+    |distinct sizes| — both collapse map-side. Nothing here touches
+    text or signatures."""
+    return (
+        cc_labels(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
     )

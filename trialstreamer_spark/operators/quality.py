@@ -1754,3 +1754,109 @@ def erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for other in legs[1:]:
         out = out.unionByName(other)
     return out.orderBy("artifact")
+
+
+@query(
+    "dup_rate_by_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             len(array_to_string(t, '')) * 1.0 / len(t) AS mean_word_len
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) * 1.0 / CAST(SUM(c) AS BIGINT)
+               AS top_bigram_frac
+      FROM bic GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT b.doc_id,
+             (CASE WHEN n_words >= 30 THEN 1 ELSE 0 END
+              + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 5.0
+                     THEN 1 ELSE 0 END
+              + CASE WHEN COALESCE(top_bigram_frac, 0.0) <= 0.1
+                     THEN 1 ELSE 0 END) AS n_flags
+      FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    dup AS (
+      SELECT doc_id,
+             CASE WHEN COUNT(*) OVER (PARTITION BY fingerprint) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM fp
+    )
+    SELECT f.n_flags,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(d.is_dup) AS BIGINT) * 1.0 / COUNT(*) AS dup_frac
+    FROM flags f JOIN dup d ON d.doc_id = f.doc_id
+    GROUP BY f.n_flags
+    ORDER BY n_flags
+    """,
+)
+def dup_rate_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal calibration: exact-duplicate rate per quality band
+    (number of passed Gopher-style flags, 0–3). The question every
+    curation review asks — "is low-quality ALSO duplicated, or are the
+    two filters removing different documents?" — answered as a 4-row
+    contingency rollup; a dup_frac flat across bands means dedup and
+    quality filtering compose (little overlap), a steep slope means one
+    filter subsumes the other's work.
+
+    Scale shape: reuses quality_filter_keep's per-doc flags (length
+    signals on the scan, one doc-keyed bigram rollup) joined on doc_id
+    with the exact-dup membership bit (one fingerprint-keyed window —
+    the dedup_exact shuffle). Both sides are one row per doc; the final
+    rollup has ≤ 4 keys. dup_frac is a single division of exact longs."""
+    from trialstreamer_spark.operators.dedup import normalized_fp
+
+    flags = quality_filter_keep(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.when(F.col("n_words") >= 30, 1).otherwise(0)
+            + F.when(
+                (F.col("mean_word_len") >= 3.0)
+                & (F.col("mean_word_len") <= 5.0),
+                1,
+            ).otherwise(0)
+            + F.when(F.col("top_bigram_frac") <= 0.1, 1).otherwise(0)
+        ).alias("n_flags"),
+    )
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    dup = d.select(
+        "doc_id", normalized_fp(F.col("text")).alias("fingerprint")
+    ).select(
+        "doc_id",
+        F.when(
+            F.count("*").over(W.partitionBy("fingerprint")) > 1, 1
+        ).otherwise(0).alias("is_dup"),
+    )
+    return (
+        flags.join(dup, "doc_id")
+        .groupBy("n_flags")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_dup").alias("n_dup_docs"),
+            (F.sum("is_dup") * F.lit(1.0) / F.count("*")).alias("dup_frac"),
+        )
+        .orderBy("n_flags")
+    )

@@ -1208,3 +1208,83 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Norm-outlier tolerance: a vector is an outlier when its fixed-point
+#: squared norm is more than ±50% away from its label's mean squared
+#: norm — evaluated as 2·nsq·n ∉ [1·sum, 3·sum], pure int64.
+NORM_TOL_NUM, NORM_TOL_LO, NORM_TOL_HI = 2, 1, 3
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH nsq AS (
+      SELECT vec_id, label,
+             CAST({_DD_DOT_FP.format(a="embedding", b="embedding")} AS BIGINT)
+               AS norm_fp
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(norm_fp) AS BIGINT) AS sum_fp
+      FROM nsq GROUP BY label
+    )
+    SELECT label,
+           s.n AS n_vecs,
+           CAST(SUM(CASE WHEN {NORM_TOL_NUM} * v.norm_fp * s.n
+                              NOT BETWEEN {NORM_TOL_LO} * s.sum_fp
+                                      AND {NORM_TOL_HI} * s.sum_fp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MIN(v.norm_fp) AS BIGINT) AS min_norm_fp,
+           CAST(MAX(v.norm_fp) AS BIGINT) AS max_norm_fp
+    FROM nsq v JOIN stats s USING (label)
+    GROUP BY label, s.n
+    ORDER BY label
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corruption screen: per label, how many vectors have a
+    squared norm more than ±50% from the label mean (truncated encodes,
+    zero vectors, scale bugs — the failures that silently poison
+    similarity search and clustering). min/max norms bound the range
+    for dashboarding.
+
+    Determinism: norms are the engine's standard fixed-point int64
+    (dot_fp) and the outlier predicate is an integer interval test —
+    ``2·nsq·n ∈ [sum, 3·sum]`` — so no floating mean ever crosses a
+    comparison (the small_qty_revenue discipline applied to vectors).
+
+    Scale shape: one map pass computes each vector's norm (no shuffle);
+    the per-label (n, sum) stats partial-aggregate to |labels| rows and
+    join back BROADCAST, so the corpus never shuffles; the final rollup
+    rides the same label keys. At 10⁹ vectors this is two scans and a
+    broadcast — the cheapest possible audit."""
+    e = load(spark, sf_dir, "embeddings")
+    nsq = e.select(
+        "vec_id", "label", norm_sq_fp(F.col("embedding")).alias("norm_fp")
+    )
+    stats = nsq.groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("norm_fp").alias("sum_fp")
+    )
+    scaled = F.lit(NORM_TOL_NUM) * F.col("norm_fp") * F.col("n")
+    is_out = (scaled < NORM_TOL_LO * F.col("sum_fp")) | (
+        scaled > NORM_TOL_HI * F.col("sum_fp")
+    )
+    return (
+        nsq.join(F.broadcast(stats), "label")
+        .groupBy("label", "n")
+        .agg(
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.min("norm_fp").alias("min_norm_fp"),
+            F.max("norm_fp").alias("max_norm_fp"),
+        )
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            "n_outliers",
+            "min_norm_fp",
+            "max_norm_fp",
+        )
+        .orderBy("label")
+    )

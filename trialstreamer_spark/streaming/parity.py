@@ -172,6 +172,7 @@ def prepare_parity(spark: SparkSession, sf_dir: str) -> None:
         "sessionize_stream_parity",
         "running_totals_stream_parity",
         "windowed_rollup_stream_parity",
+        "hopping_rollup_stream_parity",
         "dedup_stream_parity",
         "stream_static_join_parity",
         "stream_stream_join_parity",
@@ -448,3 +449,46 @@ def stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("view_ts").alias("view_us"),
         F.unix_micros("click_ts").alias("click_us"),
     ).orderBy("user_id", "view_id", "click_id")
+
+
+@query(
+    "hopping_rollup_stream_parity",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    w AS (
+      SELECT event_type,
+             unnest([ts_us - (ts_us % 1800000000),
+                     ts_us - (ts_us % 1800000000) - 1800000000])
+               AS window_start_us
+      FROM e
+    )
+    SELECT window_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w
+    GROUP BY window_start_us, event_type
+    ORDER BY window_start_us, event_type
+    """,
+)
+def hopping_rollup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window aggregate (1 h window / 30 min slide,
+    streaming/pipeline.hopping_event_rollup) driver-checked against the
+    batch expansion: every event belongs to exactly TWO windows — the
+    30-minute bucket it lands in and the one before — so the oracle
+    unnests both window starts per event and groups. Complete output
+    mode emits every window after the single replay batch. Counts are
+    exact; epoch arithmetic is pure int64 µs on both engines."""
+    from trialstreamer_spark.streaming.pipeline import hopping_event_rollup
+
+    rollup = hopping_event_rollup(_stream_events(spark, sf_dir))
+    t = _run_stream_to_table(
+        spark, rollup, "hopping", output_mode="complete", cache_key=sf_dir
+    )
+    return (
+        t.select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )

@@ -219,3 +219,22 @@ def hourly_event_rollup(events: DataFrame) -> DataFrame:
             "total_value",
         )
     )
+
+
+def hopping_event_rollup(events: DataFrame) -> DataFrame:
+    """Streaming HOPPING-window aggregate (1-hour windows sliding every
+    30 minutes — each event lands in exactly 2 overlapping windows).
+    The overlap is what tumbling windows can't express: rolling-rate
+    dashboards and smoothed anomaly baselines read the 30-minute-offset
+    series. State per (window, type) key; the watermark closes a window
+    30 minutes after its end like any windowed agg."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
