@@ -175,3 +175,34 @@ def test_dup_rate_by_quality_reconciles(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_dup_docs <= r.n_docs
         assert abs(r.dup_frac - r.n_dup_docs / r.n_docs) < 1e-12
+
+
+def test_near_dup_source_matrix_reconciles_with_pairs(spark, sf_dir):
+    """Matrix total = candidate pair count; pairs are unordered
+    (source_a <= source_b)."""
+    rows = QUERIES["near_dup_source_matrix"](spark, sf_dir).collect()
+    n_pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b and r.n_pairs > 0
+
+
+def test_dedup_token_savings_reconciles(spark, sf_dir):
+    rows = QUERIES["dedup_token_savings"](spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    # kept docs across sources = number of components (one canonical per
+    # cluster)
+    n_components = (
+        QUERIES["dedup_connected_components"](spark, sf_dir)
+        .select("component")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_docs_kept for r in rows) == n_components
+    for r in rows:
+        assert 0 < r.n_docs_kept <= r.n_docs
+        assert 0 <= r.tokens_kept <= r.tokens_total
+        assert abs(
+            r.removed_frac - (r.tokens_total - r.tokens_kept) / r.tokens_total
+        ) < 1e-12

@@ -197,6 +197,12 @@ def prepare_dedup(spark: SparkSession, sf_dir: str) -> None:
     # most expensive dedup artifact, shared by the CC view, the size
     # histogram, and canonical application
     cc_labels(spark, sf_dir).count()
+    # stage 4: the exact-fingerprint census (dedup_exact + cross-signal
+    # joins)
+    from trialstreamer_spark.util import materialize_plan
+
+    exact_fp_census(spark, sf_dir)
+    materialize_plan(spark, ("exact_fp_census", sf_dir))
 
 
 def minhash_signatures(
@@ -488,20 +494,36 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     ORDER BY doc_id
     """,
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5-of-normalized-text fingerprint, duplicate count
-    and canonical (min doc_id) per group via one window over the
-    fingerprint. At scale: shuffle carries (16B, id) pairs only."""
+def exact_fp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint, n_copies, canonical_id) — the exact-dup
+    census, one row per document. A per-corpus statistic (one window
+    over the fingerprint; the shuffle carries (16B, id) pairs only), so
+    a sidecar: the exact-dup view, the canonical apply, and every
+    cross-signal join (dup_rate_by_quality) read it instead of
+    re-hashing the corpus."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
-    w = W.partitionBy("fingerprint")
-    return (
-        d.select("doc_id", normalized_fp(F.col("text")).alias("fingerprint"))
-        .withColumn("n_copies", F.count("*").over(w))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
-        .orderBy("doc_id")
-    )
+    from trialstreamer_spark.util import cached_plan
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        w = W.partitionBy("fingerprint")
+        return (
+            d.select(
+                "doc_id", normalized_fp(F.col("text")).alias("fingerprint")
+            )
+            .withColumn("n_copies", F.count("*").over(w))
+            .withColumn("canonical_id", F.min("doc_id").over(w))
+        )
+
+    return cached_plan(spark, ("exact_fp_census", sf_dir), build)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text fingerprint, duplicate count
+    and canonical (min doc_id) per group, read from the exact_fp_census
+    sidecar."""
+    return exact_fp_census(spark, sf_dir).orderBy("doc_id")
 
 
 _DD_SHINGLES = """
@@ -1687,4 +1709,166 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cluster_size").alias("n_docs"),
         )
         .orderBy("cluster_size")
+    )
+
+
+@query(
+    "near_dup_source_matrix",
+    oracle=f"""
+    WITH sh AS ({{SH}}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    pairs AS ({{PAIRS}})
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """.format(SH=_DD_SHINGLES, PAIRS=_MINHASH_PAIRS_SQL),
+)
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-dup contamination matrix: for every (unordered)
+    source pair, how many minhash candidate pairs cross it. The
+    candidate-level complement of source_overlap_matrix's span census —
+    spans find verbatim reuse, candidate pairs find whole-document
+    near-dups (mirror sites, syndication, re-crawls), and the diagonal
+    measures within-source redundancy.
+
+    Scale shape: the candidate pair list (already df-capped and
+    band-bounded, from the prepare_dedup signature sidecar) is the
+    small side — it BROADCASTS into both source lookups, so the
+    corpus-sized documents relation never shuffles; the rollup's key
+    space is ≤ n_sources². The doc→source projection prunes to two
+    columns at the scan."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, cache_key=sf_dir)
+    src = d.select("doc_id", "source")
+    sa, sb = src.alias("sa"), src.alias("sb")
+    return (
+        pairs.hint("broadcast")
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .hint("broadcast")
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.least(F.col("sa.source"), F.col("sb.source")).alias("source_a"),
+            F.greatest(F.col("sa.source"), F.col("sb.source")).alias(
+                "source_b"
+            ),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "dedup_token_savings",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({{SH}}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    pairs AS ({{PAIRS}}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN c.doc_id = c.component THEN t.n_tokens
+                         ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN c.doc_id = c.component THEN 0
+                         ELSE t.n_tokens END) AS BIGINT) * 1.0
+             / CAST(SUM(t.n_tokens) AS BIGINT) AS removed_frac
+    FROM tok t JOIN comp c ON c.doc_id = t.doc_id
+    GROUP BY t.source
+    ORDER BY source
+    """.format(SH=_DD_SHINGLES, PAIRS=_MINHASH_PAIRS_SQL),
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup yield in the unit that matters for training cost:
+    TOKENS removed per source when each near-dup cluster keeps only its
+    canonical document (component = min reachable doc_id, so kept ⟺
+    doc_id == component). The number a data-mixture budget actually
+    consumes — cluster counts say how many dups exist, this says how
+    much compute they were worth.
+
+    Scale shape: the cc_labels sidecar joins the per-doc token counts
+    on doc_id (both one row per doc; co-partitioned on a bucketed
+    warehouse), then one rollup keyed by source. removed_frac is a
+    single division of exact longs."""
+    from trialstreamer_spark.operators.textstats import tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    kept = F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
+    kept_tokens = F.when(
+        F.col("doc_id") == F.col("component"), F.col("n_tokens")
+    ).otherwise(0)
+    removed_tokens = F.when(
+        F.col("doc_id") == F.col("component"), 0
+    ).otherwise(F.col("n_tokens"))
+    return (
+        tok.join(cc_labels(spark, sf_dir), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(kept_tokens).alias("tokens_kept"),
+            (
+                F.sum(removed_tokens) * F.lit(1.0) / F.sum("n_tokens")
+            ).alias("removed_frac"),
+        )
+        .orderBy("source")
     )

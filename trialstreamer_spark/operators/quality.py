@@ -156,6 +156,53 @@ def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signal table (doc_id, n_words,
+    mean_word_len, top_bigram_frac) — the featurization behind the
+    Gopher-style flags, shared by quality_filter_keep and the
+    cross-signal calibration. A per-corpus statistic, so a sidecar
+    (prepare_curation): the bigram rollup — its only shuffle — runs
+    once per corpus version.
+
+    tokens_col = the shared empty-filtering tokenizer, matching the
+    oracle's list_filter(string_split_regex(...)) semantics exactly (a
+    bare split() would count an empty text as one token); the mean is
+    guarded so a zero-token doc yields NULL, not an ANSI-mode
+    divide-by-zero."""
+    from trialstreamer_spark.util import cached_plan
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        toks = tokens_col(F.col("text"))
+        n_toks = F.size(toks)
+        base = d.where(F.col("text").isNotNull()).select(
+            "doc_id",
+            n_toks.cast("long").alias("n_words"),
+            F.when(
+                n_toks > 0,
+                F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+                * F.lit(1.0)
+                / n_toks,
+            ).alias("mean_word_len"),
+        )
+        rep = _gram_counts(d, 2).select(
+            "doc_id",
+            (F.col("top_n") * F.lit(1.0) / F.col("n_grams")).alias(
+                "top_bigram_frac"
+            ),
+        )
+        return base.join(rep, "doc_id", "left").select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+
+    return cached_plan(spark, ("quality_signals", sf_dir), build)
+
+
 @query(
     "quality_filter_keep",
     oracle="""
@@ -209,38 +256,7 @@ def quality_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_repetition_stats), and the final join is doc_id-keyed on the
     partitioning the rollup already produced. Ratios are single
     divisions of exact integers — bit-identical across engines."""
-    d = load(spark, sf_dir, "documents")
-    # tokens_col = the shared empty-filtering tokenizer, matching the
-    # oracle's list_filter(string_split_regex(...)) semantics exactly
-    # (a bare split() would count an empty text as one token); the mean
-    # is guarded so a zero-token doc yields NULL, not an ANSI-mode
-    # divide-by-zero
-    toks = tokens_col(F.col("text"))
-    n_toks = F.size(toks)
-    base = d.where(F.col("text").isNotNull()).select(
-        "doc_id",
-        n_toks.cast("long").alias("n_words"),
-        F.when(
-            n_toks > 0,
-            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
-            * F.lit(1.0)
-            / n_toks,
-        ).alias("mean_word_len"),
-    )
-    rep = _gram_counts(d, 2).select(
-        "doc_id",
-        (F.col("top_n") * F.lit(1.0) / F.col("n_grams")).alias(
-            "top_bigram_frac"
-        ),
-    )
-    j = base.join(rep, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        "mean_word_len",
-        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
-            "top_bigram_frac"
-        ),
-    )
+    j = quality_signals(spark, sf_dir)
     flag_words = F.when(F.col("n_words") >= 30, 1).otherwise(0)
     flag_wordlen = F.when(
         (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 5.0), 1
@@ -1157,6 +1173,7 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     from trialstreamer_spark.util import materialize_plan
 
     # building the query DAGs registers the cached subtrees ...
+    quality_signals(spark, sf_dir)
     dsir_importance_weights(spark, sf_dir)
     winnowing_overlap_pairs(spark, sf_dir)
     chunk_dedup_stats(spark, sf_dir)
@@ -1164,6 +1181,7 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     source_overlap_matrix(spark, sf_dir)
     # ... then materialize exactly the sidecar entries
     for name in (
+        "quality_signals",
         "dsir_per_db",
         "winnow_postings",
         "winnow_fp_lists",
@@ -1825,7 +1843,7 @@ def dup_rate_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the exact-dup membership bit (one fingerprint-keyed window —
     the dedup_exact shuffle). Both sides are one row per doc; the final
     rollup has ≤ 4 keys. dup_frac is a single division of exact longs."""
-    from trialstreamer_spark.operators.dedup import normalized_fp
+    from trialstreamer_spark.operators.dedup import exact_fp_census
 
     flags = quality_filter_keep(spark, sf_dir).select(
         "doc_id",
@@ -1839,16 +1857,9 @@ def dup_rate_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("top_bigram_frac") <= 0.1, 1).otherwise(0)
         ).alias("n_flags"),
     )
-    from pyspark.sql import Window as W
-
-    d = load(spark, sf_dir, "documents")
-    dup = d.select(
-        "doc_id", normalized_fp(F.col("text")).alias("fingerprint")
-    ).select(
+    dup = exact_fp_census(spark, sf_dir).select(
         "doc_id",
-        F.when(
-            F.count("*").over(W.partitionBy("fingerprint")) > 1, 1
-        ).otherwise(0).alias("is_dup"),
+        F.when(F.col("n_copies") > 1, 1).otherwise(0).alias("is_dup"),
     )
     return (
         flags.join(dup, "doc_id")
