@@ -127,20 +127,15 @@ def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (what share of all bigrams is the single most common one) and
     duplicate-trigram fraction (share of trigram occurrences whose gram
     appears more than once). High values ⇒ boilerplate/spam ⇒ filtered
-    before training."""
-    d = load(spark, sf_dir, "documents")
-    b = _gram_counts(d, 2).select(
-        "doc_id",
-        F.col("n_grams").alias("n_bigrams"),
-        F.col("top_n").alias("top_bigram_n"),
-    )
-    t = _gram_counts(d, 3).select(
-        "doc_id",
-        F.col("n_grams").alias("n_trigrams"),
-        F.col("dup_n").alias("dup_trigram_n"),
-    )
+    before training. Rides the quality_signals sidecar (the gram
+    rollups run once per corpus version); the non-null filter restores
+    the original inner-join semantics — only docs wide enough for both
+    gram widths appear."""
     return (
-        b.join(t, "doc_id")
+        quality_signals(spark, sf_dir)
+        .where(
+            F.col("n_bigrams").isNotNull() & F.col("n_trigrams").isNotNull()
+        )
         .select(
             "doc_id",
             "n_bigrams",
@@ -185,19 +180,37 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / n_toks,
             ).alias("mean_word_len"),
         )
-        rep = _gram_counts(d, 2).select(
+        # FULL gram statistics ride the sidecar (bigram top/total,
+        # trigram dup/total) so quality_repetition_stats and the flag
+        # computation share one build; gram columns stay NULL for docs
+        # below the gram width (the repetition view's inner-join
+        # semantics need the distinction, the flags coalesce)
+        b2 = _gram_counts(d, 2).select(
             "doc_id",
-            (F.col("top_n") * F.lit(1.0) / F.col("n_grams")).alias(
-                "top_bigram_frac"
-            ),
+            F.col("n_grams").alias("n_bigrams"),
+            F.col("top_n").alias("top_bigram_n"),
         )
-        return base.join(rep, "doc_id", "left").select(
+        t3 = _gram_counts(d, 3).select(
             "doc_id",
-            "n_words",
-            "mean_word_len",
-            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
-                "top_bigram_frac"
-            ),
+            F.col("n_grams").alias("n_trigrams"),
+            F.col("dup_n").alias("dup_trigram_n"),
+        )
+        return (
+            base.join(b2, "doc_id", "left")
+            .join(t3, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_words",
+                "mean_word_len",
+                "n_bigrams",
+                "top_bigram_n",
+                F.coalesce(
+                    F.col("top_bigram_n") * F.lit(1.0) / F.col("n_bigrams"),
+                    F.lit(0.0),
+                ).alias("top_bigram_frac"),
+                "n_trigrams",
+                "dup_trigram_n",
+            )
         )
 
     return cached_plan(spark, ("quality_signals", sf_dir), build)
@@ -693,42 +706,51 @@ def winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_candidates."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
-    grams = (
-        d.where(F.col("text").isNotNull())
-        .select("doc_id", F.posexplode(grams_col(F.col("text"), 3)).alias("pos0", "g"))
-        .select(
+    from trialstreamer_spark.util import cached_plan
+
+    def build_stats() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        grams = (
+            d.where(F.col("text").isNotNull())
+            .select("doc_id", F.posexplode(grams_col(F.col("text"), 3)).alias("pos0", "g"))
+            .select(
+                "doc_id",
+                (F.col("pos0") + 1).alias("pos"),
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+        )
+        w_fwd = (
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+        )
+        sel = grams.select(
             "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h"),
+            "pos",
+            F.min(
+                F.col("h") * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("pos"))
+            )
+            .over(w_fwd)
+            .alias("sel_key"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
         )
-    )
-    w_fwd = (
-        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    )
-    sel = grams.select(
-        "doc_id",
-        "pos",
-        F.min(
-            F.col("h") * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("pos"))
+        return (
+            sel.where(
+                (F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+                & (F.col("n_grams") >= WINNOW_W)
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.max("n_grams").alias("n_grams"),
+                (F.max("n_grams") - (WINNOW_W - 1)).alias("n_windows"),
+                F.countDistinct("sel_key").alias("n_fingerprints"),
+            )
         )
-        .over(w_fwd)
-        .alias("sel_key"),
-        F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
-    )
+
+    # the per-doc fingerprint census is itself a per-corpus featurization
+    # (the winnow analog of quality_signals), so a sidecar
     return (
-        sel.where(
-            (F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
-            & (F.col("n_grams") >= WINNOW_W)
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.max("n_grams").alias("n_grams"),
-            (F.max("n_grams") - (WINNOW_W - 1)).alias("n_windows"),
-            F.countDistinct("sel_key").alias("n_fingerprints"),
-        )
+        cached_plan(spark, ("winnow_doc_stats", sf_dir), build_stats)
         .select(
             "doc_id",
             "n_grams",
@@ -1089,6 +1111,30 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h, n_occ) — one row per chunk with its content hash and
+    the hash's CORPUS occurrence count stamped at build (the same
+    statistic-on-the-feature-row pattern as postings' df and
+    doc_tf_stats' f): the census window over h is paid once per corpus
+    version, and every consumer — dup-chunk stats, the erasure audit,
+    decontamination — reads without re-shuffling on h. Landed
+    repartitioned on doc_id so per-doc rollups are exchange-free."""
+    from trialstreamer_spark.util import cached_plan
+
+    def build() -> DataFrame:
+        from pyspark.sql import Window as W
+
+        n_parts = spark.sparkContext.defaultParallelism
+        return (
+            doc_chunks(spark, sf_dir)
+            .select("doc_id", F.col("chunk_md5").alias("h"))
+            .withColumn("n_occ", F.count("*").over(W.partitionBy("h")))
+            .repartition(n_parts, F.col("doc_id"))
+        )
+
+    return cached_plan(spark, ("chunk_hashes", sf_dir), build)
+
+
 @query(
     "chunk_dedup_stats",
     oracle=f"""
@@ -1128,24 +1174,14 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signal used to strip boilerplate from otherwise-unique documents
     that whole-document dedup keeps.
 
-    Scale shape: chunking is doc_chunks' pure map stage; the global
-    chunk-hash census shuffles (md5, count) pairs — md5-uniform keys, no
-    skew valve needed — and the per-doc rollup rides the doc_id keys the
-    chunk stream already carries. At 100 TB the census output is the
-    corpus's chunk-frequency sidecar, shareable with decontamination."""
-    from trialstreamer_spark.util import cached_plan
-
-    ch = cached_plan(
-        spark,
-        ("chunk_hashes", sf_dir),
-        lambda: doc_chunks(spark, sf_dir).select(
-            "doc_id", F.col("chunk_md5").alias("h")
-        ),
-    )
-    g = ch.groupBy("h").agg(F.count("*").alias("n_occ"))
+    Scale shape: rides the chunk_hashes sidecar, which stamps each
+    chunk's corpus occurrence count at build (one md5-keyed census
+    window per corpus version — md5-uniform keys, no skew valve
+    needed); the query is a single exchange-free per-doc rollup over
+    the doc_id-partitioned sidecar."""
+    ch = chunk_hashes(spark, sf_dir)
     return (
-        ch.join(g, "h")
-        .groupBy("doc_id")
+        ch.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
@@ -1175,6 +1211,7 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     # building the query DAGs registers the cached subtrees ...
     quality_signals(spark, sf_dir)
     dsir_importance_weights(spark, sf_dir)
+    winnowing_stats(spark, sf_dir)
     winnowing_overlap_pairs(spark, sf_dir)
     chunk_dedup_stats(spark, sf_dir)
     _span_windows(spark, sf_dir)
@@ -1182,6 +1219,7 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     # ... then materialize exactly the sidecar entries
     for name in (
         "quality_signals",
+        "winnow_doc_stats",
         "dsir_per_db",
         "winnow_postings",
         "winnow_fp_lists",
@@ -1747,19 +1785,11 @@ def erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    from trialstreamer_spark.util import cached_plan
-
     # the chunk leg rides the SAME chunk_hashes sidecar chunk_dedup_stats
     # persists (one row per chunk — exactly the purge unit), so the audit
     # never re-tokenizes; the shingle leg likewise reads the prepared
     # postings
-    chunks = cached_plan(
-        spark,
-        ("chunk_hashes", sf_dir),
-        lambda: doc_chunks(spark, sf_dir).select(
-            "doc_id", F.col("chunk_md5").alias("h")
-        ),
-    )
+    chunks = chunk_hashes(spark, sf_dir)
     legs = [
         leg(chunks, "chunks"),
         leg(d, "documents"),

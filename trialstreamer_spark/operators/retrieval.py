@@ -288,8 +288,13 @@ def doc_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("tf"))
         )
         n_parts = spark.sparkContext.defaultParallelism
+        tok_w = W.partitionBy("tok")
         return (
-            tf.withColumn("df", F.count("*").over(W.partitionBy("tok")))
+            # df AND the token's global occurrence count f ride the same
+            # tok-keyed window (one exchange computes both): df powers
+            # idf, f powers the unigram-LM frequency score
+            tf.withColumn("df", F.count("*").over(tok_w))
+            .withColumn("f", F.sum("tf").over(tok_w))
             .crossJoin(
                 F.broadcast(tf.agg(F.countDistinct("doc_id").alias("n")))
             )

@@ -414,22 +414,23 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison. Low score = rare-token-heavy (OCR noise, code, gibberish);
     high = boilerplate-common tokens; both tails get reviewed.
 
-    Scale shape: one explode feeds both arms; the vocab rollup is
-    map-side partial-aggregated (shuffle bounded by vocab, not corpus);
-    the freq join is a vocab-table equi-join AQE sizes (broadcast while
-    the vocab fits, shuffle-hash beyond), and the per-doc rollup reuses
-    the doc_id partitioning discipline of the other textstats plans."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
-    )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    Scale shape: rides the doc_tf_stats sidecar (retrieval's inverted
+    index with statistics — f, the token's global occurrence count, is
+    stamped on the same tok window that computes df, so the build pays
+    no extra exchange). The score is a pure per-doc rollup over the
+    doc_id-partitioned sidecar: Σtf = instance count, Σ(tf·f) = the
+    instance-frequency sum — identical to the explode-and-join
+    formulation, with zero corpus re-tokenization at query time."""
+    from trialstreamer_spark.operators.retrieval import doc_tf_stats
+
+    s = doc_tf_stats(spark, sf_dir)
     return (
-        toks.join(freq, "tok")
-        .groupBy("doc_id")
+        s.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            (F.sum("f") * F.lit(1.0) / F.count("*")).alias("avg_tok_freq"),
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.col("f")) * F.lit(1.0) / F.sum("tf")
+            ).alias("avg_tok_freq"),
         )
         .orderBy("doc_id")
     )
