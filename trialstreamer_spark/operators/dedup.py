@@ -198,11 +198,19 @@ def prepare_dedup(spark: SparkSession, sf_dir: str) -> None:
     # histogram, and canonical application
     cc_labels(spark, sf_dir).count()
     # stage 4: the exact-fingerprint census (dedup_exact + cross-signal
-    # joins)
+    # joins) and the capped-Jaccard shared-shingle lists (the registered
+    # df_cap=5 configuration)
     from trialstreamer_spark.util import materialize_plan
 
     exact_fp_census(spark, sf_dir)
     materialize_plan(spark, ("exact_fp_census", sf_dir))
+    jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.2,
+        df_cap=5,
+        cache_key=sf_dir,
+    )
+    materialize_plan(spark, ("jaccard_doc_lists", sf_dir, 5))
 
 
 def minhash_signatures(
@@ -373,10 +381,29 @@ def jaccard_pairs(
         sh = kept.withColumn(
             "n_sh", F.count("*").over(W.partitionBy("doc_id"))
         ).select("doc_id", "n_sh", "shingle")
+
+        def build_lists() -> DataFrame:
+            # SHARED shingles only (singletons generate no pairs), with
+            # the post-prune set size stamped in the structs — the same
+            # lists-sidecar shape as winnow_fp_lists
+            return (
+                sh.groupBy("shingle")
+                .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+                .where(F.size("ds") > 1)
+            )
+
+        if cache_key is not None:
+            from trialstreamer_spark.util import cached_plan
+
+            lists = cached_plan(
+                docs.sparkSession,
+                ("jaccard_doc_lists", cache_key, df_cap),
+                build_lists,
+            )
+        else:
+            lists = build_lists()
         paired = (
-            sh.groupBy("shingle")
-            .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
-            .select(F.explode("ds").alias("a"), "ds")
+            lists.select(F.explode("ds").alias("a"), "ds")
             .select("a", F.explode("ds").alias("b"))
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
         )
