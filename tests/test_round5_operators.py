@@ -206,3 +206,22 @@ def test_dedup_token_savings_reconciles(spark, sf_dir):
         assert abs(
             r.removed_frac - (r.tokens_total - r.tokens_kept) / r.tokens_total
         ) < 1e-12
+
+
+def test_nprobe_recall_curve_is_monotone_and_consistent(spark, sf_dir):
+    """Recall@10 must be non-decreasing in nprobe for every query
+    (candidate sets are nested), and the nprobe=2 column must equal
+    ann_recall_at_k (the same measurement at the fixed operating
+    point)."""
+    rows = QUERIES["ann_nprobe_recall_curve"](spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.n_overlap
+    assert by_q and all(set(v) == {1, 2, 3} for v in by_q.values())
+    for q, v in by_q.items():
+        assert v[1] <= v[2] <= v[3] <= 10
+    fixed = {
+        r.query_id: r.n_overlap
+        for r in QUERIES["ann_recall_at_k"](spark, sf_dir).collect()
+    }
+    assert {q: v[2] for q, v in by_q.items()} == fixed

@@ -1288,3 +1288,154 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "ann_nprobe_recall_curve",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             CAST({_DD_DOT_FP.format(a="e.embedding", b="q.qvec")} AS BIGINT)
+               / SQRT(CAST(CAST({_DD_DOT_FP.format(a="e.embedding", b="e.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_DD_DOT_FP.format(a="q.qvec", b="q.qvec")} AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    cc AS (
+      SELECT label, CAST(idx AS INTEGER) AS idx,
+             CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*) AS c
+      FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
+                   unnest(embedding) AS val
+            FROM embeddings)
+      GROUP BY label, idx
+    ),
+    cent AS (SELECT label, list(c ORDER BY idx) AS cvec FROM cc GROUP BY label),
+    cellrank AS (
+      SELECT q.query_id, cent.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY CAST({_DD_DOT_FP.format(a="cent.cvec", b="q.qvec")} AS BIGINT)
+                          / SQRT(CAST(CAST({_DD_DOT_FP.format(a="cent.cvec", b="cent.cvec")} AS BIGINT) AS DOUBLE)
+                                 * CAST(CAST({_DD_DOT_FP.format(a="q.qvec", b="q.qvec")} AS BIGINT) AS DOUBLE)) DESC,
+                        cent.label) AS crn
+      FROM cent, q
+    ),
+    probes AS (SELECT unnest([1, 2, 3]) AS nprobe),
+    ivf AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT p.nprobe AS nprobe, s.query_id AS query_id,
+               s.neighbor_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.nprobe, s.query_id
+                                  ORDER BY s.cosine DESC, s.neighbor_id) AS rn
+        FROM probes p
+        JOIN cellrank c ON c.crn <= p.nprobe
+        JOIN scored s ON s.query_id = c.query_id AND s.label = c.label
+      ) WHERE rn <= 10
+    )
+    SELECT p.nprobe AS nprobe, b.query_id AS query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+           COUNT(i.neighbor_id) / 10.0 AS recall_at_10
+    FROM probes p
+    CROSS JOIN brute b
+    LEFT JOIN ivf i
+      ON i.nprobe = p.nprobe AND i.query_id = b.query_id
+     AND i.neighbor_id = b.neighbor_id
+    GROUP BY p.nprobe, b.query_id
+    ORDER BY nprobe, query_id
+    """,
+)
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality-vs-cost tuning curve: recall@10 against exact brute
+    force for nprobe = 1, 2, 3 over the query panel — the ANN analog of
+    minhash_band_tuning, and the measurement that picks the
+    probes-per-query operating point before a corpus-wide ANN job
+    (recall rises with nprobe, so does the share of the corpus scanned;
+    the curve's knee is the budget decision).
+
+    Scale shape: the fused one-pass design of ann_recall_at_k extended
+    to a CURVE for free — probe cells are nested (cells(1) ⊆ cells(2) ⊆
+    cells(3)), so the same single sorted window pass carries one
+    running in-cell count PER nprobe (three integer sums over the
+    identical frame, no extra scan, no extra shuffle); the per-nprobe
+    rollup then unpivots driver-free with stack(). The oracle spells
+    the same semantics as three materialized IVF arms."""
+    from pyspark.sql import Window as W
+
+    n_q, k, max_probe = 5, 10, 3
+    e = load(spark, sf_dir, "embeddings")
+    scored = _multi_query_scores(e, sf_dir, n_q)
+    cents = ivf_centroids(spark, sf_dir)
+    rank_of = {}
+    for qid in range(n_q):
+        ordered = ivf_probe_cells(
+            cents,
+            _query_vector(e, qid, "vec_id", "embedding", cache_key=sf_dir),
+            max_probe,
+        )
+        for pos, lbl in enumerate(ordered):
+            rank_of[(qid, int(lbl))] = pos + 1
+    packed = F.col("query_id").cast("long") * F.lit(1_000_000) + F.col(
+        "label"
+    ).cast("long")
+    in_p = {
+        p: packed.isin(
+            [q * 1_000_000 + c for (q, c), r in sorted(rank_of.items()) if r <= p]
+        )
+        for p in range(1, max_probe + 1)
+    }
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w).alias("brute_rn"),
+        *[
+            c
+            for p in in_p
+            for c in (
+                F.sum(in_p[p].cast("int")).over(run).alias(f"ivf_rn_{p}"),
+                in_p[p].alias(f"in_cell_{p}"),
+            )
+        ],
+    )
+    agg = (
+        ranked.filter(F.col("brute_rn") <= k)
+        .groupBy("query_id")
+        .agg(
+            *[
+                F.sum(
+                    (
+                        F.col(f"in_cell_{p}") & (F.col(f"ivf_rn_{p}") <= k)
+                    ).cast("int")
+                )
+                .cast("long")
+                .alias(f"o_{p}")
+                for p in in_p
+            ]
+        )
+    )
+    stack_expr = "stack(3, " + ", ".join(
+        f"{p}, o_{p}" for p in sorted(in_p)
+    ) + ") as (nprobe, n_overlap)"
+    return (
+        agg.select("query_id", F.expr(stack_expr))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "query_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .orderBy("nprobe", "query_id")
+    )
