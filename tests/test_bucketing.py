@@ -62,3 +62,28 @@ def test_unbucketed_join_shuffles(spark, bucketed_tables):
     joined = spark.table(art).join(plain.hint("merge"), "pmid")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plan
+
+
+def test_merge_upsert_bucketed_target_never_shuffles(spark, bucketed_tables):
+    """The MERGE scale contract (operators/upsert.py docstring): with
+    the target bucketed on the key and a daily-batch-sized update, both
+    anti-joins run as broadcast joins — the corpus-sized target is never
+    exchanged. A SortMergeJoin here would mean the ingest re-shuffles
+    the whole table every batch."""
+    from trialstreamer_spark.operators.upsert import merge_upsert
+
+    target = spark.table("bt_articles")
+    batch = spark.range(0, 20).select(
+        F.concat(F.lit("p"), F.col("id")).alias("pmid"),
+        (F.col("id") % 7).alias("x"),
+    )
+    deletes = spark.range(990, 995).select(
+        F.concat(F.lit("p"), F.col("id")).alias("pmid")
+    )
+    out = merge_upsert(target, batch, "pmid", deletes=deletes)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2
+    # and the semantics: deletes applied, batch upserted
+    got = {r.pmid for r in out.select("pmid").collect()}
+    assert "p990" not in got and "p0" in got and "p19" in got
