@@ -225,3 +225,17 @@ def test_nprobe_recall_curve_is_monotone_and_consistent(spark, sf_dir):
         for r in QUERIES["ann_recall_at_k"](spark, sf_dir).collect()
     }
     assert {q: v[2] for q, v in by_q.items()} == fixed
+
+
+def test_upsert_sink_parity_reuses_completed_replay(spark, sf_dir):
+    """Second call serves from the merged table without re-running the
+    stream, and agrees row-for-row."""
+    from trialstreamer_spark.streaming import parity
+
+    first = QUERIES["upsert_sink_stream_parity"](spark, sf_dir).collect()
+    key = (id(spark._jsparkSession), sf_dir)
+    assert key in parity._UPSERT_SINK_CACHE
+    tbl_dir = parity._UPSERT_SINK_CACHE[key][1]
+    second = QUERIES["upsert_sink_stream_parity"](spark, sf_dir).collect()
+    assert parity._UPSERT_SINK_CACHE[key][1] == tbl_dir
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))

@@ -702,3 +702,72 @@ def kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "kmeans_cluster_balance",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             CAST({_DOT.format(a="e.embedding", b="e.embedding")} AS BIGINT)
+             - 2 * CAST({_DOT.format(a="e.embedding", b="c.cemb")} AS BIGINT)
+             + CAST({_DOT.format(a="c.cemb", b="c.cemb")} AS BIGINT) AS dist_fp
+      FROM embeddings e CROSS JOIN c
+    ),
+    best AS (
+      SELECT vec_id, cid, dist_fp,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+      FROM d
+    ),
+    asn AS (SELECT vec_id, cid AS cluster, dist_fp FROM best WHERE rn = 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM asn)
+    SELECT CAST(a.cluster AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST((1000000 * COUNT(*)) // t.n_total AS BIGINT) AS share_fp,
+           CAST((1000000 * {K_CLUSTERS} * COUNT(*)) // t.n_total AS BIGINT)
+             AS balance_fp,
+           CAST(MAX(a.dist_fp) AS BIGINT) AS max_dist_fp
+    FROM asn a CROSS JOIN tot t
+    GROUP BY a.cluster, t.n_total
+    ORDER BY cluster
+    """,
+)
+def kmeans_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-load audit for the IVF/k-means partitioning: per cluster,
+    its vector count, fixed-point corpus share, balance factor (share ×
+    k — 10⁶ means perfectly balanced; ≫10⁶ flags a hot cell that will
+    dominate every probe that touches it), and the worst assignment
+    distance (a large max_dist_fp marks a cell whose tail is barely
+    represented by its centroid — split candidates). The partition-skew
+    dashboard every IVF deployment watches before fixing nlist/nprobe.
+
+    Determinism: shares are integer divisions of exact counts
+    (`(10⁶·n) div N`), distances the fixed-point kernel's int64 — no
+    float crosses the oracle boundary.
+
+    Scale shape: one Arrow assignment pass (centroids in the closure) →
+    per-cluster rollup partial-aggregated map-side to k rows → a 1-row
+    broadcast total. Nothing shuffles but (cluster, partial) rows."""
+    asn = kmeans_assign(spark, sf_dir)
+    tot = asn.agg(F.count("*").alias("n_total"))
+    return (
+        asn.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.max("dist_fp").alias("max_dist_fp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "n_vecs",
+            F.expr("(1000000 * n_vecs) DIV n_total").alias("share_fp"),
+            F.expr(f"(1000000 * {K_CLUSTERS} * n_vecs) DIV n_total").alias(
+                "balance_fp"
+            ),
+            "max_dist_fp",
+        )
+        .orderBy("cluster")
+    )

@@ -176,6 +176,7 @@ def prepare_parity(spark: SparkSession, sf_dir: str) -> None:
         "dedup_stream_parity",
         "stream_static_join_parity",
         "stream_stream_join_parity",
+        "upsert_sink_stream_parity",
     ):
         QUERIES[name](spark, sf_dir)
 
@@ -491,4 +492,114 @@ def hopping_rollup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
         )
         .orderBy("window_start_us", "event_type")
+    )
+
+
+# (session JVM id, corpus dir) → (spark, warehouse dir, checkpoint dir)
+# for the completed foreachBatch-MERGE replay below.
+_UPSERT_SINK_CACHE: dict[tuple[int, str], tuple[SparkSession, str, str]] = {}
+
+
+def _evict_upsert_sinks(token: str) -> None:
+    from trialstreamer_spark.util import _path_related
+
+    for k in [k for k in _UPSERT_SINK_CACHE if _path_related(k[1], token)]:
+        _spark, tbl_dir, ckpt = _UPSERT_SINK_CACHE.pop(k)
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+util.register_cache_evictor(_evict_upsert_sinks)
+
+
+@query(
+    "upsert_sink_stream_parity",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type,
+           event_id AS last_event_id,
+           ts_us AS last_ts_us,
+           CAST(round(value * 100) AS BIGINT) AS last_cents
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def upsert_sink_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PRODUCTION-SINK parity: the events stream runs through
+    foreachBatch → keep-last dedupe → ParquetTable MERGE (the exact
+    S13–S16 ingest path the PubMed pipeline uses, on the driver-checkable
+    events table), and the resulting latest-state table must equal the
+    batch keep-last per (user_id, event_type). This closes the one
+    streaming seam the memory-sink parity queries don't exercise: the
+    keyed upsert sink itself, version pointer flip included.
+
+    Determinism: single-batch replay (one file source), keep-last
+    ordered by (ts DESC, event_id DESC) — a total order; money is
+    per-row integer cents.
+
+    Scale shape: each micro-batch dedupes keep-last within itself
+    (row_number window over the batch, not the table) and MERGE
+    broadcast-anti-joins the batch against the target, so the table
+    never shuffles per batch (asserted for bucketed targets in
+    tests/test_bucketing.py)."""
+    from pyspark.sql import Window as W
+
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    key = (id(spark._jsparkSession), sf_dir)
+    hit = _UPSERT_SINK_CACHE.get(key)
+    if hit is None:
+        tbl_dir = tempfile.mkdtemp(prefix="upsert_sink_")
+        ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_", dir=ckpt_base)
+        table = ParquetTable(
+            spark, os.path.join(tbl_dir, "events_latest"), gc_min_age_s=0.0
+        )
+
+        def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+            w = W.partitionBy("user_id", "event_type").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            uniq = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .withColumn(
+                    "__k",
+                    F.concat_ws(
+                        "|", F.col("user_id").cast("string"), "event_type"
+                    ),
+                )
+            )
+            table.merge(uniq, "__k")
+
+        q = (
+            _stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _UPSERT_SINK_CACHE[key] = (spark, tbl_dir, ckpt)
+    else:
+        tbl_dir = hit[1]
+        table = ParquetTable(
+            spark, os.path.join(tbl_dir, "events_latest"), gc_min_age_s=0.0
+        )
+    return (
+        table.read()
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.round(F.col("value") * 100).cast("long").alias("last_cents"),
+        )
+        .orderBy("user_id", "event_type")
     )
