@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-import trialstreamer_spark.plans.relational  # noqa: F401
+import trialstreamer_spark.plans.all_queries  # noqa: F401  (full registry fill)
 from trialstreamer_spark.plans.registry import ORACLES, QUERIES
 
 from tests.oracle_util import assert_matches

@@ -239,3 +239,31 @@ def test_upsert_sink_parity_reuses_completed_replay(spark, sf_dir):
     second = QUERIES["upsert_sink_stream_parity"](spark, sf_dir).collect()
     assert parity._UPSERT_SINK_CACHE[key][1] == tbl_dir
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_multimodal_phash_dedup_pairs_are_valid(spark, sf_dir):
+    rows = QUERIES["multimodal_phash_dedup"](spark, sf_dir).collect()
+    assert rows  # prefix-canonical near-dups exist at every SF
+    seen = set()
+    for r in rows:
+        assert r.media_a < r.media_b
+        assert 0 <= r.hamming <= 8
+        assert (r.media_a, r.media_b) not in seen
+        seen.add((r.media_a, r.media_b))
+
+
+def test_lang_confusion_matrix_partitions_corpus(spark, sf_dir):
+    rows = QUERIES["lang_confusion_matrix"](spark, sf_dir).collect()
+    assert rows
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    from collections import defaultdict
+
+    per_lang = defaultdict(int)
+    for r in rows:
+        per_lang[r.lang] += r.frac_fp
+        assert 0 <= r.frac_fp <= 1_000_000
+    # integer-division shares per labeled lang sum to ~1e6 (floor loss
+    # bounded by the number of cells in the row)
+    for lang, tot in per_lang.items():
+        assert 1_000_000 - 10 <= tot <= 1_000_000

@@ -211,6 +211,11 @@ def prepare_dedup(spark: SparkSession, sf_dir: str) -> None:
         cache_key=sf_dir,
     )
     materialize_plan(spark, ("jaccard_doc_lists", sf_dir, 5))
+    # stage 5: the media perceptual-hash band index (multimodal dedup)
+    from trialstreamer_spark.operators.multimodal import multimodal_phash_dedup
+
+    multimodal_phash_dedup(spark, sf_dir)
+    materialize_plan(spark, ("media_phash_bands", sf_dir))
 
 
 def minhash_signatures(

@@ -397,3 +397,152 @@ def multimodal_audio_segments(spark, sf_dir: str) -> DataFrame:
         .select("media_id", "seg_idx", "start_ms", "end_ms", "n_samples")
         .orderBy("media_id", "seg_idx")
     )
+
+
+#: Perceptual-hash geometry for the media near-dup path: a 60-bit hash
+#: (15 md5 hex chars — int64-safe in every engine), banded into 4
+#: 15-bit LSH buckets (4 hex chars each from the leading 16), candidate
+#: pairs verified by Hamming distance ≤ PHASH_MAX_HAMMING.
+PHASH_HEX = 15
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 8
+#: The deterministic "decode" downsamples the blob to its canonical
+#: 12-token prefix before hashing — the thumbnail step of a real
+#: perceptual hash (downsample → hash), so blobs of near-identical
+#: media collide while the pipeline stays bit-exact and oracle-checkable.
+PHASH_PREFIX_TOKENS = 12
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id AS media_id,
+             md5(array_to_string(list_slice(list_filter(
+                 string_split_regex(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+                   '\s+'),
+                 t -> t <> ''), 1, {PHASH_PREFIX_TOKENS}), ' ')) AS m
+      FROM documents
+    ),
+    ph AS (
+      SELECT media_id,
+             ('0x' || substr(m, 1, {PHASH_HEX}))::BIGINT AS phash,
+             substr(m, 1, 16) AS hex16
+      FROM dec
+    ),
+    bands AS (
+      SELECT media_id, phash, i AS band_id,
+             substr(hex16, 1 + 4 * i, 4) AS band_key
+      FROM ph, UNNEST(range(0, {PHASH_BANDS})) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.media_id < b.media_id
+    )
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
+    ORDER BY media_a, media_b
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir: str) -> DataFrame:
+    """Near-dup detection for BINARY media columns: perceptual-hash LSH
+    — decode each blob to its canonical representation, hash to a
+    60-bit fingerprint, band into 4 buckets, equi-join bucket
+    collisions, verify candidates by Hamming distance. The standard
+    image-dedup shape (pHash/aHash + banded Hamming join); the
+    DECODE+HASH is the deterministic codec-seam stand-in (text
+    normalization + md5 over the decoded bytes — a real deployment
+    swaps in a true perceptual hash
+    behind the same column contract, exactly like extract_features'
+    decoder seam), while the banding, candidate join, XOR/bit_count
+    verify, and pair output are the production plumbing, all JVM-side.
+
+    Scale shape: identical to minhash_candidates — band-bucket equi-join
+    over a (media, 4-band) table, never media × media; the binary never
+    leaves the scan (the fingerprint is computed in the JVM); verify is
+    two integer ops per candidate pair. At 100 TB the fingerprint table
+    is the persisted sidecar and re-banding for a different radius is a
+    metadata-only operation."""
+    from trialstreamer_spark.io import load
+
+    from trialstreamer_spark.util import cached_plan
+
+    def build_bands() -> DataFrame:
+        media = synthesize_media(load(spark, sf_dir, "documents"))
+        # "decode" the blob: normalize the decoded bytes and DOWNSAMPLE
+        # to the canonical PHASH_PREFIX_TOKENS-token prefix (the
+        # thumbnail step a real perceptual hash performs on pixels),
+        # then hash. The fingerprint+band table is the persisted media
+        # index — built once per corpus version (both sides of the
+        # candidate self-join read it; uncached, each side would decode
+        # the whole media corpus independently).
+        norm = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.col("content").cast("string")),
+                    "[^a-z0-9 ]",
+                    " ",
+                ),
+                " +",
+                " ",
+            )
+        )
+        toks = F.filter(F.split(norm, r"\s+"), lambda t: t != "")
+        md5c = F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, PHASH_PREFIX_TOKENS))
+        )
+        n_parts = spark.sparkContext.defaultParallelism
+        return (
+            media.repartition(n_parts, F.col("media_id"))
+            .select(
+                "media_id",
+                F.conv(F.substring(md5c, 1, PHASH_HEX), 16, 10)
+                .cast("long")
+                .alias("phash"),
+                F.substring(md5c, 1, 16).alias("hex16"),
+            )
+            .select(
+                "media_id",
+                "phash",
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.substring("hex16", 1 + 4 * i, 4)
+                            for i in range(PHASH_BANDS)
+                        ]
+                    )
+                ).alias("band_id", "band_key"),
+            )
+        )
+
+    bands = cached_plan(spark, ("media_phash_bands", sf_dir), build_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.expr("bit_count(pa ^ pb)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+        .where(hamming <= PHASH_MAX_HAMMING)
+        .select(
+            "media_a",
+            "media_b",
+            hamming.cast("int").alias("hamming"),
+        )
+        .orderBy("media_a", "media_b")
+    )

@@ -946,3 +946,78 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {{TOKS}} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in'))) AS INTEGER) AS score_en,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y','los'))) AS INTEGER) AS score_es,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','ein'))) AS INTEGER) AS score_de,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','des','un'))) AS INTEGER) AS score_fr
+      FROM t
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'unknown'
+                  WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                  WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                  WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                  WHEN score_fr = greatest(score_en, score_es, score_de, score_fr) THEN 'fr'
+                  ELSE 'unknown' END AS lang_pred
+      FROM s
+    ), cells AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM pred
+      GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n,
+           CAST((1000000 * n) // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+             AS frac_fp
+    FROM cells
+    ORDER BY lang, lang_pred
+    """.format(TOKS=_DD_TOKS),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation against the corpus's labeled lang column:
+    the (labeled, predicted) confusion matrix with each cell's
+    fixed-point share of its labeled row — the accuracy/leakage report
+    that decides whether the cheap n-gram heuristic suffices for a
+    source or a real classifier is needed (the diagonal is per-language
+    recall; off-diagonal mass localizes which pairs confuse).
+
+    Scale shape: ONE projection pass scores all language profiles (no
+    join back to the labels — the label rides the same scan), then a
+    rollup whose key space is |langs|² and a window over that tiny
+    frame. Shares are integer divisions of exact counts."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    scored = d.select(
+        "lang",
+        *[
+            profile_hits(toks, words).alias(f"score_{lang}")
+            for lang, words in LANG_PROFILES.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_PROFILES:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    from pyspark.sql import Window as W
+
+    return (
+        scored.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .withColumn("total", F.sum("n").over(W.partitionBy("lang")))
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("(1000000 * n) DIV total").alias("frac_fp"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
