@@ -63,6 +63,10 @@ def test_fp_dot_is_symmetric_and_order_independent(a, b, perm):
 )
 @settings(
     max_examples=30,
+    # no wall-clock deadline: the numpy kernel is fast, but a loaded
+    # machine (full-suite parallel Spark stages) can push one example
+    # past hypothesis's default 200 ms and flake the run
+    deadline=None,
     suppress_health_check=[HealthCheck.large_base_example],
 )
 def test_adc_lut_matches_scalar_subspace_distances(seeds, q):

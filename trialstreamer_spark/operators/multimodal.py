@@ -421,7 +421,7 @@ PHASH_PREFIX_TOKENS = 12
              md5(array_to_string(list_slice(list_filter(
                  string_split_regex(trim(regexp_replace(regexp_replace(
                      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
-                   '\s+'),
+                   '\\s+'),
                  t -> t <> ''), 1, {PHASH_PREFIX_TOKENS}), ' ')) AS m
       FROM documents
     ),

@@ -1210,6 +1210,9 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
 
     # building the query DAGs registers the cached subtrees ...
     quality_signals(spark, sf_dir)
+    from trialstreamer_spark.operators.textstats import lang_scores
+
+    lang_scores(spark, sf_dir)
     dsir_importance_weights(spark, sf_dir)
     winnowing_stats(spark, sf_dir)
     winnowing_overlap_pairs(spark, sf_dir)
@@ -1219,6 +1222,7 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     # ... then materialize exactly the sidecar entries
     for name in (
         "quality_signals",
+        "lang_scores",
         "winnow_doc_stats",
         "dsir_per_db",
         "winnow_postings",

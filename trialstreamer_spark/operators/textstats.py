@@ -148,6 +148,28 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-profile hit counts (doc_id, lang, score_*)
+    — the featurization behind lang_id and the confusion matrix, built
+    once per corpus version (the profile scan is the whole cost of both
+    queries)."""
+    from trialstreamer_spark.util import cached_plan
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        toks = tokens_col(F.col("text"))
+        return d.select(
+            "doc_id",
+            "lang",
+            *[
+                profile_hits(toks, words).alias(f"score_{lang}")
+                for lang, words in LANG_PROFILES.items()
+            ],
+        )
+
+    return cached_plan(spark, ("lang_scores", sf_dir), build)
+
+
 @query(
     "lang_id",
     oracle=f"""
@@ -174,18 +196,10 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (argmax over per-language hit counts,
-    deterministic tie-break in profile order). The Spark plan is a single
-    projection of array expressions — the 100 TB cost is one pass over
-    text bytes."""
-    d = load(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    scored = d.select(
-        "doc_id",
-        *[
-            profile_hits(toks, words).alias(f"score_{lang}")
-            for lang, words in LANG_PROFILES.items()
-        ],
-    )
+    deterministic tie-break in profile order). Rides the lang_scores
+    sidecar — the 100 TB cost is one pass over text bytes per corpus
+    version, shared with the confusion matrix."""
+    scored = lang_scores(spark, sf_dir).drop("lang")
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
     pred = F.when(best == 0, F.lit("unknown"))
     for lang in LANG_PROFILES:
@@ -992,15 +1006,7 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back to the labels — the label rides the same scan), then a
     rollup whose key space is |langs|² and a window over that tiny
     frame. Shares are integer divisions of exact counts."""
-    d = load(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    scored = d.select(
-        "lang",
-        *[
-            profile_hits(toks, words).alias(f"score_{lang}")
-            for lang, words in LANG_PROFILES.items()
-        ],
-    )
+    scored = lang_scores(spark, sf_dir)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
     pred = F.when(best == 0, F.lit("unknown"))
     for lang in LANG_PROFILES:
