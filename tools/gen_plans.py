@@ -122,6 +122,24 @@ HEADLINERS = [
         "norm audit: one map pass for fixed-point norms, per-label stats "
         "broadcast back — the corpus never shuffles",
     ),
+    (
+        "dedup_jaccard_capped",
+        "capped Jaccard: pair explode + rollup over the shared-shingle "
+        "lists sidecar (n_sh stamped in the structs) — no grouping "
+        "shuffle, no join back to a per-doc table",
+    ),
+    (
+        "multimodal_phash_dedup",
+        "binary-media near-dup: band-bucket equi-join over the "
+        "fingerprint sidecar, XOR/bit_count Hamming verify — never "
+        "media x media, binary never leaves the JVM",
+    ),
+    (
+        "ann_nprobe_recall_curve",
+        "IVF tuning curve: ONE sorted window pass over the panel-score "
+        "sidecar carries a running in-cell count per nprobe; stack() "
+        "unpivot, no extra scan per curve point",
+    ),
 ]
 
 
