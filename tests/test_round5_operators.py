@@ -267,3 +267,33 @@ def test_lang_confusion_matrix_partitions_corpus(spark, sf_dir):
     # bounded by the number of cells in the row)
     for lang, tot in per_lang.items():
         assert 1_000_000 - 10 <= tot <= 1_000_000
+
+
+def test_doc_length_histogram_reconciles(spark, sf_dir):
+    rows = QUERIES["doc_length_histogram"](spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.bucket_lo % 32 == 0
+        # token mass consistent with the bucket bounds
+        assert r.bucket_lo * r.n_docs <= r.n_tokens_total
+        assert r.n_tokens_total < (r.bucket_lo + 32) * r.n_docs
+
+
+def test_event_transitions_reconcile(spark, sf_dir):
+    rows = QUERIES["event_type_transitions"](spark, sf_dir).collect()
+    n_events = load(spark, sf_dir, "events").count()
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n for r in rows) == n_events
+    start_mass = sum(r.n for r in rows if r.prev_type == "(start)")
+    assert start_mass == n_users  # exactly one opening event per user
+    from collections import defaultdict
+
+    per_prev = defaultdict(int)
+    for r in rows:
+        per_prev[r.prev_type] += r.frac_fp
+        assert 0 <= r.frac_fp <= 1_000_000
+    for tot in per_prev.values():
+        assert 1_000_000 - 10 <= tot <= 1_000_000

@@ -1027,3 +1027,52 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+#: Sequence-length histogram bucket width (tokens) — matches the
+#: packing chunk scale so the histogram reads directly as "how many
+#: sequences fit per bucket".
+LEN_BUCKET = 32
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT CAST((n_tokens // {LEN_BUCKET}) * {LEN_BUCKET} AS BIGINT)
+             AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM t
+    GROUP BY 1
+    ORDER BY bucket_lo
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in LEN_BUCKET-token buckets (doc
+    count and token mass per bucket) — the histogram that sizes
+    max_seq_len, predicts packing efficiency (sequence_packing's waste
+    is the mass above each candidate cut), and exposes truncation loss
+    before a training run commits to a context length.
+
+    Scale shape: one scan-side projection (token count), one
+    aggregation whose key space is the bucket count — entirely
+    map-side-combinable; integers throughout."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col(F.col("text"))).cast("long")
+    return (
+        d.select(
+            ((n_tokens / LEN_BUCKET).cast("long") * LEN_BUCKET).alias(
+                "bucket_lo"
+            ),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+        )
+        .orderBy("bucket_lo")
+    )

@@ -1593,3 +1593,67 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_late_orders"))
         .orderBy("priority")
     )
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                      '(start)') AS prev_type
+      FROM events
+    ),
+    cells AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           CAST((1000000 * n) // SUM(n) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS frac_fp
+    FROM cells
+    ORDER BY prev_type, event_type
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition census: per-user event streams
+    ordered by (ts, event_id), each event paired with its predecessor
+    type ('(start)' for session-opening events), rolled into the
+    (prev → next) matrix with fixed-point row shares — the empirical
+    Markov chain behind funnel design, anomaly baselines ("purchase
+    after error" spikes), and session simulators.
+
+    Scale shape: one sort-shuffle on user_id for the lag window (the
+    same exchange sessionize uses — on a user-bucketed event log, none),
+    then a rollup whose key space is |types|² + a window over that tiny
+    frame. Shares are integer divisions of exact counts; the (ts,
+    event_id) ordering is total, so the lag sequence is deterministic."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+        )
+        .withColumn(
+            "prev_type",
+            F.coalesce(
+                F.lag("event_type").over(w), F.lit("(start)")
+            ),
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "total", F.sum("n").over(W.partitionBy("prev_type"))
+        )
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.expr("(1000000 * n) DIV total").alias("frac_fp"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
