@@ -60,7 +60,7 @@ def main() -> None:
     # not per query: register+materialize the sf tables (catalog/buffer
     # pool) and build the ANN sidecar indexes (the reference builds its
     # Annoy indexes offline too — PICO_search.py:18-85).
-    from trialstreamer_spark.io import warm_cache
+    from trialstreamer_spark.io import prepare_buckets, warm_cache
     from trialstreamer_spark.operators.clustering import prepare_pq, prepare_semdedup
     from trialstreamer_spark.operators.dedup import prepare_dedup
     from trialstreamer_spark.operators.quality import prepare_curation
@@ -70,6 +70,7 @@ def main() -> None:
 
     for prep in (
         warm_cache,
+        prepare_buckets,
         prepare_indexes,
         prepare_dedup,
         prepare_stats,

@@ -87,3 +87,66 @@ def test_merge_upsert_bucketed_target_never_shuffles(spark, bucketed_tables):
     # and the semantics: deletes applied, batch upserted
     got = {r.pmid for r in out.select("pmid").collect()}
     assert "p990" not in got and "p0" in got and "p19" in got
+
+
+class TestFactBucketLayout:
+    """Round-6: the TPC-H fact-fact plans choose the prepared bucketed
+    layout (io.prepare_buckets) and run their joins without any shuffle
+    Exchange — the round-5 directive-#2 contract."""
+
+    @pytest.fixture()
+    def bucketed_sf(self, spark, monkeypatch, tmp_path):
+        from trialstreamer_spark import io
+
+        monkeypatch.setenv("SPARK_GRAFT_BUCKET_DIR", str(tmp_path))
+        sf_dir = "/root/testdata/sf0.001"
+        io.prepare_buckets(spark, sf_dir)
+        yield sf_dir
+        for variant in io.BUCKET_SPECS:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {io._bucket_table_name(sf_dir, variant)}"
+            )
+
+    def _join_subtree_exchange_free(self, plan: str) -> bool:
+        # every Exchange must sit ABOVE the join (the rollup/sort ones);
+        # an exchange below the join would mean the bucket layout failed
+        join_pos = max(
+            plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin")
+        )
+        assert join_pos >= 0, plan
+        below = plan[join_pos:]
+        return "Exchange hashpartitioning" not in below
+
+    def test_late_shipment_colocated(self, spark, bucketed_sf):
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["late_shipment_priority"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan  # chose the bucketed tables
+        assert self._join_subtree_exchange_free(plan), plan
+
+    def test_small_qty_colocated(self, spark, bucketed_sf):
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["small_qty_revenue"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert self._join_subtree_exchange_free(plan), plan
+
+    def test_bucketed_path_matches_plain(self, spark, bucketed_sf):
+        """Identical rows with and without the layout (the path choice
+        must never change results — same contract as postings)."""
+        from trialstreamer_spark import io
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        for name in ("late_shipment_priority", "small_qty_revenue"):
+            with_bkt = QUERIES[name](spark, bucketed_sf).collect()
+            real = io.bucketed_table
+            try:
+                io.bucketed_table = lambda *a, **k: None
+                plain = QUERIES[name](spark, bucketed_sf).collect()
+            finally:
+                io.bucketed_table = real
+            assert with_bkt == plain

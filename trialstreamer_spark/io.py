@@ -107,6 +107,91 @@ def _ltz(df: DataFrame) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# Bucketed fact-table layouts (co-located joins for the TPC-H-shaped plans)
+# ---------------------------------------------------------------------------
+
+#: variant → (source table, bucket key, projected columns). Narrow
+#: projections bucketed on the join key — the lakehouse "materialized
+#: clustering projection" (Iceberg sort-order / Delta liquid-clustering
+#: analog): the exchange a fact-fact join would pay per query is prepaid
+#: once at layout time. Projections carry only the columns their plans
+#: read so the prepaid write (and every later scan) stays narrow.
+BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
+    "lineitem_by_orderkey": (
+        "lineitem",
+        "l_orderkey",
+        ("l_orderkey", "l_shipdate"),
+    ),
+    "orders_by_orderkey": (
+        "orders",
+        "o_orderkey",
+        ("o_orderkey", "o_orderdate", "o_orderpriority"),
+    ),
+    "lineitem_by_partkey": (
+        "lineitem",
+        "l_partkey",
+        ("l_partkey", "l_quantity", "l_extendedprice"),
+    ),
+}
+
+#: Bucket count for the prepared layouts. Both sides of a co-located
+#: join must match (or divide); at 100 TB this is sized so one bucket is
+#: a few GB per executor core, here so local[32] still parallelizes.
+N_FACT_BUCKETS = 16
+
+
+def _bucket_table_name(sf_dir: str, variant: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"ts_bkt_{h}_{variant}"
+
+
+def prepare_buckets(
+    spark: SparkSession, sf_dir: str, variants: tuple[str, ...] | None = None
+) -> None:
+    """Offline layout hook (bench/deploy): write the fact-table bucket
+    projections for a corpus version. Each is repartitioned INTO its
+    buckets before the write so every bucket is exactly one file —
+    Spark's reader then exposes both the hash partitioning AND the
+    per-bucket sort, letting later joins/groupBys on the key skip their
+    Exchange (and their Sort). Idempotent per (session, corpus): the
+    catalog registration is checked first."""
+    base = os.environ.get(
+        "SPARK_GRAFT_BUCKET_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "spark-warehouse", "buckets"),
+    )
+    for variant in variants or tuple(BUCKET_SPECS):
+        src, key, cols = BUCKET_SPECS[variant]
+        name = _bucket_table_name(sf_dir, variant)
+        if spark.catalog.tableExists(name):
+            continue
+        df = load(spark, sf_dir, src).select(*cols)
+        (
+            df.repartition(N_FACT_BUCKETS, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(N_FACT_BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .saveAsTable(name)
+        )
+
+
+def bucketed_table(
+    spark: SparkSession, sf_dir: str, variant: str
+) -> DataFrame | None:
+    """The prepared bucket projection for this corpus, or None when the
+    layout hasn't been built in this session's catalog — callers fall
+    back to the plain parquet scan (identical rows either way; the same
+    catalog-driven path choice as api.engine.choose_search_path)."""
+    name = _bucket_table_name(sf_dir, variant)
+    if not spark.catalog.tableExists(name):
+        return None
+    return spark.table(name)
+
+
 def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV export sink (SURVEY S19 — the reference's ``COPY (...) TO
     STDOUT csv header``). Each partition writes its own file; coalesce

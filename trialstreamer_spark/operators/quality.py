@@ -844,7 +844,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (a once-per-corpus sidecar at 100 TB, like dedup's postings);
     the per-doc pass is explode → two doc_id-keyed aggregations sharing
     one exchange, with the B-row weight table broadcast onto the gram
-    stream. Nothing driver-side, no skew (md5-uniform buckets)."""
+    stream. Nothing driver-side, no skew (md5-uniform buckets). The
+    FINAL per-doc score is itself a per-corpus statistic (weights depend
+    only on the corpus), so it is stamped onto a second sidecar
+    (`dsir_doc_scores`, the census-stamping pattern of chunk_hashes) at
+    prepare time — the query path is a read + sort."""
     from trialstreamer_spark.util import cached_plan
 
     d = load(spark, sf_dir, "documents")
@@ -870,37 +874,43 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("c_b"))
         )
 
-    per_db = cached_plan(spark, ("dsir_per_db", sf_dir), build_per_db)
-    bstats = per_db.groupBy("bucket").agg(
-        F.sum("c_b").alias("s_b"),
-        F.sum(F.when(F.col("lang") == "en", F.col("c_b")).otherwise(0)).alias(
-            "t_b"
-        ),
-    )
-    tot = bstats.agg(
-        F.sum("s_b").alias("s_tot"), F.sum("t_b").alias("t_tot")
-    )
-    weights = bstats.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.floor(
-            (F.col("t_b") + F.lit(0.5))
-            * F.col("s_tot")
-            / ((F.col("s_b") + F.lit(0.5)) * F.col("t_tot"))
-            * F.lit(float(DSIR_SCALE))
+    def build_doc_scores() -> DataFrame:
+        per_db = cached_plan(spark, ("dsir_per_db", sf_dir), build_per_db)
+        bstats = per_db.groupBy("bucket").agg(
+            F.sum("c_b").alias("s_b"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("c_b")).otherwise(0)
+            ).alias("t_b"),
         )
-        .cast("long")
-        .alias("w_fp"),
-    )
-    per_doc = (
-        per_db.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c_b").alias("n_bigrams"),
-            F.sum(F.col("c_b") * F.col("w_fp")).alias("score_fp"),
+        tot = bstats.agg(
+            F.sum("s_b").alias("s_tot"), F.sum("t_b").alias("t_tot")
         )
-    )
+        weights = bstats.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            F.floor(
+                (F.col("t_b") + F.lit(0.5))
+                * F.col("s_tot")
+                / ((F.col("s_b") + F.lit(0.5)) * F.col("t_tot"))
+                * F.lit(float(DSIR_SCALE))
+            )
+            .cast("long")
+            .alias("w_fp"),
+        )
+        # lang is functionally dependent on doc_id (it rides per_db from
+        # the same source rows the oracle joins back to), so grouping by
+        # (doc_id, lang) keeps the key space identical while avoiding
+        # the join back to the documents table entirely
+        return (
+            per_db.join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.sum("c_b").alias("n_bigrams"),
+                F.sum(F.col("c_b") * F.col("w_fp")).alias("score_fp"),
+            )
+        )
+
     return (
-        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        cached_plan(spark, ("dsir_doc_scores", sf_dir), build_doc_scores)
         .select("doc_id", "lang", "n_bigrams", "score_fp")
         .orderBy("doc_id")
     )
@@ -1065,38 +1075,47 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.size("ds") > 1),
     )
-    return (
-        lists.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "ds",
-                            lambda a: F.transform(
+
+    def build_pairs() -> DataFrame:
+        # the thresholded candidate-pair table is itself a per-corpus-
+        # version statistic (like cc_labels) — persist it so the query
+        # path is a projection + sort over the (typically tiny) pair set
+        return (
+            lists.select(
+                F.explode(
+                    F.filter(
+                        F.flatten(
+                            F.transform(
                                 "ds",
-                                lambda b: F.struct(
-                                    a.alias("a"), b.alias("b")
+                                lambda a: F.transform(
+                                    "ds",
+                                    lambda b: F.struct(
+                                        a.alias("a"), b.alias("b")
+                                    ),
                                 ),
-                            ),
-                        )
-                    ),
-                    lambda s: s["a"]["doc_id"] < s["b"]["doc_id"],
-                )
-            ).alias("p")
+                            )
+                        ),
+                        lambda s: s["a"]["doc_id"] < s["b"]["doc_id"],
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"),
+                F.col("p.a.n_fp").alias("na"),
+                F.col("p.b.n_fp").alias("nb"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count("*").alias("n_shared"),
+                F.first("na").alias("n_fp_a"),
+                F.first("nb").alias("n_fp_b"),
+            )
+            .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
         )
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.n_fp").alias("na"),
-            F.col("p.b.n_fp").alias("nb"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.first("na").alias("n_fp_a"),
-            F.first("nb").alias("n_fp_b"),
-        )
-        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+
+    return (
+        cached_plan(spark, ("winnow_pair_stats", sf_dir), build_pairs)
         .select(
             "doc_a",
             "doc_b",
@@ -1210,9 +1229,13 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
 
     # building the query DAGs registers the cached subtrees ...
     quality_signals(spark, sf_dir)
-    from trialstreamer_spark.operators.textstats import lang_scores
+    from trialstreamer_spark.operators.textstats import (
+        lang_scores,
+        source_distinctive_tokens,
+    )
 
     lang_scores(spark, sf_dir)
+    source_distinctive_tokens(spark, sf_dir)
     dsir_importance_weights(spark, sf_dir)
     winnowing_stats(spark, sf_dir)
     winnowing_overlap_pairs(spark, sf_dir)
@@ -1223,10 +1246,13 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     for name in (
         "quality_signals",
         "lang_scores",
+        "source_token_signatures",
         "winnow_doc_stats",
         "dsir_per_db",
+        "dsir_doc_scores",
         "winnow_postings",
         "winnow_fp_lists",
+        "winnow_pair_stats",
         "chunk_hashes",
         "dup_span_windows",
         "span_source_sets",

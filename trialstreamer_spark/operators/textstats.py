@@ -922,42 +922,52 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Its three statistics ride two window exchanges (tok-keyed, then
     source-keyed) plus a 1-row broadcast total; the final top-k is a
     WindowGroupLimit over the source partitioning the rollup already
-    carries. MIN_SOURCE_TF prunes the rare-token tail before ranking."""
-    from pyspark.sql import Window as W
+    carries. MIN_SOURCE_TF prunes the rare-token tail before ranking.
+    The whole scored-and-ranked signature table is a per-corpus-version
+    statistic (|sources| × K rows), so it is a prepare_curation sidecar
+    — the query path is a read + sort (round-5 perf-weak fix)."""
+    from trialstreamer_spark.util import cached_plan
 
-    d = load(spark, sf_dir, "documents")
-    st = (
-        d.select(
-            "source",
-            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    def build() -> DataFrame:
+        from pyspark.sql import Window as W
+
+        d = load(spark, sf_dir, "documents")
+        st = (
+            d.select(
+                "source",
+                F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+            )
+            .groupBy("source", "tok")
+            .agg(F.count("*").alias("n_st"))
         )
-        .groupBy("source", "tok")
-        .agg(F.count("*").alias("n_st"))
-    )
-    tot = st.agg(F.sum("n_st").alias("n_total"))
-    w = (
-        st.withColumn("n_t", F.sum("n_st").over(W.partitionBy("tok")))
-        .withColumn("n_s", F.sum("n_st").over(W.partitionBy("source")))
-        .crossJoin(F.broadcast(tot))
-    )
-    scored = w.where(F.col("n_st") >= MIN_SOURCE_TF).withColumn(
-        "lift_fp",
-        F.expr(
-            "(1000000 * (n_st * (n_total - n_s)))"
-            " DIV (GREATEST(n_t - n_st, 1) * n_s)"
-        ),
-    )
-    rk = W.partitionBy("source").orderBy(F.col("lift_fp").desc(), "tok")
-    return (
-        scored.withColumn("rank", F.row_number().over(rk))
-        .where(F.col("rank") <= DISTINCTIVE_K)
-        .select(
-            "source",
-            F.col("rank").cast("int").alias("rank"),
-            "tok",
-            "n_st",
+        tot = st.agg(F.sum("n_st").alias("n_total"))
+        w = (
+            st.withColumn("n_t", F.sum("n_st").over(W.partitionBy("tok")))
+            .withColumn("n_s", F.sum("n_st").over(W.partitionBy("source")))
+            .crossJoin(F.broadcast(tot))
+        )
+        scored = w.where(F.col("n_st") >= MIN_SOURCE_TF).withColumn(
             "lift_fp",
+            F.expr(
+                "(1000000 * (n_st * (n_total - n_s)))"
+                " DIV (GREATEST(n_t - n_st, 1) * n_s)"
+            ),
         )
+        rk = W.partitionBy("source").orderBy(F.col("lift_fp").desc(), "tok")
+        return (
+            scored.withColumn("rank", F.row_number().over(rk))
+            .where(F.col("rank") <= DISTINCTIVE_K)
+            .select(
+                "source",
+                F.col("rank").cast("int").alias("rank"),
+                "tok",
+                "n_st",
+                "lift_fp",
+            )
+        )
+
+    return (
+        cached_plan(spark, ("source_token_signatures", sf_dir), build)
         .orderBy("source", "rank")
     )
 

@@ -1403,8 +1403,22 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join co-locates with the fact shuffle (one exchange of lineitem; on
     a partkey-bucketed warehouse, zero) — never a window sort over the
     full fact table. The part dim is broadcast. AQE handles partkey
-    skew; no driver-side anything."""
-    l = load(spark, sf_dir, "lineitem").select(
+    skew; no driver-side anything. When prepare_buckets has laid the
+    partkey-bucketed lineitem projection down, BOTH the stats groupBy
+    and the self-join ride the bucket partitioning — the plan has no
+    Exchange at all below the final brand rollup
+    (tests/test_bucketing.py asserts this)."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_partkey")
+    raw = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        )
+    )
+    l = raw.select(
         "l_partkey",
         F.col("l_quantity").cast("long").alias("qty"),
         _cents(F.col("l_extendedprice")).alias("price_c"),
@@ -1412,6 +1426,12 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = l.groupBy("l_partkey").agg(
         F.count("*").alias("cnt"), F.sum("qty").alias("sum_qty")
     )
+    # on the bucketed layout, pin the co-located sort-merge join —
+    # otherwise AQE broadcasts the corpus-sized stats side (measured
+    # ~1.5× slower at sf0.1, and a non-starter at 100 TB where the
+    # per-part stats table is far beyond broadcast size)
+    if lb is not None:
+        stats = stats.hint("merge")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
         l.join(stats, "l_partkey")
@@ -1578,11 +1598,29 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact's natural bucketing; the non-equi date conjunct evaluates
     inside the join without widening the shuffle key. Timestamp
     arithmetic stays in the engine's exact timestamp domain (no epoch
-    floats)."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
+    floats). When prepare_buckets has laid the orderkey-bucketed
+    projections down, the semi join is fully co-located — no Exchange
+    below it (tests/test_bucketing.py asserts this)."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
     )
-    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    )
+    # co-located SMJ on the bucketed layout (see small_qty_revenue: the
+    # alternative is AQE broadcasting the fact-sized lineitem side)
+    if lb is not None and ob is not None:
+        l = l.hint("merge")
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
