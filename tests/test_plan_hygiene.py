@@ -230,14 +230,14 @@ def test_parity_second_call_reuses_completed_replay(spark, sf_dir):
 
     first = QUERIES["dedup_stream_parity"](spark, sf_dir)
     keys_after_first = {
-        k for k in parity._SINK_CACHE if k[1] == "dedup" and k[2] == sf_dir
+        k for k in parity._REPLAY_CACHE if k[1] == "dedup" and k[2] == sf_dir
     }
     assert len(keys_after_first) == 1
     (key,) = keys_after_first
-    name = parity._SINK_CACHE[key][1]
+    name = parity._REPLAY_CACHE[key][0]["view"]
     second = QUERIES["dedup_stream_parity"](spark, sf_dir)
-    assert set(parity._SINK_CACHE) >= keys_after_first  # entry survived
-    assert name == parity._SINK_CACHE[key][1]  # same sink, no re-run
+    assert set(parity._REPLAY_CACHE) >= keys_after_first  # entry survived
+    assert name == parity._REPLAY_CACHE[key][0]["view"]  # same sink, no re-run
     # and the two invocations agree row-for-row
     assert sorted(map(tuple, first.collect())) == sorted(
         map(tuple, second.collect())

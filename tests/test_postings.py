@@ -169,3 +169,36 @@ def test_search_path_crossover(spark, tables):
         assert key
     finally:
         shutil.rmtree(post_dir, ignore_errors=True)
+
+
+def test_stale_postings_index_falls_back_to_scan(spark, tables):
+    """Round-6 (advice): the on-disk postings index is stamped with the
+    annotations-table version it was built from; after the annotations
+    change (merge/overwrite/rewrite), path='auto' must NOT serve the
+    stale index — it falls back to the always-correct scan until
+    prepare_postings rebuilds."""
+    import shutil
+
+    post_dir = os.path.join(tables.root, engine.POSTINGS_DIR)
+    shutil.rmtree(post_dir, ignore_errors=True)
+    engine.prepare_postings(tables)
+    try:
+        assert engine.choose_search_path(tables, min_bytes=0) == "postings"
+        # simulate a table rewrite: any content/mtime change flips the
+        # catalog fingerprint the stamp is compared against
+        ann_path = os.path.join(tables.root, "pubmed_annotations.parquet")
+        for dirpath, _dirs, files in os.walk(ann_path):
+            for f in files:
+                os.utime(os.path.join(dirpath, f))
+        if os.path.isfile(ann_path):
+            os.utime(ann_path)
+        assert engine.choose_search_path(tables, min_bytes=0) == "scan"
+        # rebuild restores the postings path
+        engine.prepare_postings(tables)
+        assert engine.choose_search_path(tables, min_bytes=0) == "postings"
+        # an index with no stamp at all (pre-round-6 layout) is treated
+        # as stale
+        os.remove(os.path.join(post_dir, engine._POSTINGS_STAMP))
+        assert engine.choose_search_path(tables, min_bytes=0) == "scan"
+    finally:
+        shutil.rmtree(post_dir, ignore_errors=True)

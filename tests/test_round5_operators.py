@@ -233,11 +233,14 @@ def test_upsert_sink_parity_reuses_completed_replay(spark, sf_dir):
     from trialstreamer_spark.streaming import parity
 
     first = QUERIES["upsert_sink_stream_parity"](spark, sf_dir).collect()
-    key = (id(spark._jsparkSession), sf_dir)
-    assert key in parity._UPSERT_SINK_CACHE
-    tbl_dir = parity._UPSERT_SINK_CACHE[key][1]
+    # round-6: the upsert sink rides the SAME shared replay registry as
+    # every memory-sink parity query (one mechanism owns all stream
+    # sinks)
+    key = (id(spark._jsparkSession), "upsert_sink", sf_dir)
+    assert key in parity._REPLAY_CACHE
+    tbl_dir = parity._REPLAY_CACHE[key][0]["tbl_dir"]
     second = QUERIES["upsert_sink_stream_parity"](spark, sf_dir).collect()
-    assert parity._UPSERT_SINK_CACHE[key][1] == tbl_dir
+    assert parity._REPLAY_CACHE[key][0]["tbl_dir"] == tbl_dir
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
 
 

@@ -127,9 +127,20 @@ class ParquetTable:
         # dirs (never wall-clock: two overwrites in the same millisecond
         # must not reuse an id and silently clobber a committed
         # snapshot). max()+1 also sorts after any legacy ms-style id.
+        # The id is CLAIMED by mkdir(exist_ok=False) — atomic at the
+        # filesystem — so two concurrent writer processes that list the
+        # same dirs cannot both write into the same version and silently
+        # lose one update; the loser advances to the next id.
         dirs = self._all_version_dirs()
-        v = f"v{(dirs[-1][0] + 1) if dirs else 1}"
-        out = os.path.join(self.path, v)
+        n = (dirs[-1][0] + 1) if dirs else 1
+        while True:
+            v = f"v{n}"
+            out = os.path.join(self.path, v)
+            try:
+                os.mkdir(out)
+                break
+            except FileExistsError:
+                n += 1
         df.write.mode("overwrite").parquet(out)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
@@ -171,6 +182,14 @@ class ParquetTable:
         if cur is None:
             return []
         cur_n = self._vnum(cur)
+        if cur_n is None:
+            # a pointer naming something that isn't a version dir means
+            # external corruption — fail loudly, not with a TypeError
+            # three frames deeper
+            raise ValueError(
+                f"corrupt _current pointer {cur!r} in {self.path}: "
+                "not a version dir name"
+            )
         return [d for n, d in self._all_version_dirs() if n <= cur_n]
 
     def read_version(self, version: str) -> DataFrame:

@@ -79,30 +79,58 @@ _SHUFFLE_PARTITIONS = "spark.sql.shuffle.partitions"
 # deployment sizes this to its real key cardinality instead.
 _STATE_PARTITIONS = "8"
 
-# (session JVM id, tag, corpus dir) → (spark, sink view, checkpoint dir)
-# for a COMPLETED replay. The replay of an immutable corpus version is
-# deterministic, so one run per (operator, corpus) serves every
-# subsequent invocation from its sink table — repeated calls (bench
-# warmup rungs, test sweeps) neither re-run the stream nor leak a
-# checkpoint per run. prepare_parity() is the offline hook; entries are
-# evicted (view dropped, checkpoint removed) on ParquetTable version
-# bumps like every other corpus sidecar.
-_SINK_CACHE: dict[tuple[int, str, str], tuple[SparkSession, str, str]] = {}
+# THE shared replay registry — one mechanism owns every completed
+# stream-sink replay, memory sinks and the production upsert sink alike:
+# (session JVM id, tag, corpus dir) → (payload, cleanup). The replay of
+# an immutable corpus version is deterministic, so one run per
+# (operator, corpus) serves every subsequent invocation from its sink —
+# repeated calls (bench warmup rungs, test sweeps) neither re-run the
+# stream nor leak a checkpoint per run. prepare_parity() is the offline
+# hook; entries are evicted (cleanup(payload): views dropped, dirs
+# removed) on ParquetTable version bumps like every other corpus
+# sidecar.
+_REPLAY_CACHE: dict[tuple[int, str, str], tuple[dict, object]] = {}
+
+# tag → (spark, sink view) of the last UNCACHED ad-hoc replay; the next
+# ad-hoc run of the same tag drops its predecessor's view so repeated
+# ad-hoc invocations don't accumulate memory-sink rows for the session.
+_LAST_ADHOC: dict[str, tuple[SparkSession, str]] = {}
 
 
-def _evict_sinks(token: str) -> None:
+def _replay_get(spark: SparkSession, tag: str, corpus: str) -> dict | None:
+    hit = _REPLAY_CACHE.get((id(spark._jsparkSession), tag, corpus))
+    return hit[0] if hit is not None else None
+
+
+def _replay_put(
+    spark: SparkSession, tag: str, corpus: str, payload: dict, cleanup
+) -> None:
+    _REPLAY_CACHE[(id(spark._jsparkSession), tag, corpus)] = (
+        payload,
+        cleanup,
+    )
+
+
+def _evict_replays(token: str) -> None:
     from trialstreamer_spark.util import _path_related
 
-    for k in [k for k in _SINK_CACHE if _path_related(k[2], token)]:
-        spark, name, ckpt = _SINK_CACHE.pop(k)
+    for k in [k for k in _REPLAY_CACHE if _path_related(k[2], token)]:
+        payload, cleanup = _REPLAY_CACHE.pop(k)
         try:
-            spark.catalog.dropTempView(name)
+            cleanup(payload)
         except Exception:
             pass
-        shutil.rmtree(ckpt, ignore_errors=True)
 
 
-util.register_cache_evictor(_evict_sinks)
+util.register_cache_evictor(_evict_replays)
+
+
+def _memory_sink_cleanup(payload: dict) -> None:
+    try:
+        payload["spark"].catalog.dropTempView(payload["view"])
+    except Exception:
+        pass
+    shutil.rmtree(payload["ckpt"], ignore_errors=True)
 
 
 def _run_stream_to_table(
@@ -123,9 +151,20 @@ def _run_stream_to_table(
     timeouts non-deterministically) and restored afterwards — other
     streaming consumers on the same session may rely on them to advance
     the watermark."""
-    key = (id(spark._jsparkSession), tag, cache_key or "")
-    if cache_key is not None and key in _SINK_CACHE:
-        return spark.table(_SINK_CACHE[key][1])
+    if cache_key is not None:
+        hit = _replay_get(spark, tag, cache_key)
+        if hit is not None:
+            return spark.table(hit["view"])
+    if cache_key is None:
+        # reclaim the PREVIOUS uncached ad-hoc sink for this tag — its
+        # memory-sink rows live in driver memory for the session
+        # otherwise (nothing else ever drops an uncached view)
+        prev_run = _LAST_ADHOC.pop(tag, None)
+        if prev_run is not None:
+            try:
+                prev_run[0].catalog.dropTempView(prev_run[1])
+            except Exception:
+                pass
     name = f"parity_{tag}_{os.getpid()}_{next(_RUN_IDS)}"
     # Offset/commit logs are many tiny fsync'd files; for this
     # throwaway single-batch replay a tmpfs checkpoint skips the disk
@@ -151,11 +190,18 @@ def _run_stream_to_table(
         spark.conf.set(_NO_DATA_BATCHES, prev)
         spark.conf.set(_SHUFFLE_PARTITIONS, prev_parts)
     if cache_key is not None:
-        _SINK_CACHE[key] = (spark, name, ckpt)
+        _replay_put(
+            spark,
+            tag,
+            cache_key,
+            {"spark": spark, "view": name, "ckpt": ckpt},
+            _memory_sink_cleanup,
+        )
     else:
-        # uncached ad-hoc run: nothing will reclaim it later, so drop
-        # the checkpoint now (the sink view lives for this session)
+        # uncached ad-hoc run: drop the checkpoint now and register the
+        # view so the NEXT ad-hoc run of this tag reclaims it
         shutil.rmtree(ckpt, ignore_errors=True)
+        _LAST_ADHOC[tag] = (spark, name)
     return spark.table(name)
 
 
@@ -495,21 +541,11 @@ def hopping_rollup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (session JVM id, corpus dir) → (spark, warehouse dir, checkpoint dir)
-# for the completed foreachBatch-MERGE replay below.
-_UPSERT_SINK_CACHE: dict[tuple[int, str], tuple[SparkSession, str, str]] = {}
-
-
-def _evict_upsert_sinks(token: str) -> None:
-    from trialstreamer_spark.util import _path_related
-
-    for k in [k for k in _UPSERT_SINK_CACHE if _path_related(k[1], token)]:
-        _spark, tbl_dir, ckpt = _UPSERT_SINK_CACHE.pop(k)
-        shutil.rmtree(tbl_dir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-
-
-util.register_cache_evictor(_evict_upsert_sinks)
+def _upsert_sink_cleanup(payload: dict) -> None:
+    """Cleanup half of the upsert-sink replay's _REPLAY_CACHE entry: the
+    throwaway warehouse and checkpoint dirs."""
+    shutil.rmtree(payload["tbl_dir"], ignore_errors=True)
+    shutil.rmtree(payload["ckpt"], ignore_errors=True)
 
 
 @query(
@@ -551,8 +587,7 @@ def upsert_sink_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from trialstreamer_spark.operators.upsert import ParquetTable
 
-    key = (id(spark._jsparkSession), sf_dir)
-    hit = _UPSERT_SINK_CACHE.get(key)
+    hit = _replay_get(spark, "upsert_sink", sf_dir)
     if hit is None:
         tbl_dir = tempfile.mkdtemp(prefix="upsert_sink_")
         ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -586,9 +621,15 @@ def upsert_sink_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        _UPSERT_SINK_CACHE[key] = (spark, tbl_dir, ckpt)
+        _replay_put(
+            spark,
+            "upsert_sink",
+            sf_dir,
+            {"spark": spark, "tbl_dir": tbl_dir, "ckpt": ckpt},
+            _upsert_sink_cleanup,
+        )
     else:
-        tbl_dir = hit[1]
+        tbl_dir = hit["tbl_dir"]
         table = ParquetTable(
             spark, os.path.join(tbl_dir, "events_latest"), gc_min_age_s=0.0
         )
