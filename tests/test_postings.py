@@ -202,3 +202,40 @@ def test_stale_postings_index_falls_back_to_scan(spark, tables):
         assert engine.choose_search_path(tables, min_bytes=0) == "scan"
     finally:
         shutil.rmtree(post_dir, ignore_errors=True)
+
+
+def test_doc_token_postings_prunes_shards(spark, monkeypatch, tmp_path):
+    """Round-6 directive #7: the token-postings search is served from
+    the sharded on-disk index with directory-level pruning — each term
+    leg's scan carries a tok_shard PartitionFilter, and the lookup
+    touches a strict subset of shard directories."""
+    import re
+
+    from trialstreamer_spark.operators import retrieval as R
+
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_DIR", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    from trialstreamer_spark.plans.all_queries import QUERIES
+
+    q = QUERIES["postings_term_search"](spark, sf)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    prunes = re.findall(r"PartitionFilters: \[[^\]]*tok_shard[^\]]*\]", plan)
+    assert len(prunes) == len(R.POSTINGS_QUERY_TERMS), plan
+    # strict-subset directory touch
+    path = R.doc_token_postings(spark, sf)
+    from trialstreamer_spark.plans.postings import shard_of
+
+    wanted = {shard_of(t, R.TOK_SHARDS) for t in R.POSTINGS_QUERY_TERMS}
+    total = {
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("tok_shard=")
+    }
+    assert wanted < total
+    # build is reused (stamp current): a second call returns the same
+    # dir without rewriting
+    import os as _os
+
+    mtime = _os.path.getmtime(path)
+    R.doc_token_postings(spark, sf)
+    assert _os.path.getmtime(path) == mtime

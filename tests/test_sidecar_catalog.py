@@ -1,0 +1,112 @@
+"""Round-6: disk-backed sidecar catalog (trialstreamer_spark.sidecars).
+
+The promoted featurizations — shingle postings, minhash signatures,
+cc_labels, the phash band table — are committed ParquetTable versions
+stamped with a corpus fingerprint. Contracts tested here:
+
+- build-once: the builder runs exactly once per corpus version; repeat
+  reads (same or later session) serve committed parquet;
+- restart: a FRESH SparkSession with cold in-memory caches answers
+  dedup_minhash_lsh from the disk catalog — no re-featurization job
+  (shingle_postings patched to fail loudly), hashes unchanged;
+- staleness: any corpus-table change flips the fingerprint and forces a
+  rebuild (never a silently-stale read — same contract as the postings
+  index stamp in api.engine.choose_search_path).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trialstreamer_spark import sidecars
+from trialstreamer_spark.plans.all_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def sidecar_dir(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_DIR", str(tmp_path))
+    yield str(tmp_path)
+
+
+def test_disk_sidecar_builds_once_and_detects_staleness(
+    spark, sidecar_dir, tmp_path
+):
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF, "documents.parquet"),
+        os.path.join(corpus, "documents.parquet"),
+    )
+    os.chmod(os.path.join(corpus, "documents.parquet"), 0o644)
+    calls: list[int] = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).select(F.col("id").alias("v"))
+
+    a = sidecars.disk_sidecar(spark, corpus, "probe", build).collect()
+    b = sidecars.disk_sidecar(spark, corpus, "probe", build).collect()
+    assert len(calls) == 1 and sorted(a) == sorted(b)
+    # corpus rewrite (mtime change) → stale stamp → rebuild
+    os.utime(os.path.join(corpus, "documents.parquet"))
+    sidecars.disk_sidecar(spark, corpus, "probe", build).collect()
+    assert len(calls) == 2
+    # …and the rebuilt copy is committed: next read is served from disk
+    sidecars.disk_sidecar(spark, corpus, "probe", build).collect()
+    assert len(calls) == 2
+
+
+def test_restart_serves_minhash_lsh_from_disk(spark, sidecar_dir, monkeypatch):
+    """The directive-#3 end-to-end check: build in one session, answer
+    from committed parquet in a fresh one with every in-memory cache
+    cold and the featurization path booby-trapped."""
+    from trialstreamer_spark import util
+    from trialstreamer_spark.operators import dedup
+
+    first = QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    sig_dir = sidecars.sidecar_path(SF, "minhash_sigs_doc_id_text")
+    assert os.path.exists(os.path.join(sig_dir, "_current"))
+    # "restart": fresh SparkSession + evict every in-memory sidecar the
+    # first run registered (the registered evictors clear the dedup
+    # postings/signature caches too)
+    s2 = spark.newSession()
+    util.evict_caches(SF)
+    assert not any(k for k in dedup._SIG_CACHE)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "re-featurization: shingle_postings ran after restart"
+        )
+
+    monkeypatch.setattr(dedup, "shingle_postings", boom)
+    second = QUERIES["dedup_minhash_lsh"](s2, SF).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_cc_labels_and_phash_bands_are_disk_backed(spark, sidecar_dir):
+    from trialstreamer_spark.operators.dedup import cc_labels
+
+    labels = cc_labels(spark, SF).collect()
+    assert os.path.exists(
+        os.path.join(sidecars.sidecar_path(SF, "cc_labels"), "_current")
+    )
+    QUERIES["multimodal_phash_dedup"](spark, SF).collect()
+    assert os.path.exists(
+        os.path.join(
+            sidecars.sidecar_path(SF, "media_phash_bands"), "_current"
+        )
+    )
+    # committed labels equal the in-session computation
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    stored = ParquetTable(
+        spark, sidecars.sidecar_path(SF, "cc_labels")
+    ).read().collect()
+    assert sorted(map(tuple, stored)) == sorted(map(tuple, labels))

@@ -163,18 +163,29 @@ def shingle_postings(
         # build-time statistic (one extra exchange here, where skew is a
         # batch concern), so the capped-Jaccard hot-shingle prune becomes
         # a NARROW filter at query time instead of a per-query
-        # aggregation. The repartition restores doc_id partitioning so
-        # downstream per-document windows/groupBys stay exchange-free.
-        from pyspark.sql import Window as W
+        # aggregation. The table is DISK-BACKED (sidecars.disk_sidecar):
+        # built+written once per corpus version, read straight from
+        # parquet by any later session — a restart re-featurizes nothing
+        # (round-5 gap #1). The repartition restores doc_id partitioning
+        # so downstream per-document windows/groupBys stay exchange-free.
+        from trialstreamer_spark.sidecars import disk_sidecar
 
-        sh_w = W.partitionBy("shingle")
-        out = (
+        def build() -> DataFrame:
+            from pyspark.sql import Window as W
+
+            sh_w = W.partitionBy("shingle")
             # df AND the first-occurrence doc ride the same shingle
             # window (one exchange computes both): df powers the
             # hot-shingle prune, first_doc the novelty census — both
             # index-build statistics, free to carry once materialized.
-            out.withColumn("df", F.count("*").over(sh_w))
-            .withColumn("first_doc", F.min("doc_id").over(sh_w))
+            return out.withColumn("df", F.count("*").over(sh_w)).withColumn(
+                "first_doc", F.min("doc_id").over(sh_w)
+            )
+
+        out = (
+            disk_sidecar(
+                docs.sparkSession, cache_key, "shingle_postings", build
+            )
             .repartition(n_parts, F.col("doc_id"))
             .persist()
         )
@@ -244,21 +255,35 @@ def minhash_signatures(
         hit = _SIG_CACHE.get(key)
         if hit is not None:
             return hit
-    sh = shingle_postings(docs, id_col, text_col, cache_key=cache_key).select(
-        "doc_id",
-        F.md5(F.col("shingle")).alias("m1"),
-        F.md5(F.concat(F.lit("x"), F.col("shingle"))).alias("m2"),
-    )
-    mins = [
-        F.min(F.substring(F.col(m), 8 * r + 1, 8)).alias(f"h{4 * mi + r}")
-        for mi, m in enumerate(("m1", "m2"))
-        for r in range(4)
-    ]
-    out = sh.groupBy("doc_id").agg(*mins)
-    if key is not None:
-        out = out.persist()
-        out.count()
-        _SIG_CACHE[key] = out
+    def build() -> DataFrame:
+        sh = shingle_postings(
+            docs, id_col, text_col, cache_key=cache_key
+        ).select(
+            "doc_id",
+            F.md5(F.col("shingle")).alias("m1"),
+            F.md5(F.concat(F.lit("x"), F.col("shingle"))).alias("m2"),
+        )
+        mins = [
+            F.min(F.substring(F.col(m), 8 * r + 1, 8)).alias(f"h{4 * mi + r}")
+            for mi, m in enumerate(("m1", "m2"))
+            for r in range(4)
+        ]
+        return sh.groupBy("doc_id").agg(*mins)
+
+    if key is None:
+        return build()
+    # disk-backed (one row per doc): a restarted session reads the
+    # committed signatures without touching the shingle postings at all
+    from trialstreamer_spark.sidecars import disk_sidecar
+
+    out = disk_sidecar(
+        docs.sparkSession,
+        cache_key,
+        f"minhash_sigs_{id_col}_{text_col}",
+        build,
+    ).persist()
+    out.count()
+    _SIG_CACHE[key] = out
     return out
 
 
@@ -1169,7 +1194,10 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping of the whole dedup pipeline, and therefore a per-corpus
     sidecar (prepare_dedup materializes it): the iterative union-find
     runs ONCE per corpus version; every consumer (per-doc view, size
-    histogram, canonical apply) reads the labels."""
+    histogram, canonical apply) reads the labels. Disk-backed
+    (sidecars.disk_sidecar): the most expensive dedup artifact survives
+    a session restart as committed parquet."""
+    from trialstreamer_spark.sidecars import disk_sidecar
     from trialstreamer_spark.util import cached_plan
 
     def build() -> DataFrame:
@@ -1178,7 +1206,11 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.select("doc_id"), minhash_candidates(d, cache_key=sf_dir)
         )
 
-    return cached_plan(spark, ("cc_labels", sf_dir), build)
+    return cached_plan(
+        spark,
+        ("cc_labels", sf_dir),
+        lambda: disk_sidecar(spark, sf_dir, "cc_labels", build),
+    )
 
 
 @query(

@@ -521,7 +521,13 @@ def multimodal_phash_dedup(spark, sf_dir: str) -> DataFrame:
             )
         )
 
-    bands = cached_plan(spark, ("media_phash_bands", sf_dir), build_bands)
+    from trialstreamer_spark.sidecars import disk_sidecar
+
+    bands = cached_plan(
+        spark,
+        ("media_phash_bands", sf_dir),
+        lambda: disk_sidecar(spark, sf_dir, "media_phash_bands", build_bands),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.expr("bit_count(pa ^ pb)")
     return (

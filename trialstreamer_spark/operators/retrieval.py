@@ -116,6 +116,9 @@ def prepare_stats(
     # tf, df, n) sidecar so doc_keywords_topk measures ranking only
     doc_tf_stats(spark, sf_dir)
     materialize_plan(spark, ("doc_tf_stats", sf_dir))
+    # the sharded on-disk token postings (postings_term_search serves
+    # from it; built once per corpus version like the BM25 lexicon)
+    doc_token_postings(spark, sf_dir)
 
 
 def _corpus_stats(per_doc: DataFrame, terms: tuple[str, ...], ck):
@@ -385,3 +388,120 @@ def doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded on-disk token postings — the GIN-replacement physical design
+# (SURVEY §4, plans/postings.py) generalized from annotation CUIs to corpus
+# tokens, so the 100 TB inverted-index search path has a benched, driver-
+# checked query (round-5 directive #7), not just equivalence tests.
+# ---------------------------------------------------------------------------
+
+#: The registered conjunctive query. 'dup' is the selective leg (~5% df in
+#: the synthetic corpus); the other two are common — the shape a real
+#: multi-term lookup has.
+POSTINGS_QUERY_TERMS: tuple[str, ...] = ("dup", "vector", "stream")
+TOK_SHARDS = 8
+
+
+def doc_token_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the sharded token-postings layout for a corpus
+    version; returns its directory. Physical design is write_postings'
+    (plans/postings.py:58): hive-partitioned by an md5 token shard so a
+    term lookup opens only its shard directories (PartitionFilters), one
+    sorted file per shard. Stamped with the corpus fingerprint — same
+    staleness contract as every disk sidecar."""
+    import os
+
+    from trialstreamer_spark.operators.textstats import tokens_col
+    from trialstreamer_spark.plans.postings import cui_shard_col
+    from trialstreamer_spark.sidecars import corpus_fingerprint, sidecar_path
+
+    path = sidecar_path(sf_dir, "doc_tok_postings")
+    stamp = os.path.join(path, "_corpus_fp")
+    fp = corpus_fingerprint(sf_dir)
+    try:
+        with open(stamp) as f:
+            if f.read().strip() == fp:
+                return path
+    except OSError:
+        pass
+    d = load(spark, sf_dir, "documents")
+    post = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .distinct()
+        .withColumn("tok_shard", cui_shard_col(F.col("tok"), TOK_SHARDS))
+    )
+    (
+        post.repartition(TOK_SHARDS, F.col("tok_shard"))
+        .sortWithinPartitions("tok", "doc_id")
+        .write.partitionBy("tok_shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    tmp = stamp + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(fp)
+    os.replace(tmp, stamp)
+    return path
+
+
+@query(
+    "postings_term_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM t
+    WHERE {' AND '.join(f"list_contains(toks, '{t}')" for t in POSTINGS_QUERY_TERMS)}
+    ORDER BY doc_id
+    """,
+)
+def postings_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search served from the SHARDED POSTINGS INDEX —
+    the scale path that replaces per-query corpus scans (the reference's
+    Postgres GIN `@>` lookups, trialstreamer/cnxapp.py:188-207, served
+    here by plans/postings.py's design over tokens):
+
+    1. per term: a partition-pruned lookup touching only that term's
+       shard directory (driver-side shard_of matches the written
+       cui_shard_col hash, so the predicate lands in PartitionFilters);
+    2. AND across terms as ONE aggregation — tag each term's postings
+       with its index, count distinct satisfied terms per doc, keep
+       full matches: one shuffle regardless of term count (chained
+       semi-joins would be n);
+    3. left-semi join the surviving doc_ids back to the documents table
+       (both sides doc_id-keyed; bucketed at 100 TB → co-located).
+
+    The oracle evaluates the same conjunction by scanning the corpus —
+    identical rows, so the driver hash-checks index path ≡ scan path
+    every round."""
+    from functools import reduce
+
+    from trialstreamer_spark.plans.postings import shard_of
+
+    path = doc_token_postings(spark, sf_dir)
+    post = spark.read.parquet(path)
+    legs = [
+        post.filter(
+            (F.col("tok_shard") == shard_of(term, TOK_SHARDS))
+            & (F.col("tok") == term)
+        ).select("doc_id", F.lit(idx).alias("term_idx"))
+        for idx, term in enumerate(POSTINGS_QUERY_TERMS)
+    ]
+    tagged = reduce(lambda a, b: a.unionByName(b), legs)
+    hits = (
+        tagged.groupBy("doc_id")
+        .agg(F.countDistinct("term_idx").alias("n_terms"))
+        .filter(F.col("n_terms") == len(POSTINGS_QUERY_TERMS))
+        .select("doc_id")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return d.join(hits, "doc_id", "left_semi").orderBy("doc_id")
