@@ -140,7 +140,45 @@ HEADLINERS = [
         "sidecar carries a running in-cell count per nprobe; stack() "
         "unpivot, no extra scan per curve point",
     ),
+    (
+        "postings_term_search",
+        "inverted-index search: per-term shard lookups carry tok_shard "
+        "PartitionFilters (directory pruning), one aggregation ANDs the "
+        "terms, semi-join back to documents",
+    ),
+    (
+        "knn_label_consistency",
+        "1-NN label audit: rank filter + |labels|-row rollup over the "
+        "ranked+labeled kNN edge sidecar (InMemoryTableScan) — no "
+        "candidate join, no Arrow pass at query time",
+    ),
+    (
+        "doc_length_histogram",
+        "length histogram: bucket-keyed map-side rollup, one exchange of "
+        "at most |buckets| rows per partition",
+    ),
+    (
+        "event_type_transitions",
+        "transition census: one lag window on the user_id sort, then a "
+        "|types|^2 rollup + window over that tiny frame",
+    ),
 ]
+
+
+def _patch_readme_counts(n_queries: int) -> None:
+    """Keep README's stated query count equal to len(QUERIES) by
+    construction (round-5 verdict: hand-edited counts went stale)."""
+    readme = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "README.md",
+    )
+    with open(readme) as f:
+        text = f.read()
+    patched = re.sub(r"\(\d+ queries", f"({n_queries} queries", text)
+    if patched != text:
+        with open(readme, "w") as f:
+            f.write(patched)
+        print(f"README.md query count -> {n_queries}")
 
 
 def main() -> None:
@@ -182,6 +220,7 @@ print as `InMemoryTableScan` (their one-time build plans are inside the
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
+    _patch_readme_counts(len(QUERIES))
 
 
 if __name__ == "__main__":

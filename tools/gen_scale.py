@@ -1,0 +1,180 @@
+"""Generate a larger-scale synthetic corpus matching the driver testdata
+schemas (TESTDATA.md) for the scale rehearsal (SCALE.md).
+
+The driver's own generator is not in the repo, so this reproduces the
+same star schema + events + documents + embeddings with matching column
+types, category domains, and value ranges, at an arbitrary multiple of
+sf0.1's row counts. It does NOT try to be byte-identical to the driver
+data — the rehearsal compares Spark vs DuckDB on the SAME generated
+files, so only shape fidelity matters: skewless uniform keys, ~4
+lineitems/order, 20 doc sources, 5 langs, ~5% near-duplicate documents
+(shared prefix, mutated tail, 'dup' marker token), 10 Gaussian embedding
+clusters in 64-d.
+
+Usage: python tools/gen_scale.py <out_dir> [multiplier]   # of sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "batch small scan agg data customer big hash slow join row filter "
+    "merge table stream sort a window order query group spark part column "
+    "value the vector line fast key"
+).split()
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE", "BUILDING"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+EVENT_TYPES = ["click", "signup", "purchase", "error", "view"]
+LANGS = ["en", "de", "zh", "fr", "es"]
+
+
+def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def generate(out_dir: str, mult: float = 10.0, seed: int = 7) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    n_cust = int(15_000 * mult)
+    n_supp = int(1_000 * mult)
+    n_part = int(20_000 * mult)
+    n_ord = int(150_000 * mult)
+    n_line = int(600_000 * mult)
+    n_ev = int(100_000 * mult)
+    n_users = int(1_500 * mult)
+    n_doc = int(5_000 * mult)
+    n_vec = int(2_000 * (mult ** 0.6))  # sub-linear like the driver data
+
+    _write(out_dir, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": REGIONS,
+    }))
+    _write(out_dir, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+    _write(out_dir, "customer", pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
+        "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, n_cust)],
+    }))
+    _write(out_dir, "supplier", pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
+    }))
+    _write(out_dir, "part", pa.table({
+        "p_partkey": pa.array(range(n_part), pa.int64()),
+        "p_name": [f"part {i}" for i in range(n_part)],
+        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
+        "p_type": [f"TYPE {i}" for i in rng.integers(0, 6, n_part)],
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(rng.uniform(900.0, 999.9, n_part), 2),
+    }))
+
+    day_us = 86_400_000_000
+    o_date = (
+        np.datetime64("1995-01-01", "us").astype(np.int64)
+        + rng.integers(0, 2405, n_ord) * day_us
+    )
+    _write(out_dir, "orders", pa.table({
+        "o_orderkey": pa.array(range(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": np.array(["O", "F", "P"])[rng.integers(0, 3, n_ord)],
+        "o_totalprice": np.round(rng.uniform(1000.0, 400000.0, n_ord), 2),
+        "o_orderdate": pa.array(o_date, pa.timestamp("us")),
+        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
+    }))
+
+    l_order = rng.integers(0, n_ord, n_line)
+    l_order.sort()
+    # linenumber = running index within each order
+    ln = np.ones(n_line, np.int32)
+    same = np.concatenate(([False], l_order[1:] == l_order[:-1]))
+    run = np.zeros(n_line, np.int64)
+    idx = np.arange(n_line)
+    start = np.where(~same, idx, 0)
+    np.maximum.accumulate(start, out=start)
+    ln = (idx - start + 1).astype(np.int32)
+    ship = o_date[l_order] + rng.integers(1, 122, n_line) * day_us
+    _write(out_dir, "lineitem", pa.table({
+        "l_orderkey": pa.array(l_order, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_line), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_line), pa.int64()),
+        "l_linenumber": pa.array(ln, pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_line).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900.0, 105000.0, n_line), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_line) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_line) / 100.0, 2),
+        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_line)],
+        "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, n_line)],
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    }))
+
+    ts = np.sort(
+        np.datetime64("2024-01-01", "us").astype(np.int64)
+        + rng.integers(0, 30 * day_us, n_ev)
+    )
+    _write(out_dir, "events", pa.table({
+        "event_id": pa.array(range(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
+        "value": np.round(rng.uniform(0.01, 500.0, n_ev), 2),
+        "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)],
+    }))
+
+    # documents: random word sequences; ~5% near-dups = copy of an
+    # earlier doc's prefix + mutated tail + 'dup' marker
+    lens = rng.integers(10, 110, n_doc)
+    texts: list[str] = []
+    vocab = np.array(VOCAB)
+    for i in range(n_doc):
+        words = vocab[rng.integers(0, len(vocab), lens[i])]
+        if i > 0 and rng.random() < 0.05:
+            base = texts[rng.integers(0, i)].split()
+            keep = max(3, int(len(base) * 0.8))
+            words = np.array(
+                base[:keep]
+                + list(vocab[rng.integers(0, len(vocab), 2)])
+                + ["dup"]
+            )
+        texts.append(" ".join(words))
+    _write(out_dir, "documents", pa.table({
+        "doc_id": pa.array(range(n_doc), pa.int64()),
+        "text": texts,
+        "lang": np.array(LANGS)[
+            rng.choice(5, n_doc, p=[0.6, 0.1, 0.1, 0.1, 0.1])
+        ],
+        "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    labels = rng.integers(0, 10, n_vec).astype(np.int32)
+    cents = rng.normal(0, 0.25, (10, 64))
+    vecs = (cents[labels] + rng.normal(0, 0.08, (n_vec, 64))).astype(np.float32)
+    _write(out_dir, "embeddings", pa.table({
+        "vec_id": pa.array(range(n_vec), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "scale_data/sf1"
+    mult = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    generate(out, mult)

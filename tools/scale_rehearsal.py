@@ -1,0 +1,124 @@
+"""Scale rehearsal: run the expensive + formerly-perf-weak query set at
+sf0.1 AND sf1 (tools/gen_scale.py corpus), Spark vs DuckDB on identical
+oracle SQL, and print one JSON document per scale factor.
+
+Purpose (round-5 directive #4): the watchlist queries' >2x ratios at
+sf0.1 were attributed to Spark's fixed multi-stage overhead at toy
+scale; this measures whether each ratio SHRINKS as data grows (overhead
+amortizes — the claim holds) or GROWS (a real plan problem). Results are
+summarized in SCALE.md.
+
+Usage: python tools/scale_rehearsal.py [out.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from trialstreamer_spark.plans.all_queries import ORACLES, QUERIES
+from trialstreamer_spark.session import get_spark
+
+#: the heaviest queries from the round-5 bench plus every perf-weak /
+#: watchlist entry from the round-5 verdict, plus the new postings query
+SCALE_SET = (
+    "concept_match_greedy",
+    "minhash_band_tuning",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "pagerank_dup_graph",
+    "dup_cluster_size_histogram",
+    "dedup_token_savings",
+    "knn_graph_topk",
+    "knn_label_consistency",
+    "small_qty_revenue",
+    "late_shipment_priority",
+    "source_distinctive_tokens",
+    "dsir_importance_weights",
+    "winnowing_overlap_pairs",
+    "sketch_merge_parity",
+    "ann_nprobe_recall_curve",
+    "oov_rate_stats",
+    "linear_probe_distinct",
+    "bloom_decontaminate_stats",
+    "near_dup_source_matrix",
+    "minhash_jaccard_estimate",
+    "postings_term_search",
+)
+
+#: stop re-running an engine's query once a single run exceeds this
+SLOW_CUTOFF_S = 90.0
+
+
+def best_of(f, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        if dt > SLOW_CUTOFF_S:
+            break
+    return best
+
+
+def rehearse(spark, sf_dir: str) -> dict:
+    from trialstreamer_spark.io import prepare_buckets, warm_cache
+    from trialstreamer_spark.operators.dedup import prepare_dedup
+    from trialstreamer_spark.operators.quality import prepare_curation
+    from trialstreamer_spark.operators.retrieval import prepare_stats
+    from trialstreamer_spark.operators.similarity import prepare_indexes
+
+    t0 = time.perf_counter()
+    for prep in (warm_cache, prepare_buckets, prepare_indexes,
+                 prepare_dedup, prepare_stats, prepare_curation):
+        prep(spark, sf_dir)
+    prep_s = time.perf_counter() - t0
+
+    con = duckdb.connect()
+    for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.splitext(os.path.basename(path))[0]
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+
+    out: dict = {"sf_dir": sf_dir, "prepare_s": round(prep_s, 2), "queries": {}}
+    for name in SCALE_SET:
+        # warm both engines once (codegen / buffer cache)
+        QUERIES[name](spark, sf_dir).count()
+        s = best_of(lambda: QUERIES[name](spark, sf_dir).count())
+        d = best_of(lambda: con.execute(ORACLES[name]).fetchall())
+        out["queries"][name] = {
+            "spark_s": round(s, 3),
+            "duckdb_s": round(d, 3),
+            "ratio": round(s / d, 2) if d > 0 else None,
+        }
+        print(f"{os.path.basename(sf_dir):6s} {name:32s} "
+              f"spark={s:7.2f} duckdb={d:7.2f} ratio={s/d:6.2f}",
+              flush=True)
+    return out
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "scale_rehearsal.json"
+    spark = get_spark("scale-rehearsal")
+    results = [
+        rehearse(spark, "/root/testdata/sf0.1"),
+        rehearse(spark, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scale_data", "sf1")),
+    ]
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()
