@@ -35,7 +35,7 @@ def test_version_bump_evicts_cached_plan_and_releases_storage(spark, table):
     )
     df.count()  # materialize the persisted sidecar
     assert df.storageLevel.useMemory
-    key = (id(spark._jsparkSession), "lifecycle_probe", corpus_dir)
+    key = util._plan_key(spark, ("lifecycle_probe", corpus_dir))
     assert key in util._PLAN_CACHE
 
     table.overwrite(spark.range(5).select(F.col("id"), F.lit("b").alias("val")))
@@ -52,14 +52,20 @@ def test_version_bump_evicts_module_caches(spark, table):
     docs = spark.range(4).select(
         F.col("id").alias("doc_id"), F.lit("alpha beta gamma delta").alias("text")
     )
+    from trialstreamer_spark.sidecars import catalog_base
+
     post = dedup.shingle_postings(docs, cache_key=corpus_dir)
-    assert (jvm, corpus_dir) in dedup._POSTINGS_CACHE
+    assert (jvm, ("catalog", catalog_base()), corpus_dir) in dedup._POSTINGS_CACHE
     similarity._IVF_CENTROIDS[corpus_dir] = []
     similarity._IVF_CENTROIDS["/unrelated/dir"] = []
 
     table.overwrite(docs)
 
-    assert (jvm, corpus_dir) not in dedup._POSTINGS_CACHE
+    assert (
+        jvm,
+        ("catalog", catalog_base()),
+        corpus_dir,
+    ) not in dedup._POSTINGS_CACHE
     assert not post.storageLevel.useMemory
     assert corpus_dir not in similarity._IVF_CENTROIDS
     # unrelated corpus versions are untouched

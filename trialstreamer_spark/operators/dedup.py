@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from trialstreamer_spark import util
 from trialstreamer_spark.io import load
+from trialstreamer_spark.sidecars import catalog_base as _catalog_base
 from trialstreamer_spark.operators.textstats import tokens_col
 from trialstreamer_spark.plans.registry import query
 
@@ -137,7 +138,11 @@ def shingle_postings(
     + a cheap pushable text-not-null guard is equivalent.
     """
     key = (
-        (id(docs.sparkSession._jsparkSession), cache_key)
+        (
+            id(docs.sparkSession._jsparkSession),
+            ("catalog", _catalog_base()),
+            cache_key,
+        )
         if cache_key is not None
         else None
     )
@@ -247,7 +252,13 @@ def minhash_signatures(
     codegen (~100× slower at sf0.1).
     """
     key = (
-        (id(docs.sparkSession._jsparkSession), cache_key, id_col, text_col)
+        (
+            id(docs.sparkSession._jsparkSession),
+            ("catalog", _catalog_base()),
+            cache_key,
+            id_col,
+            text_col,
+        )
         if cache_key is not None
         else None
     )

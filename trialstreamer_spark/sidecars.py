@@ -58,8 +58,13 @@ def corpus_fingerprint(
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
-def sidecar_path(sf_dir: str, name: str) -> str:
-    base = os.environ.get(
+def catalog_base() -> str:
+    """Resolved sidecar catalog root. In-memory caches that front a
+    disk sidecar must key on this too: pointing
+    ``SPARK_GRAFT_SIDECAR_DIR`` elsewhere changes which committed
+    artifact a read should serve, so a memory hit built for a
+    different catalog would skip the new catalog's build entirely."""
+    return os.environ.get(
         "SPARK_GRAFT_SIDECAR_DIR",
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -67,8 +72,11 @@ def sidecar_path(sf_dir: str, name: str) -> str:
             "sidecars",
         ),
     )
+
+
+def sidecar_path(sf_dir: str, name: str) -> str:
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(base, f"{h}_{name}")
+    return os.path.join(catalog_base(), f"{h}_{name}")
 
 
 def disk_sidecar(

@@ -72,12 +72,24 @@ def cached_plan(spark: SparkSession, key: tuple, builder):
     tables/Delta sidecars instead of StorageLevel caches."""
     from pyspark.sql import DataFrame  # noqa: F401  (type only)
 
-    k = (id(spark._jsparkSession), *key)
+    k = _plan_key(spark, key)
     df = _PLAN_CACHE.get(k)
     if df is None:
         df = builder().persist()
         _PLAN_CACHE[k] = df
     return df
+
+
+def _plan_key(spark: SparkSession, key: tuple) -> tuple:
+    # The sidecar catalog root participates in every plan key: some
+    # cached plans front disk sidecars (sidecars.disk_sidecar), and a
+    # memory hit built while SPARK_GRAFT_SIDECAR_DIR pointed elsewhere
+    # must not mask the current catalog's build/read path. Nested in a
+    # tuple so _key_references' path matcher ignores it — a sidecar
+    # table commit under the catalog root must not evict every plan.
+    from trialstreamer_spark.sidecars import catalog_base
+
+    return (id(spark._jsparkSession), ("catalog", catalog_base()), *key)
 
 
 def _path_related(a: str, b: str) -> bool:
@@ -136,7 +148,7 @@ def evict_caches(token: str) -> None:
 def materialize_plan(spark: SparkSession, key: tuple) -> None:
     """Force a cached_plan entry to materialize now (offline-prep hook);
     no-op if the plan was never registered."""
-    df = _PLAN_CACHE.get((id(spark._jsparkSession), *key))
+    df = _PLAN_CACHE.get(_plan_key(spark, key))
     if df is not None:
         df.count()
 
