@@ -83,6 +83,13 @@ def rehearse(spark, sf_dir: str) -> dict:
     prep_s = time.perf_counter() - t0
 
     con = duckdb.connect()
+    # Bound DuckDB's out-of-core spill: at sf1 one oracle (greedy
+    # dictionary NER) writes >80 GB of temp and fills the filesystem.
+    # A capped spill turns that into a clean per-query failure we
+    # RECORD (DuckDB cannot finish at this scale on this disk budget)
+    # instead of a crash that kills the whole rehearsal.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.splitext(os.path.basename(path))[0]
         con.execute(
@@ -91,17 +98,27 @@ def rehearse(spark, sf_dir: str) -> dict:
 
     out: dict = {"sf_dir": sf_dir, "prepare_s": round(prep_s, 2), "queries": {}}
     for name in SCALE_SET:
-        # warm both engines once (codegen / buffer cache)
-        QUERIES[name](spark, sf_dir).count()
-        s = best_of(lambda: QUERIES[name](spark, sf_dir).count())
-        d = best_of(lambda: con.execute(ORACLES[name]).fetchall())
-        out["queries"][name] = {
-            "spark_s": round(s, 3),
-            "duckdb_s": round(d, 3),
-            "ratio": round(s / d, 2) if d > 0 else None,
-        }
+        row: dict = {}
+        try:
+            QUERIES[name](spark, sf_dir).count()  # warm (codegen/cache)
+            row["spark_s"] = round(
+                best_of(lambda: QUERIES[name](spark, sf_dir).count()), 3
+            )
+        except Exception as e:  # noqa: BLE001 — recorded, not fatal
+            row["spark_error"] = repr(e)[:200]
+        try:
+            row["duckdb_s"] = round(
+                best_of(lambda: con.execute(ORACLES[name]).fetchall()), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            row["duckdb_error"] = repr(e)[:200]
+        if "spark_s" in row and row.get("duckdb_s"):
+            row["ratio"] = round(row["spark_s"] / row["duckdb_s"], 2)
+        out["queries"][name] = row
         print(f"{os.path.basename(sf_dir):6s} {name:32s} "
-              f"spark={s:7.2f} duckdb={d:7.2f} ratio={s/d:6.2f}",
+              f"spark={row.get('spark_s', 'FAIL'):>7} "
+              f"duckdb={row.get('duckdb_s', 'FAIL'):>7} "
+              f"ratio={row.get('ratio', '-'):>6}",
               flush=True)
     return out
 
