@@ -1,7 +1,9 @@
 """Round-6: disk-backed sidecar catalog (trialstreamer_spark.sidecars).
 
 The promoted featurizations — shingle postings, minhash signatures,
-cc_labels, the phash band table — are committed ParquetTable versions
+cc_labels, the phash band table, and (round-6b) every FINAL per-corpus
+artifact (quality signals, DSIR scores, winnow pairs, tf stats, kNN
+edges, assignment tables, …) — are committed ParquetTable versions
 stamped with a corpus fingerprint. Contracts tested here:
 
 - build-once: the builder runs exactly once per corpus version; repeat
@@ -78,7 +80,9 @@ def test_restart_serves_minhash_lsh_from_disk(spark, sidecar_dir, monkeypatch):
     # postings/signature caches too)
     s2 = spark.newSession()
     util.evict_caches(SF)
-    assert not any(k for k in dedup._SIG_CACHE)
+    # only THIS corpus's entries must be gone — other corpora cached by
+    # earlier tests in the session are intentionally untouched
+    assert not [k for k in dedup._SIG_CACHE if SF in str(k)]
 
     def boom(*a, **k):
         raise AssertionError(
@@ -110,3 +114,35 @@ def test_cc_labels_and_phash_bands_are_disk_backed(spark, sidecar_dir):
         spark, sidecars.sidecar_path(SF, "cc_labels")
     ).read().collect()
     assert sorted(map(tuple, stored)) == sorted(map(tuple, labels))
+
+
+def test_restart_serves_promoted_finals_from_disk(spark, sidecar_dir, monkeypatch):
+    """Round-6 extension of directive #3: the promoted FINAL artifacts
+    (quality signals / DSIR scores, kNN edges) answer from committed
+    parquet after a restart with the featurization paths booby-trapped —
+    a restarted engine rebuilds nothing on these query paths."""
+    from trialstreamer_spark import util
+    from trialstreamer_spark.operators import quality, similarity
+
+    first_dsir = QUERIES["dsir_importance_weights"](spark, SF).collect()
+    first_knn = QUERIES["knn_graph_topk"](spark, SF).collect()
+    for name in ("dsir_doc_scores", "knn_edges"):
+        assert os.path.exists(
+            os.path.join(sidecars.sidecar_path(SF, name), "_current")
+        ), name
+
+    s2 = spark.newSession()
+    util.evict_caches(SF)
+
+    def boom(what):
+        def _fail(*a, **k):
+            raise AssertionError(f"re-featurization: {what} ran after restart")
+
+        return _fail
+
+    monkeypatch.setattr(similarity, "lsh_candidate_pairs", boom("lsh pairs"))
+    monkeypatch.setattr(quality, "_gram_counts", boom("gram counts"))
+    assert sorted(map(tuple, QUERIES["dsir_importance_weights"](s2, SF).collect())) \
+        == sorted(map(tuple, first_dsir))
+    assert sorted(map(tuple, QUERIES["knn_graph_topk"](s2, SF).collect())) \
+        == sorted(map(tuple, first_knn))

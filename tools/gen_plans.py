@@ -162,6 +162,20 @@ HEADLINERS = [
         "transition census: one lag window on the user_id sort, then a "
         "|types|^2 rollup + window over that tiny frame",
     ),
+    (
+        "dedup_keep_best_quality",
+        "quality-aware canonical selection: cc_labels and quality_signals "
+        "sidecars joined doc_id-keyed, one component window carries both "
+        "the argmax rank and the cluster size — no text or signature scan "
+        "at query time",
+    ),
+    (
+        "token_tv_distance_by_source",
+        "cross-source drift: tok-keyed self-join plus broadcast totals "
+        "expansion over the source_token_counts sidecar (|vocab x "
+        "sources| rows, never corpus rows); |sources|^2-key final rollup, "
+        "all int64 until one division",
+    ),
 ]
 
 

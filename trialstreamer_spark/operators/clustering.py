@@ -157,9 +157,11 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.dist_fp").alias("dist_fp"),
         )
 
-    return cached_plan(spark, ("kmeans_assign", sf_dir), build).orderBy(
-        "vec_id"
-    )
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    return disk_cached_plan(
+        spark, sf_dir, "kmeans_assign", build, source_tables=("embeddings",)
+    ).orderBy("vec_id")
 
 
 #: SemDeDup cosine threshold: pairs at/above it within a cluster are
@@ -249,7 +251,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             a(F.col("embedding")).getField("cluster").alias("cluster"),
         )
 
-    asn = cached_plan(spark, ("semdedup_asn", sf_dir), build_asn)
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    asn = disk_cached_plan(
+        spark, sf_dir, "semdedup_asn", build_asn, source_tables=("embeddings",)
+    )
     l, r = asn.alias("l"), asn.alias("r")
     pairs = (
         l.join(

@@ -434,12 +434,14 @@ def jaccard_pairs(
             )
 
         if cache_key is not None:
-            from trialstreamer_spark.util import cached_plan
+            from trialstreamer_spark.sidecars import disk_cached_plan
 
-            lists = cached_plan(
+            lists = disk_cached_plan(
                 docs.sparkSession,
-                ("jaccard_doc_lists", cache_key, df_cap),
+                cache_key,
+                "jaccard_doc_lists",
                 build_lists,
+                key_extra=(df_cap,),
             )
         else:
             lists = build_lists()
@@ -584,7 +586,9 @@ def exact_fp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("canonical_id", F.min("doc_id").over(w))
         )
 
-    return cached_plan(spark, ("exact_fp_census", sf_dir), build)
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    return disk_cached_plan(spark, sf_dir, "exact_fp_census", build)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

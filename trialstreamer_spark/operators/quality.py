@@ -213,7 +213,9 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return cached_plan(spark, ("quality_signals", sf_dir), build)
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    return disk_cached_plan(spark, sf_dir, "quality_signals", build)
 
 
 @query(
@@ -749,8 +751,10 @@ def winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the per-doc fingerprint census is itself a per-corpus featurization
     # (the winnow analog of quality_signals), so a sidecar
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
     return (
-        cached_plan(spark, ("winnow_doc_stats", sf_dir), build_stats)
+        disk_cached_plan(spark, sf_dir, "winnow_doc_stats", build_stats)
         .select(
             "doc_id",
             "n_grams",
@@ -909,8 +913,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
     return (
-        cached_plan(spark, ("dsir_doc_scores", sf_dir), build_doc_scores)
+        disk_cached_plan(spark, sf_dir, "dsir_doc_scores", build_doc_scores)
         .select("doc_id", "lang", "n_bigrams", "score_fp")
         .orderBy("doc_id")
     )
@@ -1114,8 +1120,10 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
         )
 
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
     return (
-        cached_plan(spark, ("winnow_pair_stats", sf_dir), build_pairs)
+        disk_cached_plan(spark, sf_dir, "winnow_pair_stats", build_pairs)
         .select(
             "doc_a",
             "doc_b",
@@ -1137,8 +1145,10 @@ def chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tf_stats' f): the census window over h is paid once per corpus
     version, and every consumer — dup-chunk stats, the erasure audit,
     decontamination — reads without re-shuffling on h. Landed
-    repartitioned on doc_id so per-doc rollups are exchange-free."""
-    from trialstreamer_spark.util import cached_plan
+    repartitioned on doc_id so per-doc rollups are exchange-free (the
+    partitioning is re-applied after the disk read — a parquet
+    roundtrip cannot carry it)."""
+    from trialstreamer_spark.sidecars import disk_cached_plan
 
     def build() -> DataFrame:
         from pyspark.sql import Window as W
@@ -1148,10 +1158,16 @@ def chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc_chunks(spark, sf_dir)
             .select("doc_id", F.col("chunk_md5").alias("h"))
             .withColumn("n_occ", F.count("*").over(W.partitionBy("h")))
-            .repartition(n_parts, F.col("doc_id"))
         )
 
-    return cached_plan(spark, ("chunk_hashes", sf_dir), build)
+    n_parts = spark.sparkContext.defaultParallelism
+    return disk_cached_plan(
+        spark,
+        sf_dir,
+        "chunk_hashes",
+        build,
+        post=lambda df: df.repartition(n_parts, F.col("doc_id")),
+    )
 
 
 @query(
@@ -1232,10 +1248,12 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     from trialstreamer_spark.operators.textstats import (
         lang_scores,
         source_distinctive_tokens,
+        source_token_counts,
     )
 
     lang_scores(spark, sf_dir)
     source_distinctive_tokens(spark, sf_dir)
+    source_token_counts(spark, sf_dir)
     dsir_importance_weights(spark, sf_dir)
     winnowing_stats(spark, sf_dir)
     winnowing_overlap_pairs(spark, sf_dir)
@@ -1257,6 +1275,7 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
         "dup_span_windows",
         "span_source_sets",
         "span_set_census",
+        "source_token_counts",
     ):
         materialize_plan(spark, (name, sf_dir))
 
@@ -1288,13 +1307,14 @@ def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sliding SPAN_K-token window census rows (doc_id, i, h) — one
     per window position, md5 over the joined span — shared by
     substring_dup_coverage and source_overlap_matrix via the
-    `dup_span_windows` sidecar (once per corpus version)."""
-    from trialstreamer_spark.util import cached_plan
+    `dup_span_windows` sidecar (once per corpus version; disk-backed)."""
+    from trialstreamer_spark.sidecars import disk_cached_plan
 
     toks = _doc_tokens(spark, sf_dir)
-    return cached_plan(
+    return disk_cached_plan(
         spark,
-        ("dup_span_windows", sf_dir),
+        sf_dir,
+        "dup_span_windows",
         lambda: toks.where(F.size("t") >= SPAN_K)
         .select(
             "doc_id",
@@ -1609,10 +1629,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.collect_set("source").alias("ss"))
     )
-    from trialstreamer_spark.util import cached_plan
+    from trialstreamer_spark.sidecars import disk_cached_plan
 
-    span_sources = cached_plan(
-        spark, ("span_source_sets", sf_dir), lambda: span_sources
+    span_sources = disk_cached_plan(
+        spark, sf_dir, "span_source_sets", lambda: span_sources
     )
     # Second census rollup, also a sidecar: spans grouped by their
     # CANONICAL source set with a count. Distinct source sets number at
@@ -1620,9 +1640,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # everything downstream — per-source totals AND per-pair shared
     # counts — computes from a table whose size is independent of corpus
     # row count. The query path never rescans the span census.
-    census = cached_plan(
+    census = disk_cached_plan(
         spark,
-        ("span_set_census", sf_dir),
+        sf_dir,
+        "span_set_census",
         lambda: span_sources.groupBy(
             F.sort_array(F.col("ss")).alias("ss")
         ).agg(F.count("*").alias("n_spans")),
@@ -1747,6 +1768,7 @@ ERASE_MOD = 97
 
 
 from trialstreamer_spark.operators.dedup import _DD_SHINGLES as _SH_CTE
+from trialstreamer_spark.operators.dedup import _PR_SIG_CTES as _CC_CTES
 
 
 @query(
@@ -1930,4 +1952,79 @@ def dup_rate_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("is_dup") * F.lit(1.0) / F.count("*")).alias("dup_frac"),
         )
         .orderBy("n_flags")
+    )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+    WITH RECURSIVE {CTES},
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+    nw AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  AS BIGINT) AS n_words
+      FROM documents
+    ),
+    j AS (
+      SELECT c.doc_id, c.component, n.n_words
+      FROM comp c JOIN nw n ON n.doc_id = c.doc_id
+    ),
+    sized AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM j GROUP BY component
+    ),
+    best AS (SELECT component, MAX(n_words) AS best_words FROM j GROUP BY component),
+    kept AS (
+      SELECT j.component, MIN(j.doc_id) AS doc_id
+      FROM j JOIN best b ON j.component = b.component AND j.n_words = b.best_words
+      GROUP BY j.component
+    )
+    SELECT k.doc_id, k.component, b.best_words AS n_words, s.cluster_size
+    FROM kept k
+    JOIN best b ON b.component = k.component
+    JOIN sized s ON s.component = k.component
+    ORDER BY doc_id
+    """.format(CTES=_CC_CTES),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, keep the
+    HIGHEST-QUALITY copy rather than the lowest id — the policy
+    production pipelines actually deploy (a near-dup group usually
+    contains one full article and several truncated/boilerplate
+    variants; keeping min-id throws away content). Quality here is the
+    exact integer token count from the quality_signals sidecar (longer
+    copy wins; doc_id breaks ties deterministically), so the kept set is
+    bit-identical across engines and partition orders.
+
+    Composes two prepare-time sidecars and nothing else: cc_labels (the
+    union-find cluster mapping, disk-backed in prepare_dedup) joined
+    doc_id-keyed with quality_signals (one row per doc), then ONE window
+    over the component — rank-1 row plus the cluster size ride the same
+    sort. No text, signatures, or pair lists are touched at query time;
+    at 100 TB both inputs are bucketed one-row-per-doc tables and the
+    window shuffles |docs| skinny rows on the component key. The oracle
+    re-derives the clustering via the recursive min-label CTE and picks
+    the same argmax via MAX + MIN(doc_id).
+    """
+    from pyspark.sql import Window as W
+
+    from trialstreamer_spark.operators.dedup import cc_labels
+
+    j = cc_labels(spark, sf_dir).join(
+        quality_signals(spark, sf_dir).select("doc_id", "n_words"), "doc_id"
+    )
+    comp = W.partitionBy("component")
+    rk = comp.orderBy(F.col("n_words").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("cluster_size", F.count("*").over(comp))
+        .withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "component", "n_words", "cluster_size")
+        .orderBy("doc_id")
     )

@@ -301,10 +301,18 @@ def doc_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(
                 F.broadcast(tf.agg(F.countDistinct("doc_id").alias("n")))
             )
-            .repartition(n_parts, F.col("doc_id"))
         )
 
-    return cached_plan(spark, ("doc_tf_stats", sf_dir), build)
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return disk_cached_plan(
+        spark,
+        sf_dir,
+        "doc_tf_stats",
+        build,
+        post=lambda df: df.repartition(n_parts, F.col("doc_id")),
+    )
 
 
 @query(

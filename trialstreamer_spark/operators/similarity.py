@@ -475,12 +475,15 @@ def _multi_query_scores(e: DataFrame, sf_dir: str, n_q: int) -> DataFrame:
     ann_recall_at_k, ann_nprobe_recall_curve, hard_negative_mining, and
     the kNN graph family, so the corpus crosses the Arrow boundary once
     per corpus version, not once per query."""
-    from trialstreamer_spark.util import cached_plan
+    from trialstreamer_spark.sidecars import disk_cached_plan
 
-    return cached_plan(
+    return disk_cached_plan(
         e.sparkSession,
-        ("panel_scores", sf_dir, n_q),
+        sf_dir,
+        "panel_scores",
         lambda: _build_multi_query_scores(e, sf_dir, n_q),
+        source_tables=("embeddings",),
+        key_extra=(n_q,),
     )
 
 
@@ -1000,7 +1003,11 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # already carry; AQE broadcasts them at test scale on its own
         return ranked.join(sl, "src_id").join(dl, "dst_id")
 
-    return cached_plan(spark, ("knn_edges", sf_dir), build)
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    return disk_cached_plan(
+        spark, sf_dir, "knn_edges", build, source_tables=("embeddings",)
+    )
 
 
 @query(

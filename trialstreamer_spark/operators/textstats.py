@@ -152,8 +152,9 @@ def lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document language-profile hit counts (doc_id, lang, score_*)
     — the featurization behind lang_id and the confusion matrix, built
     once per corpus version (the profile scan is the whole cost of both
-    queries)."""
-    from trialstreamer_spark.util import cached_plan
+    queries). Disk-backed (sidecars.disk_cached_plan): a restarted
+    session reads the committed parquet."""
+    from trialstreamer_spark.sidecars import disk_cached_plan
 
     def build() -> DataFrame:
         d = load(spark, sf_dir, "documents")
@@ -167,7 +168,7 @@ def lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
 
-    return cached_plan(spark, ("lang_scores", sf_dir), build)
+    return disk_cached_plan(spark, sf_dir, "lang_scores", build)
 
 
 @query(
@@ -926,7 +927,6 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whole scored-and-ranked signature table is a per-corpus-version
     statistic (|sources| × K rows), so it is a prepare_curation sidecar
     — the query path is a read + sort (round-5 perf-weak fix)."""
-    from trialstreamer_spark.util import cached_plan
 
     def build() -> DataFrame:
         from pyspark.sql import Window as W
@@ -966,8 +966,10 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
     return (
-        cached_plan(spark, ("source_token_signatures", sf_dir), build)
+        disk_cached_plan(spark, sf_dir, "source_token_signatures", build)
         .orderBy("source", "rank")
     )
 
@@ -1085,4 +1087,144 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens_total"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tok, c) token-frequency rollup per source — the raw
+    distribution table behind cross-source drift statistics. A
+    per-corpus featurization (one explode + one grouped count), so a
+    prepare_curation sidecar; every consumer operates on |vocabulary ×
+    sources| rows, never corpus rows. Disk-backed."""
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        return (
+            d.select(
+                "source",
+                F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+            )
+            .groupBy("source", "tok")
+            .agg(F.count("*").alias("c"))
+        )
+
+    return disk_cached_plan(spark, sf_dir, "source_token_counts", build)
+
+
+@query(
+    "token_tv_distance_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source),
+    matched AS (
+      SELECT a.source AS sa, b.source AS sb,
+             abs(a.c * nb.n - b.c * na.n) AS contrib
+      FROM c a
+      JOIN c b ON a.tok = b.tok AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+    ),
+    onesided AS (
+      SELECT least(a.source, o.source) AS sa,
+             greatest(a.source, o.source) AS sb,
+             a.c * o.n AS contrib
+      FROM c a
+      JOIN n o ON o.source <> a.source
+      LEFT JOIN c b ON b.source = o.source AND b.tok = a.tok
+      WHERE b.c IS NULL
+    ),
+    allc AS (SELECT * FROM matched UNION ALL SELECT * FROM onesided)
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(SUM(contrib) AS BIGINT) AS tv_num,
+           na.n AS n_a, nb.n AS n_b,
+           SUM(contrib) / (2.0 * na.n * nb.n) AS tv
+    FROM allc
+    JOIN n na ON na.source = sa
+    JOIN n nb ON nb.source = sb
+    GROUP BY sa, sb, na.n, nb.n
+    ORDER BY source_a, source_b
+    """,
+)
+def token_tv_distance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift audit: exact total-variation distance between every
+    pair of sources' token distributions — TV(P,Q) = ½·Σ|p_t − q_t|,
+    the statistic mixture design and crawl-regression monitoring read
+    ("did src7's language shift this snapshot?"). Emitted as an exact
+    integer numerator ``tv_num = Σ_t |c_a(t)·N_b − c_b(t)·N_a|`` over
+    the union vocabulary plus both token totals, so the comparison is
+    pure int64 — TV itself is the single final division
+    tv_num/(2·N_a·N_b), identical IEEE doubles on both engines.
+
+    Scale shape: everything operates on the (source, tok, c) rollup
+    sidecar (source_token_counts — |vocab × sources| rows, never corpus
+    rows). Matched terms are one tok-keyed self-join constrained
+    source_a < source_b; terms ABSENT from one side (the part a
+    matched-only join would silently drop) are recovered by expanding
+    each rollup row against the |sources|-row totals dim (broadcast)
+    and anti-probing the rollup — each one-sided term contributes
+    exactly once, from its present side's direction. The pair rollup
+    has |sources|² keys. At a 10¹²-token corpus the products need
+    DECIMAL(38) before int64 overflows; the shape is unchanged."""
+    c = source_token_counts(spark, sf_dir)
+    n = c.groupBy("source").agg(F.sum("c").alias("n"))
+    a = c.select(F.col("source").alias("sa"), "tok", F.col("c").alias("ca"))
+    b = c.select(
+        F.col("source").alias("sb"),
+        F.col("tok").alias("tokb"),
+        F.col("c").alias("cb"),
+    )
+    na = F.broadcast(n.select(F.col("source").alias("sa"), F.col("n").alias("n_a")))
+    nb = F.broadcast(n.select(F.col("source").alias("sb"), F.col("n").alias("n_b")))
+    matched = (
+        a.join(b, (F.col("tok") == F.col("tokb")) & (F.col("sa") < F.col("sb")))
+        .join(na, "sa")
+        .join(nb, "sb")
+        .select(
+            "sa",
+            "sb",
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("contrib"),
+        )
+    )
+    other = F.broadcast(
+        n.select(F.col("source").alias("so"), F.col("n").alias("n_o"))
+    )
+    onesided = (
+        a.join(other, F.col("sa") != F.col("so"))
+        .join(
+            b,
+            (F.col("tok") == F.col("tokb")) & (F.col("so") == F.col("sb")),
+            "left",
+        )
+        .where(F.col("cb").isNull())
+        .select(
+            F.least("sa", "so").alias("sa"),
+            F.greatest("sa", "so").alias("sb"),
+            (F.col("ca") * F.col("n_o")).alias("contrib"),
+        )
+    )
+    return (
+        matched.unionByName(onesided)
+        .groupBy("sa", "sb")
+        .agg(F.sum("contrib").alias("tv_num"))
+        .join(na, "sa")
+        .join(nb, "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "tv_num",
+            "n_a",
+            "n_b",
+            (F.col("tv_num") / (2.0 * F.col("n_a") * F.col("n_b"))).alias("tv"),
+        )
+        .orderBy("source_a", "source_b")
     )
