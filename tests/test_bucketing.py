@@ -135,13 +135,44 @@ class TestFactBucketLayout:
         assert "ts_bkt_" in plan
         assert self._join_subtree_exchange_free(plan), plan
 
+    def test_large_volume_orders_zero_exchanges(self, spark, bucketed_sf):
+        """Q18 shape on the bucketed layout: HashPartitioning(orderkey)
+        satisfies BOTH the quantity rollup's groupBy and the orders
+        join, and customer broadcasts — the whole plan runs with no
+        hash exchange at all."""
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["large_volume_orders"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+
+    def test_sole_late_supplier_single_exchange(self, spark, bucketed_sf):
+        """Q21 shape on the bucketed layout: the fact join, the
+        (orderkey, suppkey) rollup, and the per-order window all ride
+        the bucket partitioning; the only hash exchange left is the
+        final |suppliers|-sized rollup."""
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["sole_late_supplier"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
     def test_bucketed_path_matches_plain(self, spark, bucketed_sf):
         """Identical rows with and without the layout (the path choice
         must never change results — same contract as postings)."""
         from trialstreamer_spark import io
         from trialstreamer_spark.plans.all_queries import QUERIES
 
-        for name in ("late_shipment_priority", "small_qty_revenue"):
+        for name in (
+            "late_shipment_priority",
+            "small_qty_revenue",
+            "large_volume_orders",
+            "sole_late_supplier",
+        ):
             with_bkt = QUERIES[name](spark, bucketed_sf).collect()
             real = io.bucketed_table
             try:

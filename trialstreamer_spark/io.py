@@ -121,12 +121,12 @@ BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
     "lineitem_by_orderkey": (
         "lineitem",
         "l_orderkey",
-        ("l_orderkey", "l_shipdate"),
+        ("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate"),
     ),
     "orders_by_orderkey": (
         "orders",
         "o_orderkey",
-        ("o_orderkey", "o_orderdate", "o_orderpriority"),
+        ("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"),
     ),
     "lineitem_by_partkey": (
         "lineitem",

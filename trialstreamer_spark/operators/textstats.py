@@ -1228,3 +1228,183 @@ def token_tv_distance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: lexical-richness and n-gram coverage audits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "type_token_stats",
+    oracle="""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((1000000 * COUNT(*)) // SUM(cnt) AS BIGINT) AS ttr_fp,
+           CAST((1000000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hapax_fp
+    FROM tf
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def type_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness audit per source: type-token ratio and hapax-
+    legomenon share — the standard diversity signals for spotting
+    template-generated or boilerplate-heavy corpus slices before they
+    reach a training mix (low TTR = heavy repetition; low hapax share =
+    stamped-out text).
+
+    Determinism: all three counts are exact integers; the ratios are
+    single integer floor-divisions at 1e-6 (`_fp` convention).
+
+    Scale shape: explode → (source, tok) rollup partial-aggregates
+    map-side (same exchange class as source_distinctive_tokens); the
+    second rollup keys on |sources|. Nothing is corpus-sized after the
+    first aggregation."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(1000000 * n_types) DIV n_tokens").alias("ttr_fp"),
+            F.expr("(1000000 * n_hapax) DIV n_types").alias("hapax_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Coverage checkpoints for the bigram curve below.
+COVERAGE_KS = (10, 100, 1000)
+
+
+@query(
+    "bigram_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ),
+    cnts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bg),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts),
+    top AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, bg) AS rk
+      FROM cnts
+      QUALIFY rk <= {max(COVERAGE_KS)}
+    )
+    SELECT ks.k,
+           CAST(SUM(CASE WHEN t.rk <= ks.k THEN t.cnt ELSE 0 END) AS BIGINT)
+               AS covered_occurrences,
+           CAST(ANY_VALUE(total.tot) AS BIGINT) AS total_occurrences,
+           CAST((1000000 * SUM(CASE WHEN t.rk <= ks.k THEN t.cnt ELSE 0 END))
+                // ANY_VALUE(total.tot) AS BIGINT) AS coverage_fp
+    FROM top t
+    CROSS JOIN total
+    CROSS JOIN (VALUES {", ".join(f"({k})" for k in COVERAGE_KS)}) ks(k)
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """,
+)
+def bigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage curve of the corpus bigram distribution: what share
+    of all bigram OCCURRENCES the top-{{10,100,1000}} bigram TYPES
+    account for. A steep curve means templated text (a handful of
+    n-grams dominates); a flat one means diverse prose — the quick
+    Zipf-shape audit run before choosing dedup/quality thresholds.
+
+    Determinism: occurrence counts are exact integers; the top-1000
+    selection orders by (count DESC, bigram ASC) so boundary ties are
+    total; coverage is an integer floor-division at 1e-6.
+
+    Scale shape: bigrams are built as an array transform (no
+    self-join), the type rollup partial-aggregates map-side, the
+    top-1000 is TakeOrderedAndProject (distributed heap top-k, no
+    global sort), and the curve itself is a window over that ≤1000-row
+    frame broadcast-joined to the 1-row grand total. The only
+    corpus-sized exchange is the type rollup's."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    # bind the token array to a column FIRST: referencing the split
+    # expression inside the lambda would re-tokenize the document once
+    # per element (no common-subexpression elimination through
+    # higher-order functions — measured 20× slower)
+    t = F.col("t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    toks = d.select(tokens_col(F.lower(F.col("text"))).alias("t"))
+    cnts = (
+        toks.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # the grand total aggregates the SAME cnts subtree the top-k reads:
+    # because both consumers sit in one physical plan, the groupBy's
+    # shuffle is planned once and the second reader becomes a
+    # ReusedExchange — the corpus is tokenized exactly once (a separate
+    # "cheap" Σ(len−1) scan would re-tokenize and run 7× slower)
+    total = cnts.agg(F.sum("cnt").alias("tot"))
+    top = (
+        cnts.orderBy(F.col("cnt").desc(), F.col("bg"))
+        .limit(max(COVERAGE_KS))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("cnt").desc(), F.col("bg"))
+            ),
+        )
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("k")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select("cnt", "rk", "tot", ks)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("cnt")).otherwise(0))
+            .alias("covered_occurrences"),
+            F.first("tot").alias("total_occurrences"),
+        )
+        .select(
+            "k",
+            "covered_occurrences",
+            "total_occurrences",
+            F.expr(
+                "(1000000 * covered_occurrences) DIV total_occurrences"
+            ).alias("coverage_fp"),
+        )
+        .orderBy("k")
+    )

@@ -1695,3 +1695,462 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: remaining classic decision-support plan shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "returned_item_topk",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS cust_name,
+           n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, custkey
+    LIMIT 20
+    """,
+)
+def returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns in
+    one quarter, per customer, top-20. The same leg shape the reference's
+    engine runs for "flagged records per account" roll-ups (crud.py
+    annotation joins), at fact scale.
+
+    Scale shape: both selective predicates sit ON the scans (returnflag
+    is a dictionary-encoded parquet column → row-group skip; the date
+    range partition-prunes a date-partitioned warehouse). The fact-fact
+    join keys on orderkey; the customer and nation dims broadcast as one
+    chained lookup. The custkey rollup only sees returned-quarter rows,
+    so its exchange is a small fraction of the fact. TakeOrderedAndProject
+    finishes — no global sort. Revenue follows the
+    round-to-cents-then-sum discipline (module docstring)."""
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    WITH fact AS (
+      SELECT l.l_partkey,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rc
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+    )
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN f.rc ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(SUM(f.rc) AS BIGINT) AS total_cents,
+           CAST((1000000 * SUM(CASE WHEN p.p_type = 'PROMO' THEN f.rc ELSE 0 END))
+                // SUM(f.rc) AS BIGINT) AS promo_share_fp
+    FROM fact f
+    JOIN part p ON f.l_partkey = p.p_partkey
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect metric: the share of one
+    month's revenue that came from promo-class parts. The reference
+    computes the same "share of flagged rows" statistic for its RCT
+    match-rate dashboards (dbutil.py match-rate counts).
+
+    Determinism: both sums are exact int64 cents and the share is a
+    single integer floor-division at 1e-6 resolution (`frac_fp`
+    convention, see event_type_transitions) — no float crosses an
+    engine boundary.
+
+    Scale shape: the month predicate prunes the fact scan; the part dim
+    broadcasts; the conditional sums fold into ONE partial aggregate
+    (map-side) with a single 1-row exchange. Nothing here grows with
+    corpus size except the pruned scan itself."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", F.col("rc")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        l.select("l_partkey", rc.alias("rc"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum("rc").alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.expr("(1000000 * promo_cents) DIV total_cents").alias(
+                "promo_share_fp"
+            ),
+        )
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ),
+    best AS (SELECT CAST(MAX(total_rev_c) AS BIGINT) AS max_rev_c FROM rev)
+    SELECT s.s_suppkey AS suppkey,
+           s.s_name AS supp_name,
+           r.total_rev_c
+    FROM rev r
+    CROSS JOIN best b
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_c = b.max_rev_c
+    ORDER BY suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped aggregate-view maximum: the supplier(s) whose
+    quarterly shipped revenue equals the maximum over all suppliers —
+    the classic "view + scalar-subquery-on-the-view" pattern, with ties
+    kept by equality semantics (same as the spec).
+
+    Scale shape: the revenue view partial-aggregates map-side to one
+    row per supplier; the maximum is a 1-row broadcast crossJoin over
+    that |suppliers|-sized frame (the dormant_rich_customers threshold
+    pattern — NOT a global sort, NOT a driver collect); the supplier dim
+    broadcasts for the name lookup. Ties need no second pass because the
+    1-row max joins back by value."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = l.groupBy("l_suppkey").agg(F.sum(cents).alias("total_rev_c"))
+    best = rev.agg(F.max("total_rev_c").alias("max_rev_c"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .where(F.col("total_rev_c") == F.col("max_rev_c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "total_rev_c",
+        )
+        .orderBy("suppkey")
+    )
+
+
+#: An order is "large volume" when its total quantity exceeds this.
+LARGE_VOLUME_QTY = 250
+
+
+@query(
+    "large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {LARGE_VOLUME_QTY}
+    )
+    SELECT c.c_name AS cust_name,
+           c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice_cents DESC, orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer report: orders whose total
+    quantity exceeds LARGE_VOLUME_QTY, with their customer, top-100 by
+    order value. The IN-(GROUP BY ... HAVING) subquery is written as the
+    aggregate itself joined back to orders — the decorrelation every
+    engine performs.
+
+    Scale shape: the quantity rollup groups the fact on orderkey and the
+    join back to orders keys on orderkey too, so on the orderkey-bucketed
+    layout NEITHER needs an Exchange (HashPartitioning(orderkey)
+    satisfies both the groupBy and the join); on plain parquet the one
+    fact exchange is shared by both. The HAVING prunes to a tiny row set
+    before the orders join; customer broadcasts; TakeOrderedAndProject
+    finishes."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        )
+    )
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    )
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > LARGE_VOLUME_QTY)
+    )
+    if lb is not None and ob is not None:
+        big = big.hint("merge")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice_cents").desc(), F.col("orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "sole_late_supplier",
+    oracle=f"""
+    WITH pers AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate
+                                          + INTERVAL {LATE_SHIP_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    w AS (
+      SELECT l_suppkey, late,
+             COUNT(*)  OVER (PARTITION BY l_orderkey) AS n_supp,
+             SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM pers
+    )
+    SELECT s.s_name AS supp_name,
+           s.s_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    WHERE w.late = 1 AND w.n_supp > 1 AND w.n_late = 1
+    GROUP BY s.s_name, s.s_suppkey
+    ORDER BY numwait DESC, suppkey
+    LIMIT 25
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped blame query: on multi-supplier orders, the
+    suppliers who were the ONLY late shipper — EXISTS (another supplier
+    on the order) AND NOT EXISTS (another LATE supplier), ranked by how
+    often. The correlated pair is decorrelated into one per-(order,
+    supplier) aggregate plus per-order window counts — the exactly-one
+    semantics without a second fact scan (the textbook plan runs the
+    fact through a semi AND an anti join; this one reads it once).
+
+    Scale shape: the fact-fact join keys on orderkey, the pair rollup
+    groups on (orderkey, suppkey), and the window partitions on orderkey
+    — HashPartitioning(orderkey) satisfies ALL THREE, so on the
+    orderkey-bucketed layout the whole chain to the final |suppliers|
+    rollup has no Exchange at all; on plain parquet one fact exchange is
+    shared. The supplier dim broadcasts; top-k finishes with
+    TakeOrderedAndProject."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    )
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        )
+    )
+    if lb is not None and ob is not None:
+        l = l.hint("merge")
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS"),
+        1,
+    ).otherwise(0)
+    pers = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w_ord = W.partitionBy("l_orderkey")
+    flagged = (
+        pers.withColumn("n_supp", F.count("*").over(w_ord))
+        .withColumn("n_late", F.sum("late").over(w_ord))
+        .where(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_name").alias("supp_name"),
+            F.col("s_suppkey").alias("suppkey"),
+            "numwait",
+        )
+        .orderBy(F.col("numwait").desc(), F.col("suppkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "scd2_run_stats",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS new_run
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             SUM(new_run) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    per_run AS (
+      SELECT user_id, run_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+           CAST((1000000 * SUM(run_len)) // COUNT(*) AS BIGINT) AS mean_run_fp
+    FROM per_run
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scd2_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history compaction (gaps-and-islands): collapse each
+    user's event stream into runs of consecutive equal event_type —
+    the exact shape a CDC feed is folded into dimension-history
+    intervals — then audit run lengths per type. A change-flag lag
+    window, a running-sum window to number the runs, and two rollups:
+    the textbook islands plan, fully declarative.
+
+    Determinism: the (ts, event_id) per-user ordering is total, so the
+    run numbering is reproducible; every output is an exact integer or
+    a 1e-6 fixed-point division.
+
+    Scale shape: both windows share ONE sort-exchange on user_id (same
+    partitioning and order → Catalyst stacks them over a single sort);
+    the per-run rollup's key set starts with user_id, so
+    HashPartitioning(user_id) already satisfies it — no second
+    corpus-sized exchange. On a user-bucketed event log even the first
+    exchange disappears (the sessionize co-location story). The final
+    rollup is |event_type|-sized."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_run = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+    ).otherwise(1)
+    runs = e.withColumn("new_run", new_run).withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per_run = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        per_run.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.sum("run_len").alias("n_events"),
+            F.max("run_len").alias("max_run_len"),
+        )
+        .select(
+            "event_type",
+            "n_runs",
+            "n_events",
+            "max_run_len",
+            F.expr("(1000000 * n_events) DIV n_runs").alias("mean_run_fp"),
+        )
+        .orderBy("event_type")
+    )
