@@ -161,6 +161,40 @@ class TestFactBucketLayout:
         assert "ts_bkt_" in plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
 
+    def test_cross_region_volume_single_exchange(self, spark, bucketed_sf):
+        """Q7 shape: fact⋈fact rides the orderkey buckets, both
+        region-dimension chains broadcast — the only hash exchange is
+        the ≤|2×years| rollup."""
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["cross_region_volume"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_nation_market_share_single_exchange(self, spark, bucketed_sf):
+        """Q8 shape: three broadcast dim filters + bucketed fact join;
+        the conditional-share rollup owns the one exchange."""
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["nation_market_share"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_product_profit_single_exchange(self, spark, bucketed_sf):
+        """Q9 shape: name-pattern part dim + nation label broadcast;
+        bucketed orderkey join; one rollup exchange."""
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["product_profit_by_nation"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
     def test_bucketed_path_matches_plain(self, spark, bucketed_sf):
         """Identical rows with and without the layout (the path choice
         must never change results — same contract as postings)."""
@@ -172,6 +206,9 @@ class TestFactBucketLayout:
             "small_qty_revenue",
             "large_volume_orders",
             "sole_late_supplier",
+            "cross_region_volume",
+            "nation_market_share",
+            "product_profit_by_nation",
         ):
             with_bkt = QUERIES[name](spark, bucketed_sf).collect()
             real = io.bucketed_table

@@ -121,7 +121,15 @@ BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
     "lineitem_by_orderkey": (
         "lineitem",
         "l_orderkey",
-        ("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate"),
+        (
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ),
     ),
     "orders_by_orderkey": (
         "orders",

@@ -2154,3 +2154,378 @@ def scd2_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6b — four more classic decision-support shapes (TPC-H Q6/Q7/Q8/Q9
+# analogs on this corpus's slim schema). Same reference lineage as the other
+# plan shapes: the reference's dashboards run exactly these filter-agg /
+# share-of-total / multi-dim-rollup SQL forms on Postgres (dbutil.py:179-188
+# matviews, cnxapp.py:188-219 assembled queries); here each is a declarative
+# plan whose predicates sit on the scans and whose dims broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "discount_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(rc * dp) AS BIGINT) AS forecast_rev_fp,
+           CAST(COUNT(*) AS BIGINT)     AS n_rows
+    FROM (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rc,
+             CAST(ROUND(l_discount * 100) AS BIGINT)      AS dp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_quantity < 24
+        AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+    )
+    """,
+)
+def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped what-if scan: revenue that would be regained by
+    dropping a discount band for a year — SUM(extendedprice * discount)
+    under three conjunctive range predicates, one row out. The reference's
+    single-row count matviews are this shape (dbutil.py:188).
+
+    Scale shape: the PURE filter-aggregate — no join, no groupBy key. The
+    date range and the quantity bound push to the parquet scan
+    (PushedFilters → row-group min/max skip; on a date-partitioned
+    warehouse the year prunes whole directories); the discount-band test
+    runs on the scan output before the 1-row partial aggregate, so the
+    shuffle is one row per partition. The forecast is an exact integer in
+    cents×percent units (1e-4 dollars): no float ever crosses the engine
+    boundary."""
+    l = load(spark, sf_dir, "lineitem")
+    rc = _cents(F.col("l_extendedprice"))
+    dp = _cents(F.col("l_discount"))
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_quantity") < 24)
+        )
+        .where(dp.between(5, 7))
+        .agg(
+            F.sum(rc * dp).alias("forecast_rev_fp"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+#: The two regions whose bilateral trade the Q7-shaped query audits.
+VOLUME_REGIONS = ("ASIA", "EUROPE")
+
+
+@query(
+    "cross_region_volume",
+    oracle=f"""
+    SELECT r1.r_name AS supp_region,
+           r2.r_name AS cust_region,
+           CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN region r1  ON n1.n_regionkey = r1.r_regionkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    JOIN region r2  ON n2.n_regionkey = r2.r_regionkey
+    WHERE (r1.r_name = '{VOLUME_REGIONS[0]}' AND r2.r_name = '{VOLUME_REGIONS[1]}')
+       OR (r1.r_name = '{VOLUME_REGIONS[1]}' AND r2.r_name = '{VOLUME_REGIONS[0]}')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def cross_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral-volume audit: revenue shipped between
+    two regions (both directions kept separate), per year. The
+    reference's registry↔article source-pair roll-ups are the same
+    two-sided dimension join (cnxapp.py registry_links joins).
+
+    Scale shape: the two dimension chains (supplier→nation→region,
+    customer→nation→region) fold to two tiny broadcast lookup tables
+    FILTERED to the two regions before the join, so the disjunctive
+    region-pair predicate prunes most of the fact before the fact-fact
+    join; written as region ∈ {{A,B}} on each side plus supp≠cust after,
+    which is equivalent to the two-pair disjunction. The lineitem⋈orders
+    join keys on orderkey and rides the prepared bucket layout when
+    present (zero fact exchange; the only hash exchange left is the
+    ≤|2×years| rollup). Revenue is exact int64 cents."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
+    )
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name").isin(*VOLUME_REGIONS))
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    if lb is not None and ob is not None:
+        l = l.hint("merge")
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_region") != F.col("cust_region"))
+    )
+    return (
+        joined.groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(rc).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("supp_region", "cust_region", "yr")
+    )
+
+
+#: Q8-shape market definition: customers in this region buying this part
+#: type; the tracked share is the revenue supplied from this nation.
+MARKET_REGION = "ASIA"
+MARKET_PART_TYPE = "STANDARD"
+MARKET_TARGET_NATION = "NATION_13"
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rc,
+             CASE WHEN ns.n_name = '{MARKET_TARGET_NATION}' THEN 1 ELSE 0 END
+                  AS is_target
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+                     AND p.p_type = '{MARKET_PART_TYPE}'
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey
+                     AND r.r_name = '{MARKET_REGION}'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN is_target = 1 THEN rc ELSE 0 END) AS BIGINT)
+               AS target_cents,
+           CAST(SUM(rc) AS BIGINT) AS total_cents,
+           CAST((1000000 * SUM(CASE WHEN is_target = 1 THEN rc ELSE 0 END))
+                // SUM(rc) AS BIGINT) AS share_fp
+    FROM m
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market-share trend: within one region's market for
+    one part type, the share of revenue supplied from one nation, per
+    order year. The reference's match-rate pivots are the same
+    share-of-flagged-rows statistic (dbutil.py conditional counts).
+
+    Scale shape: three broadcast dimension filters (part type, customer
+    region via nation→region chain, supplier nation label) prune or
+    annotate the fact; the market's definition prunes BEFORE the
+    fact-fact orderkey join (bucketed when prepared; merge-hinted so the
+    co-location is provable rather than broadcast-masked). The share per
+    year folds into one conditional-sum rollup — exact int64 cents and a
+    single integer floor-division at 1e-6 resolution."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+    )
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == MARKET_PART_TYPE)
+        .select("p_partkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            load(spark, sf_dir, "region").where(F.col("r_name") == MARKET_REGION),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == MARKET_TARGET_NATION).cast("int").alias("is_target"),
+        )
+    )
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    if lb is not None and ob is not None:
+        l = l.hint("merge")
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.when(F.col("is_target") == 1, rc).otherwise(F.lit(0).cast("long"))).alias(
+                "target_cents"
+            ),
+            F.sum(rc).alias("total_cents"),
+        )
+        .select(
+            "yr",
+            "target_cents",
+            "total_cents",
+            F.expr("(1000000 * target_cents) DIV total_cents").alias("share_fp"),
+        )
+        .orderBy("yr")
+    )
+
+
+#: Q9-shape: parts whose name contains this token; cost model = 80% of the
+#: part's retail price per unit (the corpus has no partsupp/supplycost).
+PROFIT_NAME_TOKEN = "widget"
+
+
+@query(
+    "product_profit_by_nation",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+           CAST(SUM(10 * CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                              AS BIGINT)
+                    - CAST(l.l_quantity AS BIGINT)
+                      * CAST(ROUND(p.p_retailprice * 100) AS BIGINT) * 8)
+                AS BIGINT) AS profit_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+                   AND p.p_name LIKE '%{PROFIT_NAME_TOKEN}%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit: for parts matching a name
+    token, net profit per supplier nation per year, where unit cost is
+    modeled as 80% of the part's retail price (the corpus carries no
+    partsupp.supplycost — the plan shape, a name-pattern dim filter
+    fanned across a multi-dim rollup, is what Q9 exercises).
+
+    Scale shape: the LIKE filter prunes the part dim BEFORE broadcast
+    (pattern filters don't reach parquet row-groups, but the dim is
+    partkey-sized, not fact-sized); supplier→nation folds to one
+    broadcast label lookup; the only fact-fact join keys on orderkey and
+    rides the bucket layout when prepared. Profit is exact int64 in
+    0.1-cent units: 10×revenue_cents − qty×retail_cents×8 — both
+    engines compute identical integers, no float accumulation."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"%{PROFIT_NAME_TOKEN}%"))
+        .select("p_partkey", _cents(F.col("p_retailprice")).alias("retail_c"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    profit = (
+        F.lit(10).cast("long") * rc
+        - F.col("l_quantity").cast("long") * F.col("retail_c") * 8
+    )
+    if lb is not None and ob is not None:
+        l = l.hint("merge")
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(
+            F.sum(profit).alias("profit_fp"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("supp_nation", "yr")
+    )
