@@ -195,6 +195,31 @@ class TestFactBucketLayout:
         assert "ts_bkt_" in plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
 
+    def test_cheapest_supplier_zero_exchanges(self, spark, bucketed_sf):
+        """Q2 shape on the partkey buckets: the (partkey, suppkey)
+        rollup AND the per-part window both ride
+        HashPartitioning(partkey) — no hash exchange anywhere; dims
+        broadcast."""
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["cheapest_supplier_per_part"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+
+    def test_high_value_parts_zero_hash_exchanges(self, spark, bucketed_sf):
+        """Q11 shape: the per-part value rollup rides the partkey
+        buckets; the threshold is a 1-row broadcast (single-partition
+        exchange only, never a hash one)."""
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["high_value_parts"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+
     def test_bucketed_path_matches_plain(self, spark, bucketed_sf):
         """Identical rows with and without the layout (the path choice
         must never change results — same contract as postings)."""
@@ -209,6 +234,10 @@ class TestFactBucketLayout:
             "cross_region_volume",
             "nation_market_share",
             "product_profit_by_nation",
+            "cheapest_supplier_per_part",
+            "high_value_parts",
+            "part_supplier_variety",
+            "disjunctive_bracket_revenue",
         ):
             with_bkt = QUERIES[name](spark, bucketed_sf).collect()
             real = io.bucketed_table

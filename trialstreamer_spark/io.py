@@ -139,7 +139,7 @@ BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
     "lineitem_by_partkey": (
         "lineitem",
         "l_partkey",
-        ("l_partkey", "l_quantity", "l_extendedprice"),
+        ("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"),
     ),
 }
 

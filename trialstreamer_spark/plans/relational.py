@@ -2529,3 +2529,282 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "yr")
     )
+
+
+#: Q2-shape part slice whose cheapest supplier is looked up.
+CHEAPEST_PART_TYPE = "ECONOMY"
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle=f"""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS unit_cents
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT u.*,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cents, l_suppkey) AS rn
+      FROM unit u
+    )
+    SELECT p.p_partkey AS partkey,
+           p.p_name    AS part_name,
+           s.s_suppkey AS suppkey,
+           s.s_name    AS supp_name,
+           r.unit_cents
+    FROM ranked r
+    JOIN part p     ON r.l_partkey = p.p_partkey
+                   AND p.p_type = '{CHEAPEST_PART_TYPE}'
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rn = 1
+    ORDER BY partkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost-supplier lookup: for every part in a
+    type slice, the supplier with the lowest observed unit price
+    (deterministic suppkey tiebreak) — the correlated-MIN-subquery
+    pattern decorrelated into an aggregate + per-part window rank. The
+    reference's "best annotation per article" picks are the same
+    argmin-per-key shape (max-by watermark, relational.py:287).
+
+    Scale shape: the (partkey, suppkey) rollup and the per-part window
+    BOTH ride HashPartitioning(partkey) — partkey partitioning satisfies
+    the two-key clustering because equal (partkey, suppkey) pairs share a
+    partkey — so on the partkey-bucketed layout the whole chain to the
+    final sort is exchange-free (asserted in test_bucketing.py). Part
+    and supplier dims broadcast. The unit price is ONE IEEE division
+    both engines perform identically, then integer cents."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_partkey")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+    )
+    unit_c = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast(
+        "long"
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == CHEAPEST_PART_TYPE)
+        .select("p_partkey", "p_name")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    unit = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_c).alias("unit_cents")
+    )
+    w = W.partitionBy("l_partkey").orderBy("unit_cents", "l_suppkey")
+    return (
+        unit.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "unit_cents",
+        )
+        .orderBy("partkey")
+    )
+
+
+@query(
+    "high_value_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+      FROM lineitem
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+             COUNT(*) AS n_parts
+      FROM pv
+    )
+    SELECT pv.l_partkey AS partkey,
+           pv.value_cents,
+           CAST((1000000 * pv.value_cents) // tot.total_cents AS BIGINT)
+               AS share_fp
+    FROM pv, tot
+    WHERE pv.value_cents * tot.n_parts * 2 > 3 * tot.total_cents
+    ORDER BY value_cents DESC, partkey
+    """,
+)
+def high_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped value-concentration scan: parts whose total
+    shipped value exceeds 1.5× the mean part value — the HAVING-above-
+    scalar-subquery pattern, with the threshold RELATIVE to the corpus
+    (Q11's own 0.0001/SF trick) so the query is scale-invariant. The
+    reference's heavy-hitter dashboards (autocomplete ranking counts,
+    engine.py:382) are this shape.
+
+    Scale shape: the per-part rollup rides HashPartitioning(partkey) on
+    the bucketed layout (no exchange); the threshold is a 1-row broadcast
+    crossJoin (dormant_rich_customers pattern — never a driver collect);
+    the comparison is exact int64 cross-multiplication, no division until
+    the final display share."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_partkey")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    )
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents")
+    )
+    tot = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("value_cents") * F.col("n_parts") * 2
+            > 3 * F.col("total_cents")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "value_cents",
+            F.expr("(1000000 * value_cents) DIV total_cents").alias("share_fp"),
+        )
+        .orderBy(F.col("value_cents").desc(), "partkey")
+    )
+
+
+#: Q16-shape: the brand excluded from the variety report.
+VARIETY_EXCLUDED_BRAND = "Brand#5"
+
+
+@query(
+    "part_supplier_variety",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           p.p_type  AS ptype,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS part_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{VARIETY_EXCLUDED_BRAND}'
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, brand, ptype
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-variety report: how many distinct
+    suppliers (and parts) serve each (brand, type) group, one brand
+    excluded. The reference's distinct-set aggregations (langs_per_source,
+    A10) are the same COUNT(DISTINCT) expansion.
+
+    Scale shape: the part dim broadcasts its (brand, type) labels into
+    the fact scan; the two COUNT(DISTINCT)s expand inside ONE aggregate
+    (Catalyst's Expand → partial-distinct → merge — not two self-joins).
+    The group key is |brands × types|-sized, so the distinct shuffle
+    carries (group, suppkey/partkey) pairs already deduplicated
+    map-side."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_partkey")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") != VARIETY_EXCLUDED_BRAND)
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("ptype"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.countDistinct("l_partkey").alias("part_cnt"),
+        )
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "ptype")
+    )
+
+
+@query(
+    "disjunctive_bracket_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity < 15)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_type = 'PROMO' AND p.p_size > 30 AND l.l_quantity > 25)
+    """,
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-bracket revenue: three OR-ed
+    conjunct groups mixing part attributes with lineitem quantity
+    brackets, one revenue total out. The reference's rule-based
+    classifiers are the same phrase-list disjunctions
+    (ictrp_csv.py:131-149 F17/F18) — here the disjunction spans a join.
+
+    Scale shape: Catalyst splits the OR into a part-side prefilter
+    (brand/type/size disjunction — prunes the broadcast dim) and the
+    residual mixed predicate evaluated at the join; the fact side ships
+    only (partkey, quantity, price) columns. One 1-row aggregate
+    finishes. At 100 TB the win is that NO disjunct forces a second fact
+    scan — one pass, one broadcast, exact int64 cents."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_partkey")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") < 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & (F.col("p_size") > 30)
+            & (F.col("l_quantity") > 25)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bracket)
+        .agg(
+            F.sum(rc).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
