@@ -106,3 +106,61 @@ def test_token_tv_distance_zero_iff_identical_distribution(spark, sf_dir):
     }
     assert out[("s1", "s2")].tv_num == 0 and out[("s1", "s2")].tv == 0.0
     assert out[("s1", "s3")].tv == 1.0 and out[("s2", "s3")].tv == 1.0
+
+
+class TestRound6bOperators:
+    """Round-6b batch-3 invariants: the properties the hash compare
+    can't see."""
+
+    def test_rolling_window_dominates_daily(self, spark, sf_dir):
+        """Every 7-day rolling count >= that day's 1-day distinct count
+        and <= total distinct users; windows exist exactly for observed
+        days."""
+        e = load(spark, sf_dir, "events")
+        daily = {
+            r.d: r.n
+            for r in e.groupBy(
+                F.unix_micros(F.date_trunc("day", "ts")).alias("d")
+            )
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        total_users = e.select("user_id").distinct().count()
+        rows = QUERIES["rolling_active_users"](spark, sf_dir).collect()
+        assert {r.window_end_us for r in rows} == set(daily)
+        for r in rows:
+            assert daily[r.window_end_us] <= r.n_active_7d <= total_users
+
+    def test_daily_drift_flags_match_float_ratio(self, spark, sf_dir):
+        """The integer cross-multiplication flags agree with the naive
+        float mean-ratio definition (away from exact boundaries)."""
+        rows = QUERIES["daily_value_drift"](spark, sf_dir).collect()
+        total = sum(r.day_cents for r in rows)
+        n = sum(r.n_events for r in rows)
+        gmean = total / n
+        for r in rows:
+            ratio = (r.day_cents / r.n_events) / gmean
+            expect = "high" if ratio > 1.5 else ("low" if ratio < 0.5 else "normal")
+            assert r.drift == expect, (r, ratio)
+
+    def test_fertility_bounds(self, spark, sf_dir):
+        """fertility >= 1 (every token is >= 1 subword unit) and
+        chars_per_token consistent with n_chars/n_tokens."""
+        for r in QUERIES["tokenizer_fertility_stats"](spark, sf_dir).collect():
+            assert r.fertility_fp >= 1_000_000
+            assert r.n_subword >= r.n_tokens
+            assert r.chars_per_tok_fp == (1_000_000 * r.n_chars) // r.n_tokens
+
+    def test_aspect_buckets_never_scan_content(self, spark, sf_dir):
+        """The batching plan is metadata-only: the binary content column
+        must be pruned from the scan (the prune-before-decode contract)."""
+        df = QUERIES["multimodal_aspect_buckets"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "content" not in plan, plan
+        n = df.agg(F.sum("n_images")).collect()[0][0]
+        imgs = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 3 == 0)
+            .count()
+        )
+        assert n == imgs

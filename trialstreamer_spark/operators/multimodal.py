@@ -552,3 +552,62 @@ def multimodal_phash_dedup(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_a", "media_b")
     )
+
+
+@query(
+    "multimodal_aspect_buckets",
+    oracle="""
+    WITH img AS (
+      SELECT CAST(n_chars % 640 AS INTEGER) AS width,
+             CAST(n_chars % 480 AS INTEGER) AS height
+      FROM documents
+      WHERE doc_id % 3 = 0
+    )
+    SELECT CASE WHEN width * 3 >= height * 4 THEN 'wide'
+                WHEN height * 3 >= width * 4 THEN 'tall'
+                ELSE 'balanced' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(width) AS INTEGER) AS min_w,
+           CAST(MAX(width) AS INTEGER) AS max_w,
+           CAST(MIN(height) AS INTEGER) AS min_h,
+           CAST(MAX(height) AS INTEGER) AS max_h
+    FROM img
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def multimodal_aspect_buckets(spark, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for batched image inference: group the
+    image corpus into wide/tall/balanced shape classes so a resize/
+    batch-inference stage can pad within a bucket instead of to the
+    global max — the standard multimodal-training batching strategy.
+
+    Scale shape: METADATA-ONLY planning — the bucket assignment reads
+    the typed meta struct, so no binary content column is ever scanned,
+    decoded, or shipped to Python (the same prune-before-decode contract
+    as multimodal_decode_stats; column pruning drops `content` at the
+    scan). One |buckets|-key rollup finishes. The when-chain order is
+    pinned and mirrored in the oracle CASE so boundary shapes (e.g.
+    degenerate 0-width thumbnails) classify identically."""
+    from trialstreamer_spark.io import load
+
+    d = load(spark, sf_dir, "documents")
+    media = synthesize_media(d).where(F.col("modality") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    bucket = (
+        F.when(w * 3 >= h * 4, "wide")
+        .when(h * 3 >= w * 4, "tall")
+        .otherwise("balanced")
+    )
+    return (
+        media.select(bucket.alias("bucket"), w.alias("width"), h.alias("height"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("width").alias("min_w"),
+            F.max("width").alias("max_w"),
+            F.min("height").alias("min_h"),
+            F.max("height").alias("max_h"),
+        )
+        .orderBy("bucket")
+    )

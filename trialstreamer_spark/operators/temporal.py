@@ -151,3 +151,143 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+    ),
+    contrib AS (
+      SELECT ud.user_id, ud.d + o * INTERVAL 1 DAY AS wend
+      FROM ud, (SELECT unnest(generate_series(0, 6)) AS o)
+    )
+    SELECT CAST(epoch_us(c.wend) AS BIGINT) AS window_end_us,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_active_7d
+    FROM contrib c
+    JOIN days dd ON c.wend = dd.d
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per observed day — the DAU/
+    WAU engagement metric every event warehouse serves (the reference's
+    update-run dashboards count per-day article arrivals the same way,
+    pipeline.observe()).
+
+    Scale shape: sliding-window COUNT(DISTINCT) does NOT need a
+    range self-join (quadratic) or a per-day re-scan: dedupe to
+    (user, day) first — bounding everything after at |users × days| —
+    then each pair contributes to exactly 7 window-ends via a bounded
+    explode(sequence(0..6)), and one distinct-aggregate per window-end
+    finishes. The observed-days semi-join keeps phantom trailing windows
+    out and broadcasts (|days| rows). Expansion factor is a constant 7,
+    independent of corpus size; day arithmetic is exact epoch-micros
+    integers."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    days = e.select(F.date_trunc("day", F.col("ts")).alias("wend")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        F.col("d"),
+    ).select(
+        "user_id",
+        (F.unix_micros("d") + F.col("o").cast("long") * 86400000000).alias(
+            "window_end_us"
+        ),
+    )
+    observed = days.select(F.unix_micros("wend").alias("window_end_us"))
+    return (
+        contrib.join(F.broadcast(observed), "window_end_us")
+        .groupBy("window_end_us")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+        .orderBy("window_end_us")
+    )
+
+
+@query(
+    "daily_value_drift",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS day_cents,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(day_cents) AS BIGINT) AS total_cents,
+             CAST(SUM(n_events) AS BIGINT) AS n_total
+      FROM d
+    )
+    SELECT CAST(epoch_us(d.day) AS BIGINT) AS day_us,
+           d.day_cents,
+           CAST(d.n_events AS BIGINT) AS n_events,
+           CASE
+             WHEN 2 * d.day_cents * g.n_total > 3 * d.n_events * g.total_cents
+               THEN 'high'
+             WHEN 2 * d.day_cents * g.n_total < d.n_events * g.total_cents
+               THEN 'low'
+             ELSE 'normal'
+           END AS drift
+    FROM d, g
+    ORDER BY day_us
+    """,
+)
+def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day mean-value drift audit: flag days whose mean event value
+    runs >1.5× ('high') or <0.5× ('low') the corpus mean — the data-
+    quality tripwire a training pipeline runs on every ingest batch
+    (the reference's run statistics, pipeline.observe(), are the same
+    per-batch drift check).
+
+    Scale shape: one |days|-key rollup (map-side partials), a 1-row
+    broadcast global, and the drift test as exact int64
+    cross-multiplication — no division, no float, no second scan of the
+    events fact. The flags cannot disagree between engines because both
+    compare identical integers."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(cents).alias("day_cents"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    g = d.agg(
+        F.sum("day_cents").alias("total_cents"),
+        F.sum("n_events").alias("n_total"),
+    )
+    drift = (
+        F.when(
+            2 * F.col("day_cents") * F.col("n_total")
+            > 3 * F.col("n_events") * F.col("total_cents"),
+            "high",
+        )
+        .when(
+            2 * F.col("day_cents") * F.col("n_total")
+            < F.col("n_events") * F.col("total_cents"),
+            "low",
+        )
+        .otherwise("normal")
+    )
+    return (
+        d.crossJoin(F.broadcast(g))
+        .select(
+            F.unix_micros("day").alias("day_us"),
+            "day_cents",
+            "n_events",
+            drift.alias("drift"),
+        )
+        .orderBy("day_us")
+    )

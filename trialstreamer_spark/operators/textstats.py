@@ -1408,3 +1408,68 @@ def bigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "tokenizer_fertility_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((length(tok) + 3) // 4) AS BIGINT) AS n_subword,
+           CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+           CAST((1000000 * SUM((length(tok) + 3) // 4)) // COUNT(*) AS BIGINT)
+               AS fertility_fp,
+           CAST((1000000 * SUM(length(tok))) // COUNT(*) AS BIGINT)
+               AS chars_per_tok_fp
+    FROM (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenizer_fertility_stats(spark, sf_dir: str) -> DataFrame:
+    """Tokenizer cost model per language: fertility (subword units per
+    whitespace token, modeling a fixed-width-4 BPE merge table) and
+    chars-per-token — the statistics a training pipeline uses to budget
+    token counts per corpus slice before committing to a tokenizer (the
+    same per-slice audit as token_count_by_lang, with the subword
+    blow-up factor added).
+
+    Scale shape: one explode pass over the corpus feeding a |langs|-key
+    rollup — map-side partial aggregation collapses each partition to a
+    handful of rows before the shuffle; the subword count is pure
+    integer arithmetic on token length (no second tokenize). Ratios are
+    integer floor-divisions at 1e-6 resolution, exact on both
+    engines."""
+    from trialstreamer_spark.io import load
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.expr("CAST((length(tok) + 3) DIV 4 AS BIGINT)")).alias(
+                "n_subword"
+            ),
+            F.sum(F.length("tok").cast("long")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_subword",
+            "n_chars",
+            F.expr("(1000000 * n_subword) DIV n_tokens").alias("fertility_fp"),
+            F.expr("(1000000 * n_chars) DIV n_tokens").alias(
+                "chars_per_tok_fp"
+            ),
+        )
+        .orderBy("lang")
+    )
