@@ -310,3 +310,63 @@ def test_stream_batch_parity_queries_match_oracle(spark, sf_dir):
 
     for name in ("sessionize_stream_parity", "running_totals_stream_parity"):
         assert_matches(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_topk_stream_state_survives_restart(spark, tmp_path):
+    """Bounded-state top-k: state (the K best pairs) restores from the
+    checkpoint across a stop/start, so an event from batch 1 that still
+    ranks top-K appears in batch 2's refreshed leaderboard — and the
+    per-key emission never exceeds K rows."""
+    import json as _json
+    from trialstreamer_spark.streaming.stateful import TOPK_K, topk_stream
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    src = str(tmp_path / "topk_src")
+    os.makedirs(src)
+
+    def write_file(i, rows):
+        p = os.path.join(src, f"{i:03d}.json")
+        with open(p, "w") as f:
+            for user, eid, minutes, value in rows:
+                ts = T0 + dt.timedelta(minutes=minutes)
+                f.write(_json.dumps({
+                    "user_id": user, "event_id": eid,
+                    "ts": ts.strftime("%Y-%m-%dT%H:%M:%S"), "value": value,
+                }) + "\n")
+        t = time.time() + i
+        os.utime(p, (t, t))
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        # memory sink refuses checkpoint recovery; foreachBatch is the
+        # recoverable harness (same sink family as the production upsert)
+        rows = []
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            topk_stream(stream)
+            .writeStream.foreachBatch(
+                lambda batch, _bid: rows.extend(batch.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    # batch 1: user 1 has four events; 90.0 is the champion
+    write_file(0, [(1, 10, 0, 90.0), (1, 11, 1, 5.0),
+                   (1, 12, 2, 7.0), (1, 13, 3, 6.0)])
+    first = run()
+    assert [r.event_id for r in sorted(first, key=lambda r: r.rank)] == [10, 12, 13]
+
+    # batch 2 (after restart): two better-than-middling events arrive;
+    # the champion from batch 1 must survive via restored state
+    write_file(1, [(1, 20, 10, 50.0), (1, 21, 11, 8.0)])
+    second = run()
+    got = [(r.rank, r.event_id, r.value_cents)
+           for r in sorted(second, key=lambda r: r.rank)]
+    assert got == [(1, 10, 9000), (2, 20, 5000), (3, 21, 800)]
+    assert len(second) <= TOPK_K

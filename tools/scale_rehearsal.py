@@ -51,6 +51,23 @@ SCALE_SET = (
     "near_dup_source_matrix",
     "minhash_jaccard_estimate",
     "postings_term_search",
+    # round-6b additions: the new decision-support plan shapes (their
+    # sf0.1 ratios are fixed-overhead-dominated; this measures whether
+    # they converge at sf1 like the rest of the watchlist) and the two
+    # non-trivial new pipeline audits
+    "sole_late_supplier",
+    "large_volume_orders",
+    "returned_item_topk",
+    "cross_region_volume",
+    "nation_market_share",
+    "product_profit_by_nation",
+    "cheapest_supplier_per_part",
+    "high_value_parts",
+    "part_supplier_variety",
+    "disjunctive_bracket_revenue",
+    "discount_revenue_forecast",
+    "rolling_active_users",
+    "tokenizer_fertility_stats",
 )
 
 #: stop re-running an engine's query once a single run exceeds this

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd  # noqa: F401  (worker-side)
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
@@ -783,6 +783,90 @@ def kmeans_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "balance_fp"
             ),
             "max_dist_fp",
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "kmeans_cluster_purity",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             CAST({_DOT.format(a="e.embedding", b="e.embedding")} AS BIGINT)
+             - 2 * CAST({_DOT.format(a="e.embedding", b="c.cemb")} AS BIGINT)
+             + CAST({_DOT.format(a="c.cemb", b="c.cemb")} AS BIGINT) AS dist_fp
+      FROM embeddings e CROSS JOIN c
+    ),
+    best AS (
+      SELECT vec_id, cid, dist_fp,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+      FROM d
+    ),
+    asn AS (
+      SELECT b.vec_id, b.cid AS cluster, e.label
+      FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
+      WHERE b.rn = 1
+    ),
+    cl AS (
+      SELECT cluster, label, COUNT(*) AS n
+      FROM asn GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT cluster, label, n,
+             CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n DESC, label) AS rn
+      FROM cl
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           n_vecs,
+           CAST(label AS INTEGER) AS majority_label,
+           CAST(n AS BIGINT) AS majority_n,
+           CAST((1000000 * n) // n_vecs AS BIGINT) AS purity_fp
+    FROM ranked
+    WHERE rn = 1
+    ORDER BY cluster
+    """,
+)
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity evaluation: per k-means cell, the majority ground-
+    truth label and its share — the standard external clustering metric
+    (purity) a pipeline computes before trusting cluster-routed
+    curation (SemDeDup-style pruning inherits every impurity). Pairs
+    with kmeans_cluster_balance: balance says cells are evenly loaded,
+    purity says the load is semantically coherent.
+
+    Determinism: majority pick is (count DESC, label) pinned both
+    sides; purity is an integer floor-division of exact counts.
+
+    Scale shape: rides the SAME persisted assignment sidecar as the
+    balance audit (no re-assignment — the featurization is one Arrow
+    pass per corpus version); the label join keys on vec_id; the
+    (cluster, label) rollup is |k × labels| rows, the per-cluster
+    window runs over that tiny frame, never the corpus."""
+    asn = kmeans_assign(spark, sf_dir)
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (
+        asn.join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    wsum = W.partitionBy("cluster")
+    wrank = W.partitionBy("cluster").orderBy(F.col("n").desc(), "label")
+    return (
+        cl.withColumn("n_vecs", F.sum("n").over(wsum))
+        .withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            "n_vecs",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+            F.expr("(1000000 * n) DIV n_vecs").alias("purity_fp"),
         )
         .orderBy("cluster")
     )

@@ -213,3 +213,83 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "samp_weight"
         ),
     ).orderBy("source")
+
+
+#: Writer fan-out for the shard-balance audit: the number of output
+#: shards a training-data export writes (hash-partitioned on doc_id).
+N_OUT_SHARDS = 32
+
+
+@query(
+    "shard_balance_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id % {N_OUT_SHARDS} AS shard,
+             CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_shards
+      FROM per
+    )
+    SELECT CAST(per.shard AS BIGINT) AS shard,
+           per.n_docs,
+           per.n_tokens,
+           CAST((1000000 * per.n_tokens * tot.n_shards) // tot.total_tokens
+                AS BIGINT) AS balance_fp
+    FROM per, tot
+    ORDER BY shard
+    """,
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard skew audit: token load per writer shard under the
+    export's hash partitioning (doc_id mod N), with a fixed-point
+    balance factor (10⁶ = perfectly even; a hot shard ≫10⁶ becomes the
+    straggler that gates the whole export — and, downstream, the
+    training job reading it). The write-side twin of
+    kmeans_cluster_balance's read-side probe audit.
+
+    Scale shape: the token count folds into a |shards|-key rollup
+    (map-side partials — the shuffle carries N_OUT_SHARDS rows per
+    partition, not documents); the balance factor multiplies against a
+    1-row broadcast total with exact integer cross-arithmetic. At
+    100 TB this audit is one narrow pass over the corpus — the same
+    cost as counting tokens at all."""
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            F.pmod(F.col("doc_id"), F.lit(N_OUT_SHARDS)).alias("shard"),
+            F.size(tokens_col(F.lower(F.col("text")))).cast("long").alias(
+                "n_toks"
+            ),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_shards"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "(1000000 * n_tokens * n_shards) DIV total_tokens"
+            ).alias("balance_fp"),
+        )
+        .orderBy("shard")
+    )

@@ -44,9 +44,11 @@ from pyspark.sql.types import (
 from trialstreamer_spark import util
 from trialstreamer_spark.plans.registry import query
 from trialstreamer_spark.streaming.stateful import (
+    TOPK_K,
     dedup_stream,
     running_totals_stream,
     sessionize_stream,
+    topk_stream,
 )
 
 # File streaming sources require an explicit schema (no inference on a
@@ -223,6 +225,7 @@ def prepare_parity(spark: SparkSession, sf_dir: str) -> None:
         "stream_static_join_parity",
         "stream_stream_join_parity",
         "upsert_sink_stream_parity",
+        "topk_stream_parity",
     ):
         QUERIES[name](spark, sf_dir)
 
@@ -644,3 +647,39 @@ def upsert_sink_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "topk_stream_parity",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id
+             ) AS rank
+      FROM events
+    )
+    SELECT user_id,
+           CAST(rank AS INTEGER) AS rank,
+           event_id,
+           value_cents
+    FROM r
+    WHERE rank <= {TOPK_K}
+    ORDER BY user_id, rank
+    """,
+)
+def topk_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming top-k (stateful.topk_stream) over a
+    single-batch replay: each user's K highest-value events with exact
+    integer cents and pinned (cents DESC, event_id) tie order — equal to
+    the batch window-rank oracle because one batch carries the whole
+    corpus. Driver-checks the O(keys·K)-state leaderboard path
+    end-to-end (the fixed-memory property that survives months of
+    events; see stateful.py)."""
+    top = topk_stream(_stream_events(spark, sf_dir))
+    t = _run_stream_to_table(
+        spark, top, "topk", output_mode="update", cache_key=sf_dir
+    )
+    return t.orderBy("user_id", "rank")
