@@ -195,6 +195,43 @@ def _patch_readme_counts(n_queries: int) -> None:
         print(f"README.md query count -> {n_queries}")
 
 
+def _patch_parity_registry() -> None:
+    """Regenerate PARITY.md's registry roll-call between its markers:
+    every registered query name grouped by defining module, so the doc
+    is complete by construction."""
+    from collections import defaultdict
+
+    from trialstreamer_spark.plans.all_queries import ORACLES, QUERIES
+
+    by_mod: dict[str, list[str]] = defaultdict(list)
+    for name, fn in QUERIES.items():
+        mod = fn.__module__.replace("trialstreamer_spark.", "")
+        by_mod[mod].append(name)
+    lines = [
+        f"{len(QUERIES)} registered queries, {len(ORACLES)} with DuckDB "
+        "oracles (the rest are rows-only checked by the driver).",
+        "",
+    ]
+    for mod in sorted(by_mod):
+        names = ", ".join(f"`{n}`" for n in sorted(by_mod[mod]))
+        lines.append(f"- **{mod}** ({len(by_mod[mod])}): {names}")
+    block = "\n".join(lines)
+    parity = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY.md",
+    )
+    with open(parity) as f:
+        text = f.read()
+    begin, end = "<!-- BEGIN GENERATED REGISTRY -->", "<!-- END GENERATED REGISTRY -->"
+    pre, rest = text.split(begin, 1)
+    _, post = rest.split(end, 1)
+    patched = pre + begin + "\n" + block + "\n" + end + post
+    if patched != text:
+        with open(parity, "w") as f:
+            f.write(patched)
+        print(f"PARITY.md registry roll-call -> {len(QUERIES)} queries")
+
+
 def main() -> None:
     from trialstreamer_spark.plans.all_queries import QUERIES
     from trialstreamer_spark.session import get_spark
@@ -235,6 +272,7 @@ print as `InMemoryTableScan` (their one-time build plans are inside the
         f.write("\n".join(out))
     print("PLANS.md written")
     _patch_readme_counts(len(QUERIES))
+    _patch_parity_registry()
 
 
 if __name__ == "__main__":
