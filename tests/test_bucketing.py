@@ -220,6 +220,18 @@ class TestFactBucketLayout:
         assert "ts_bkt_" in plan
         assert plan.count("Exchange hashpartitioning") == 0, plan
 
+    def test_returned_item_topk_single_exchange(self, spark, bucketed_sf):
+        """Q10 shape on the orderkey buckets: both selective filters sit
+        on the bucketed scans, dims broadcast; the custkey rollup owns
+        the one exchange."""
+        from trialstreamer_spark.plans.all_queries import QUERIES
+
+        df = QUERIES["returned_item_topk"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
     def test_bucketed_path_matches_plain(self, spark, bucketed_sf):
         """Identical rows with and without the layout (the path choice
         must never change results — same contract as postings)."""
@@ -238,6 +250,7 @@ class TestFactBucketLayout:
             "high_value_parts",
             "part_supplier_variety",
             "disjunctive_bracket_revenue",
+            "returned_item_topk",
         ):
             with_bkt = QUERIES[name](spark, bucketed_sf).collect()
             real = io.bucketed_table

@@ -263,3 +263,23 @@ def test_parquet_table_survives_stale_tmp_pointer(spark, tmp_path):
     )
     assert t.read().count() == 8  # next writer replaces the residue
     assert t.current_version() in t.versions()
+
+
+def test_overwrite_version_claim_skips_concurrent_dir(spark, tmp_path):
+    """The atomic version-id claim (ADVICE r5 #3): if another writer has
+    already created the next version dir, overwrite() must advance past
+    it instead of writing into it — no silent lost update — and the
+    committed pointer must name the dir this writer actually wrote."""
+    from trialstreamer_spark.operators.upsert import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.range(3).selectExpr("id", "id * 2 AS x"))
+    assert t.current_version() == "v1"
+
+    # simulate a concurrent writer that claimed v2 but has not committed
+    os.makedirs(str(tmp_path / "tbl" / "v2"))
+    t.overwrite(spark.range(5).selectExpr("id", "id * 3 AS x"))
+    assert t.current_version() == "v3"
+    assert t.read().count() == 5
+    # the foreign claim is not readable as a committed version
+    assert "v2" not in t.versions()

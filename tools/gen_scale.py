@@ -77,11 +77,25 @@ def generate(out_dir: str, mult: float = 10.0, seed: int = 7) -> None:
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
         "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
     }))
+    # p_name / p_type draw from the SAME pools as the driver testdata
+    # (TESTDATA.md tables) so the name-pattern and type-slice predicates
+    # (product_profit_by_nation '%widget%', nation_market_share
+    # 'STANDARD', cheapest_supplier 'ECONOMY', promo/disjunctive 'PROMO')
+    # stay non-trivially selective at sf1 instead of matching nothing.
+    adjs = ["small", "red", "blue", "hot", "cold", "large", "new", "old"]
+    nouns = ["ring", "widget", "bolt", "gear", "gizmo", "anvil", "plate", "rod"]
+    p_types = ["MEDIUM", "STANDARD", "LARGE", "PROMO", "SMALL", "ECONOMY"]
     _write(out_dir, "part", pa.table({
         "p_partkey": pa.array(range(n_part), pa.int64()),
-        "p_name": [f"part {i}" for i in range(n_part)],
+        "p_name": [
+            f"{adjs[a]} {nouns[b]}"
+            for a, b in zip(
+                rng.integers(0, len(adjs), n_part),
+                rng.integers(0, len(nouns), n_part),
+            )
+        ],
         "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
-        "p_type": [f"TYPE {i}" for i in rng.integers(0, 6, n_part)],
+        "p_type": [p_types[i] for i in rng.integers(0, 6, n_part)],
         "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
         "p_retailprice": np.round(rng.uniform(900.0, 999.9, n_part), 2),
     }))

@@ -128,6 +128,7 @@ BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
             "l_quantity",
             "l_extendedprice",
             "l_discount",
+            "l_returnflag",
             "l_shipdate",
         ),
     ),

@@ -190,7 +190,16 @@ class ParquetTable:
                 f"corrupt _current pointer {cur!r} in {self.path}: "
                 "not a version dir name"
             )
-        return [d for n, d in self._all_version_dirs() if n <= cur_n]
+        # id <= pointer is necessary but not sufficient: a CONCURRENT
+        # writer's claimed-but-uncommitted dir (mkdir done, parquet write
+        # not) can sit below the pointer. Committed additionally means
+        # the write finished — the committer's _SUCCESS marker exists.
+        return [
+            d
+            for n, d in self._all_version_dirs()
+            if n <= cur_n
+            and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
+        ]
 
     def read_version(self, version: str) -> DataFrame:
         """Time travel: read a specific retained version (Delta's

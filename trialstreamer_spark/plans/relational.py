@@ -1737,13 +1737,29 @@ def returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so its exchange is a small fraction of the fact. TakeOrderedAndProject
     finishes — no global sort. Revenue follows the
     round-to-cents-then-sum discipline (module docstring)."""
-    l = load(spark, sf_dir, "lineitem").where(
-        F.col("l_returnflag") == "R"
-    )
-    o = load(spark, sf_dir, "orders").where(
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    l = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+        )
+    ).where(F.col("l_returnflag") == "R")
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+    ).where(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1996-04-01")
     )
+    if lb is not None and ob is not None:
+        l = l.hint("merge")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     cents = F.round(
