@@ -1951,3 +1951,68 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "shingle_df_histogram",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    df AS (SELECT shingle, COUNT(*) AS df FROM posting GROUP BY 1),
+    b AS (SELECT CAST(length(bin(df)) AS INTEGER) AS df_bucket, df FROM df),
+    per AS (
+      SELECT df_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(df) AS BIGINT) AS n_postings
+      FROM b GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_postings) AS BIGINT) AS total_postings FROM per)
+    SELECT per.df_bucket, per.n_shingles, per.n_postings,
+           CAST((1000000 * per.n_postings) // tot.total_postings AS BIGINT)
+               AS postings_share_fp
+    FROM per, tot
+    ORDER BY df_bucket
+    """,
+)
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of the shingle postings in power-of-
+    two buckets (bucket = bit-length of df): the measurement behind every
+    df-cap decision in this module — it shows how much of the postings
+    mass sits on promiscuous shingles that candidate generation must
+    prune (dedup_jaccard_capped's DF_CAP, the winnowing fp caps). The
+    100 TB tuning loop reads this instead of guessing.
+
+    Scale shape: rides the SAME persisted shingle-postings sidecar the
+    dedup family shares (no re-shingling); the df rollup groups on the
+    shingle (the postings' one unavoidable shuffle — identical to what
+    signature building already pays), then collapses to ≤64 bucket rows
+    map-side; the share multiplies against a 1-row broadcast total.
+    Bucketing by bit-length is integer-exact on both engines (bin() /
+    length), no float log2."""
+    d = load(spark, sf_dir, "documents")
+    posting = shingle_postings(d, cache_key=sf_dir)
+    df = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    per = (
+        df.select(
+            F.length(F.bin(F.col("df"))).cast("int").alias("df_bucket"),
+            "df",
+        )
+        .groupBy("df_bucket")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+        )
+    )
+    tot = per.agg(F.sum("n_postings").alias("total_postings"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "df_bucket",
+            "n_shingles",
+            "n_postings",
+            F.expr("(1000000 * n_postings) DIV total_postings").alias(
+                "postings_share_fp"
+            ),
+        )
+        .orderBy("df_bucket")
+    )

@@ -291,3 +291,71 @@ def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_us")
     )
+
+
+@query(
+    "event_type_affinity",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+    pair AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS nboth
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pair.ta AS type_a,
+           pair.tb AS type_b,
+           CAST(pair.nboth AS BIGINT) AS n_both,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           CAST((1000000 * pair.nboth) // (na.n + nb.n - pair.nboth)
+                AS BIGINT) AS jaccard_fp
+    FROM pair
+    JOIN n na ON pair.ta = na.event_type
+    JOIN n nb ON pair.tb = nb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity matrix: for every type pair, how many users
+    do BOTH and the Jaccard of their user sets — the cross-feature
+    co-engagement audit a recommender/curation pipeline reads before
+    treating two behaviors as independent signals (the reference's
+    co-occurrence top-k, A6, is the token-level analog).
+
+    Scale shape: dedupe to (user, type) FIRST — every later step is
+    bounded by |users × types|, never raw events; the pair build
+    self-joins on user_id where each user contributes at most
+    C(|types|, 2) rows (|types| is small and fixed); per-type totals are
+    a |types|-row broadcast. Jaccard is one integer floor-division of
+    exact counts — the inclusion-exclusion denominator never goes
+    through a float."""
+    e = load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    pair = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("nboth"))
+    )
+    na = n.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("nboth").alias("n_both"),
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * nboth) DIV (n_a + n_b - nboth)").alias(
+                "jaccard_fp"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

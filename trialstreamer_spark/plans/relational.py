@@ -2824,3 +2824,72 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "monthly_revenue_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                 AS mkey,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      GROUP BY 1, 2, 3
+    )
+    SELECT cur.yr, cur.mon, cur.revenue_cents, cur.n_orders,
+           prev.revenue_cents AS prev_year_cents,
+           CAST((1000000 * cur.revenue_cents) // prev.revenue_cents
+                AS BIGINT) AS yoy_fp
+    FROM m cur
+    LEFT JOIN m prev ON prev.mkey = cur.mkey - 12
+    ORDER BY cur.yr, cur.mon
+    """,
+)
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-same-month-last-year revenue growth: the standard
+    reporting lag computed by a SELF-JOIN on an integer month key
+    (yr*12+mon-1) rather than lag(12) over row position — a missing
+    month cannot silently shift the comparison to the wrong row. The
+    reference's year-counts dashboard (A1) is the annual version.
+
+    Scale shape: the fact collapses to a |months|-row rollup first (one
+    map-side-combined exchange); the self-join and window-free YoY
+    arithmetic run on that tiny frame. Growth is an integer
+    floor-division at 1e-6; months with no prior-year row yield NULL on
+    both engines (LEFT JOIN + DIV null-propagation)."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mkey"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    prev = m.select(
+        (F.col("mkey") + 12).alias("mkey"),
+        F.col("revenue_cents").alias("prev_year_cents"),
+    )
+    return (
+        m.join(F.broadcast(prev), "mkey", "left")
+        .select(
+            "yr",
+            "mon",
+            "revenue_cents",
+            "n_orders",
+            "prev_year_cents",
+            F.expr("(1000000 * revenue_cents) DIV prev_year_cents").alias(
+                "yoy_fp"
+            ),
+        )
+        .orderBy("yr", "mon")
+    )
