@@ -242,3 +242,73 @@ def test_parity_second_call_reuses_completed_replay(spark, sf_dir):
     assert sorted(map(tuple, first.collect())) == sorted(
         map(tuple, second.collect())
     )
+
+
+def test_hhi_broadcasts_both_dims_single_fact_exchange(spark, sf_dir):
+    """supplier_revenue_hhi: the supplier and nation dims must
+    broadcast into the lineitem scan; the (nation, supplier) rollup is
+    the only fact-sized exchange (everything after runs on the
+    |suppliers| frame)."""
+    p = plan_of(QUERIES["supplier_revenue_hhi"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lorenz_has_no_global_window_over_docs(spark, sf_dir):
+    """token_lorenz_curve: the per-doc rank must come from the
+    per-value tie window (partitioned, distributed), never a global
+    NTILE / row_number over the whole corpus — no window in the plan
+    may have an empty partition spec ordering doc-sized input. The
+    empty-spec windows that DO appear must sit above the tiny
+    (n_tokens, cnt) rollup or the 10-row decile frame, which both
+    arrive via a broadcast; a global window directly over the
+    documents scan would show a SinglePartition exchange feeding a
+    Window with no upstream aggregate."""
+    df = QUERIES["token_lorenz_curve"](spark, sf_dir)
+    p = plan_of(df)
+    # the distributed tie-break window is partitioned on n_tokens
+    assert "windowspecdefinition(n_tokens" in p
+    # every SinglePartition exchange must carry post-aggregate rows
+    segs = p.split("Exchange SinglePartition")
+    for seg in segs[1:]:
+        below = seg.split("Exchange ")[0]
+        assert "HashAggregate" in below or "Scan" not in below
+
+
+def test_first_touch_single_user_shuffle(spark, sf_dir):
+    """first_touch_attribution: the rank-1-per-user window must be fed
+    by ONE user_id exchange reused by the converter-set join (AQE
+    co-partitioning) — a min-ts self-join formulation would show a
+    second fact-sized exchange and a join of the events scan against
+    itself."""
+    p = plan_of(QUERIES["first_touch_attribution"](spark, sf_dir))
+    assert "WindowGroupLimit" in p or "Window" in p
+    assert "CartesianProduct" not in p
+    # both sides of the attribution join hash-partition on user_id
+    assert p.count("hashpartitioning(user_id") >= 2
+
+
+def test_rank_shift_prunes_year_at_scan(spark, sf_dir):
+    """nation_revenue_rank_shift: the two-year predicate must reach the
+    orders parquet scan (partition pruning on a date-partitioned
+    warehouse), and the nation dim must broadcast."""
+    p = plan_of(QUERIES["nation_revenue_rank_shift"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "o_orderdate" in p.split("ReadSchema:")[1].splitlines()[0] or (
+        "PushedFilters" in p
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_degree_histogram_reuses_candidate_pairs(spark, sf_dir):
+    """dup_graph_degree_histogram must ride the shared cached
+    candidate-pair set — the executed plan must not re-tokenize
+    (no regexp split of documents.text below the degree rollup when
+    the cache is warm)."""
+    from trialstreamer_spark.operators.dedup import minhash_candidates
+
+    d = load(spark, sf_dir, "documents")
+    minhash_candidates(d, cache_key=sf_dir).count()  # warm the cache
+    p = plan_of(QUERIES["dup_graph_degree_histogram"](spark, sf_dir))
+    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p

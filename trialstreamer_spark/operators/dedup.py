@@ -2016,3 +2016,89 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df_bucket")
     )
+
+
+@query(
+    "dup_graph_degree_histogram",
+    oracle=f"""
+    WITH sh AS ({{_DD_SHINGLES}}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    pairs AS ({{_MINHASH_PAIRS_SQL}}),
+    ends AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (
+      SELECT d.doc_id, COUNT(e.doc_id) AS degree
+      FROM documents d LEFT JOIN ends e ON d.doc_id = e.doc_id
+      GROUP BY d.doc_id
+    ),
+    b AS (
+      SELECT CASE WHEN degree = 0 THEN 0
+                  ELSE CAST(length(bin(degree)) AS INTEGER) END
+               AS degree_bucket,
+             degree
+      FROM deg
+    )
+    SELECT degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(degree) AS BIGINT) AS n_endpoints
+    FROM b GROUP BY 1 ORDER BY degree_bucket
+    """.format(_DD_SHINGLES=_DD_SHINGLES, _MINHASH_PAIRS_SQL=_MINHASH_PAIRS_SQL),
+)
+def dup_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup candidate graph in
+    power-of-two buckets (bucket 0 = isolated documents): the health
+    check run BEFORE connected components at scale — a heavy high-degree
+    tail means a band key has gone promiscuous and the transitive
+    closure will glue unrelated documents into mega-clusters (the
+    classic MinHash-LSH failure mode); a mostly-isolated corpus means
+    dedup will be cheap. Complements dup_cluster_size_histogram, which
+    audits AFTER clustering.
+
+    Plan: rides the SAME cached candidate-pair set the whole dedup
+    family shares (no re-banding); degrees are one rollup over the
+    symmetrized endpoint list keyed on doc_id; the left join brings
+    isolated docs in at degree 0; the histogram collapses to ≤64 rows
+    map-side. Bit-length bucketing is integer-exact on both engines."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, cache_key=sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = (
+        d.select("doc_id")
+        .join(ends.groupBy("doc_id").agg(F.count("*").alias("degree")),
+              "doc_id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0).cast("long")).alias("degree"))
+    )
+    return (
+        deg.select(
+            F.when(F.col("degree") == 0, F.lit(0))
+            .otherwise(F.length(F.bin(F.col("degree"))))
+            .cast("int")
+            .alias("degree_bucket"),
+            "degree",
+        )
+        .groupBy("degree_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("degree").alias("n_endpoints"),
+        )
+        .orderBy("degree_bucket")
+    )

@@ -293,3 +293,190 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+#: Candidate context lengths for the padding-waste sweep.
+CTX_SWEEP = [128, 256, 512, 1024]
+
+
+@query(
+    "context_length_waste",
+    oracle=f"""
+    WITH dt AS ({_DD_DOC_TOKENS}),
+    l AS (SELECT unnest({CTX_SWEEP}) AS ctx_len),
+    per AS (
+      SELECT l.ctx_len, dt.n_tokens,
+             ((dt.n_tokens + l.ctx_len - 1) // l.ctx_len) * l.ctx_len
+               AS padded
+      FROM dt, l
+    )
+    SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+           CAST((1000000 * (SUM(padded) - SUM(n_tokens))) // SUM(padded)
+                AS BIGINT) AS waste_fp
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def context_length_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste sweep over candidate context lengths: under the
+    document-preserving layout (each doc padded up to a multiple of the
+    context length, never split — the alternative to sequence_packing's
+    concat-and-chunk), how many pad tokens does each candidate length
+    burn? The pre-launch audit that decides CTX for a packing job: waste
+    rises with context length, boundary-crossing loss falls, and this
+    query prices one side of that trade exactly.
+
+    Plan: per-doc token counts are one JVM regex-split map stage (no
+    explode); the sweep is a 4-way in-row fanout (explode of a literal
+    array — narrow, no join); the rollup shuffles only (ctx_len,
+    partials), 4 groups total. Padded size is exact integer ceil
+    division on both engines — no float rounding anywhere."""
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+            F.explode(
+                F.array(*[F.lit(c).cast("long") for c in CTX_SWEEP])
+            ).alias("ctx_len"),
+        )
+        .select(
+            "ctx_len",
+            "n_tokens",
+            F.expr(
+                "((n_tokens + ctx_len - 1) DIV ctx_len) * ctx_len"
+            ).alias("padded"),
+        )
+    )
+    return (
+        per.groupBy("ctx_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("padded").alias("padded_tokens"),
+        )
+        .select(
+            "ctx_len",
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            F.expr(
+                "(1000000 * (padded_tokens - total_tokens))"
+                " DIV padded_tokens"
+            ).alias("waste_fp"),
+        )
+        .orderBy("ctx_len")
+    )
+
+
+@query(
+    "token_lorenz_curve",
+    oracle=f"""
+    WITH dt AS ({_DD_DOC_TOKENS}),
+    vc AS (SELECT n_tokens, COUNT(*) AS cnt FROM dt GROUP BY 1),
+    off AS (
+      SELECT n_tokens,
+             COALESCE(SUM(cnt) OVER (ORDER BY n_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM vc
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+            FROM dt),
+    rk AS (
+      SELECT dt.n_tokens,
+             o.below + row_number() OVER (PARTITION BY dt.n_tokens
+                                          ORDER BY dt.doc_id) AS rnk
+      FROM dt JOIN off o ON dt.n_tokens = o.n_tokens
+    ),
+    dec AS (
+      SELECT CAST(((rk.rnk - 1) * 10) // t.n_docs_total AS INTEGER)
+               AS decile,
+             rk.n_tokens
+      FROM rk, tot t
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS decile_tokens
+      FROM dec GROUP BY 1
+    )
+    SELECT per.decile, per.n_docs, per.decile_tokens,
+           CAST((1000000 * SUM(per.decile_tokens) OVER (ORDER BY per.decile))
+                // t.tok_total AS BIGINT) AS cum_share_fp
+    FROM per, tot t
+    ORDER BY per.decile
+    """,
+)
+def token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of token mass: documents ranked by token count,
+    cut into deciles, cumulative share of all tokens per decile — the
+    concentration audit ("the longest 10% of documents carry X% of the
+    training tokens") read before choosing length caps or sampling
+    temperature for a mix.
+
+    The global rank is built WITHOUT a single-partition global window
+    (the formulation that dies at 100 TB): rank = (docs with a smaller
+    token count) + (row_number among ties). The tie window partitions
+    by n_tokens — fully distributed; the cumulative-offset window runs
+    on the (n_tokens, count) rollup, whose size is |distinct token
+    counts| — bounded by the length cap, not the corpus. Decile
+    assignment and the cumulative share are exact integer divisions, so
+    both engines cut every boundary identically (NTILE is avoided on
+    purpose: its tie placement is engine-defined)."""
+    d = load(spark, sf_dir, "documents")
+    dt = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    vc = dt.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = vc.select(
+        "n_tokens",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("below"),
+    )
+    tot = dt.agg(
+        F.count("*").alias("n_docs_total"),
+        F.sum("n_tokens").alias("tok_total"),
+    )
+    w_tie = Window.partitionBy("n_tokens").orderBy("doc_id")
+    rk = (
+        dt.join(F.broadcast(off), "n_tokens")
+        .select(
+            "n_tokens",
+            (F.col("below") + F.row_number().over(w_tie)).alias("rnk"),
+        )
+    )
+    per = (
+        rk.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST(((rnk - 1) * 10) DIV n_docs_total AS INT)").alias(
+                "decile"
+            ),
+            "n_tokens",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("decile_tokens"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "decile_tokens",
+            F.expr(
+                "(1000000 * SUM(decile_tokens) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                " DIV tok_total"
+            ).alias("cum_share_fp"),
+        )
+        .orderBy("decile")
+    )

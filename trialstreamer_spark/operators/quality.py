@@ -2028,3 +2028,89 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "component", "n_words", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+#: Cross-engine-safe structured-identifier patterns (char classes and
+#: bounded repetition only — Java regex and RE2 agree).
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+IDNUM_RE = "[A-Z]{2}[0-9]{6}"
+
+
+@query(
+    "pii_idlike_stats",
+    oracle="""
+    WITH planted AS (
+      SELECT source,
+             regexp_replace(
+               regexp_replace(text, ' data ', ' data 555-0142 ', 'g'),
+               ' key ', ' key AB123456 ', 'g') AS ptext
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(ptext, '[0-9]{3}-[0-9]{4}'))
+               AS n_phone,
+             len(regexp_extract_all(ptext, '[A-Z]{2}[0-9]{6}'))
+               AS n_idnum,
+             length(regexp_replace(
+               regexp_replace(ptext, '[0-9]{3}-[0-9]{4}', '<ID>', 'g'),
+               '[A-Z]{2}[0-9]{6}', '<ID>', 'g')) AS scrubbed_len
+      FROM planted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_phone + n_idnum > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_id,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(n_idnum) AS BIGINT) AS n_idnum,
+           CAST(SUM(scrubbed_len) AS BIGINT) AS scrubbed_chars
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_idlike_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-identifier PII pass (phone-like NNN-NNNN and
+    serial-like AANNNNNN), the companion to pii_email_stats: the
+    synthetic corpus carries no real identifiers, so the query plants
+    deterministic ones after fixed anchor tokens and the operator must
+    find and scrub exactly those (plant-then-recover, as abbrev_pairs).
+    Two patterns per doc exercise the multi-rule scrub a real PII
+    pipeline chains — counts per rule, docs hit by any rule, and the
+    post-scrub character mass all come out of ONE pass over the text.
+
+    Plan: plant, extract, and scrub are consecutive JVM regex
+    evaluations inside one codegen stage (no Python, no explode); the
+    rollup shuffles only (source, partials)."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), " data ", " data 555-0142 "),
+        " key ",
+        " key AB123456 ",
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, PHONE_RE, "<ID>"), IDNUM_RE, "<ID>"
+    )
+    return (
+        d.select(
+            "source",
+            F.size(F.regexp_extract_all(planted, F.lit(PHONE_RE), 0)).alias(
+                "n_phone"
+            ),
+            F.size(F.regexp_extract_all(planted, F.lit(IDNUM_RE), 0)).alias(
+                "n_idnum"
+            ),
+            F.length(scrubbed).alias("scrubbed_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_phone") + F.col("n_idnum") > 0, 1).otherwise(0)
+            ).alias("n_docs_with_id"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum("n_idnum").alias("n_idnum"),
+            F.sum("scrubbed_len").alias("scrubbed_chars"),
+        )
+        .orderBy("source")
+    )

@@ -359,3 +359,78 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "first_touch_attribution",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, event_type AS first_type FROM ranked WHERE rn = 1
+    ),
+    conv AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase')
+    SELECT f.first_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_converted,
+           CAST((1000000 * COUNT(c.user_id)) // COUNT(*) AS BIGINT)
+               AS conversion_fp
+    FROM first f LEFT JOIN conv c ON f.user_id = c.user_id
+    GROUP BY f.first_type
+    ORDER BY f.first_type
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: bucket every user by their FIRST event
+    type (earliest ts, event_id tie-break — deterministic under
+    concurrent timestamps) and report how many users in each bucket
+    ever purchased. The acquisition-channel conversion table every
+    event pipeline reports; the as-of join (asof_join_last_click) is
+    its last-touch mirror.
+
+    Plan: one window shuffle keyed on user_id finds each user's first
+    event (rank-1 row, no self-join against a min-ts aggregate — that
+    formulation joins the fact to itself and breaks ties wrong); the
+    converter set is a map-side distinct on the SAME user_id
+    partitioning, so AQE plans the attribution join shuffle-free; the
+    final rollup is |event_types| groups. Conversion rate is one
+    integer floor-division."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        first.join(conv, "user_id", "left")
+        .groupBy("first_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("converted").alias("n_converted"),
+        )
+        .select(
+            "first_type",
+            "n_users",
+            "n_converted",
+            F.expr("(1000000 * n_converted) DIV n_users").alias(
+                "conversion_fp"
+            ),
+        )
+        .orderBy("first_type")
+    )

@@ -1473,3 +1473,70 @@ def tokenizer_fertility_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKS} AS toks FROM documents
+      WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    first AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok),
+    b AS (
+      SELECT CAST(length(bin(first_doc + 1)) AS INTEGER) AS doc_bucket
+      FROM first
+    ),
+    per AS (
+      SELECT doc_bucket, CAST(COUNT(*) AS BIGINT) AS n_new_types
+      FROM b GROUP BY 1
+    )
+    SELECT doc_bucket, n_new_types,
+           CAST(SUM(n_new_types) OVER (ORDER BY doc_bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS vocab_size
+    FROM per ORDER BY doc_bucket
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: how many NEW token types appear in
+    each power-of-two prefix of the corpus (documents taken in doc_id
+    order), and the cumulative vocabulary size at each checkpoint — the
+    curve that predicts tokenizer OOV pressure and vocab sizing as a
+    100 TB corpus keeps growing (type_token_stats is the endpoint;
+    this is the trajectory).
+
+    Plan: a token's first appearance is MIN(doc_id) per type — one
+    explode + one map-side-combined rollup keyed on the token (the
+    same shuffle every unigram statistic pays, NOT a per-prefix
+    distinct, which would rescan the corpus once per checkpoint); the
+    bit-length bucketing and the cumulative window then run on ≤64
+    rows. doc_id+1 keeps bucket arithmetic exact at doc_id 0."""
+    d = load(spark, sf_dir, "documents")
+    first = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(tokens_col(F.col("text"))).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per = (
+        first.select(
+            F.length(F.bin(F.col("first_doc") + 1)).cast("int").alias(
+                "doc_bucket"
+            )
+        )
+        .groupBy("doc_bucket")
+        .agg(F.count("*").alias("n_new_types"))
+    )
+    return per.select(
+        "doc_bucket",
+        "n_new_types",
+        F.expr(
+            "SUM(n_new_types) OVER (ORDER BY doc_bucket"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("vocab_size"),
+    ).orderBy("doc_bucket")

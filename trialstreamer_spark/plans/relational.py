@@ -2893,3 +2893,169 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mon")
     )
+
+
+#: Year pair compared by the nation-rank-shift report.
+RANK_SHIFT_YEARS = (1996, 1997)
+
+
+@query(
+    "nation_revenue_rank_shift",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE year(o.o_orderdate) IN {RANK_SHIFT_YEARS}
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT nation, yr, rev_c,
+             CAST(row_number() OVER (PARTITION BY yr
+                                     ORDER BY rev_c DESC, nation)
+                  AS BIGINT) AS rnk
+      FROM rev
+    )
+    SELECT a.nation,
+           a.rev_c AS rev_y1_cents, b.rev_c AS rev_y2_cents,
+           a.rnk AS rank_y1, b.rnk AS rank_y2,
+           CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
+    FROM r a JOIN r b ON a.nation = b.nation
+    WHERE a.yr = {RANK_SHIFT_YEARS[0]} AND b.yr = {RANK_SHIFT_YEARS[1]}
+    ORDER BY rank_y2, a.nation
+    """,
+)
+def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-table migration: each nation's revenue RANK in two
+    consecutive years and how many places it moved — the rank-shift
+    report behind every market-share dashboard (nation_market_share is
+    the single-year share; this is its year-over-year rank delta).
+    Ties break by nation name via row_number, so the ranking is total
+    and deterministic on both engines.
+
+    Plan: the year predicate prunes the fact scan before the custkey
+    join (pushed to parquet); the nation dim broadcasts; the fact
+    collapses to |nations × 2| rows in one map-side-combined rollup,
+    and both rank windows plus the pivot self-join run on that tiny
+    frame. Revenue stays in int64 cents end to end."""
+    o = load(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(*RANK_SHIFT_YEARS)
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    w = W.partitionBy("yr").orderBy(F.col("rev_c").desc(), F.col("nation"))
+    r = rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+    a = r.where(F.col("yr") == RANK_SHIFT_YEARS[0]).select(
+        "nation",
+        F.col("rev_c").alias("rev_y1_cents"),
+        F.col("rnk").alias("rank_y1"),
+    )
+    b = r.where(F.col("yr") == RANK_SHIFT_YEARS[1]).select(
+        "nation",
+        F.col("rev_c").alias("rev_y2_cents"),
+        F.col("rnk").alias("rank_y2"),
+    )
+    return (
+        a.join(b, "nation")
+        .select(
+            "nation",
+            "rev_y1_cents",
+            "rev_y2_cents",
+            "rank_y1",
+            "rank_y2",
+            (F.col("rank_y1") - F.col("rank_y2")).alias("rank_gain"),
+        )
+        .orderBy("rank_y2", "nation")
+    )
+
+
+@query(
+    "supplier_revenue_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, s.s_suppkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               AS rev_u
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nation, SUM(rev_u) AS tot_u,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY 1
+    ),
+    share AS (
+      SELECT r.nation, (1000000 * r.rev_u) // t.tot_u AS share_fp
+      FROM rev r JOIN tot t ON r.nation = t.nation
+    )
+    SELECT t.nation, t.n_suppliers,
+           CAST(MAX(s.share_fp) AS BIGINT) AS top_share_fp,
+           CAST(SUM(s.share_fp * s.share_fp) // 1000000 AS BIGINT)
+             AS hhi_fp
+    FROM share s JOIN tot t ON s.nation = t.nation
+    GROUP BY t.nation, t.n_suppliers
+    ORDER BY t.nation
+    """,
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration per nation: Herfindahl–Hirschman index
+    of discounted-revenue shares across each nation's suppliers, plus
+    the largest single share — the antitrust-style concentration audit
+    (and the shape of a training-mix "is one source dominating this
+    slice" check). HHI is computed on 1e-6 fixed-point shares and the
+    squares summed in int64 (share_fp ≤ 1e6 → square ≤ 1e12 → safe for
+    ~10⁶ suppliers per nation), so no revenue value is ever squared
+    directly — the naive rev² overflows int64 cents at sf≫1.
+
+    Plan: the supplier and nation dims broadcast into the fact scan;
+    the (nation, supplier) rollup is the single fact-sized exchange
+    (map-side partials); totals, shares, and the HHI rollup all run on
+    the |suppliers|-row frame; revenue uses the registry's exact
+    price-cents × discount-percent integer units."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            _cents(F.col("l_extendedprice"))
+            * (F.lit(100) - _cents(F.col("l_discount")))
+        ).alias("rev_u"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum("rev_u").alias("rev_u"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("rev_u").alias("tot_u"),
+        F.count("*").alias("n_suppliers"),
+    )
+    share = rev.join(F.broadcast(tot), "nation").select(
+        "nation",
+        "n_suppliers",
+        F.expr("(1000000 * rev_u) DIV tot_u").alias("share_fp"),
+    )
+    return (
+        share.groupBy("nation", "n_suppliers")
+        .agg(
+            F.max("share_fp").alias("top_share_fp"),
+            F.expr("SUM(share_fp * share_fp) DIV 1000000").alias("hhi_fp"),
+        )
+        .orderBy("nation")
+    )
