@@ -157,6 +157,17 @@ def _bucket_table_name(sf_dir: str, variant: str) -> str:
     return f"ts_bkt_{h}_{variant}"
 
 
+# (session JVM id, sf_dir, variant) → persisted bucket projection. The
+# in-memory layer of the bucket layout (same buffer-pool analog as
+# _TABLE_CACHE): InMemoryRelation preserves the scan's
+# HashPartitioning(key, N_FACT_BUCKETS), so cached reads keep their
+# co-located (exchange-free) joins while skipping the per-query
+# footer-read + disk scan. Evicted on corpus version bumps.
+_BUCKET_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+util.register_cache_evictor(lambda token: util.evict_dict_cache(_BUCKET_CACHE, token))
+
+
 def prepare_buckets(
     spark: SparkSession, sf_dir: str, variants: tuple[str, ...] | None = None
 ) -> None:
@@ -166,26 +177,39 @@ def prepare_buckets(
     Spark's reader then exposes both the hash partitioning AND the
     per-bucket sort, letting later joins/groupBys on the key skip their
     Exchange (and their Sort). Idempotent per (session, corpus): the
-    catalog registration is checked first."""
+    catalog registration is checked first.
+
+    Each projection is also persisted in memory (deserialized columnar,
+    spill-to-disk) and materialized — the narrow projections are a small
+    fraction of the corpus, and the cached relation keeps the bucket
+    HashPartitioning, so every fact-fact plan still joins without an
+    exchange but stops paying a cold parquet scan per query."""
     base = os.environ.get(
         "SPARK_GRAFT_BUCKET_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "spark-warehouse", "buckets"),
     )
+    key_session = id(spark._jsparkSession)
     for variant in variants or tuple(BUCKET_SPECS):
         src, key, cols = BUCKET_SPECS[variant]
         name = _bucket_table_name(sf_dir, variant)
-        if spark.catalog.tableExists(name):
-            continue
-        df = load(spark, sf_dir, src).select(*cols)
-        (
-            df.repartition(N_FACT_BUCKETS, F.col(key))
-            .write.mode("overwrite")
-            .bucketBy(N_FACT_BUCKETS, key)
-            .sortBy(key)
-            .option("path", os.path.join(base, name))
-            .saveAsTable(name)
-        )
+        if not spark.catalog.tableExists(name):
+            df = load(spark, sf_dir, src).select(*cols)
+            (
+                df.repartition(N_FACT_BUCKETS, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(N_FACT_BUCKETS, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, name))
+                .saveAsTable(name)
+            )
+        # base rides the key so a layout rebuilt under a different
+        # warehouse dir (tests) is re-persisted, not served stale
+        ck = (key_session, sf_dir, os.path.abspath(base), variant)
+        if ck not in _BUCKET_CACHE:
+            t = spark.table(name).persist()
+            t.count()
+            _BUCKET_CACHE[ck] = t
 
 
 def bucketed_table(

@@ -870,3 +870,61 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "label_source_affinity",
+    oracle="""
+    WITH j AS (
+      SELECT e.label, d.source
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    ls AS (SELECT label, source, CAST(COUNT(*) AS BIGINT) AS n_ls
+           FROM j GROUP BY 1, 2),
+    l AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l FROM j GROUP BY 1),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM j GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j)
+    SELECT ls.label, ls.source, ls.n_ls,
+           CAST((1000000 * ls.n_ls * t.n) // (l.n_l * s.n_s) AS BIGINT)
+             AS lift_fp
+    FROM ls JOIN l ON ls.label = l.label
+            JOIN s ON ls.source = s.source
+            CROSS JOIN t
+    ORDER BY ls.label, ls.source
+    """,
+)
+def label_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-label × document-source contingency with pointwise
+    lift (observed / expected-under-independence, 1e-6 fixed point):
+    the leakage audit run before stratified splits — a label that
+    concentrates in one source (lift >> 1) means the embedding space
+    memorized provenance, and any eval split keyed on label silently
+    keys on source too (the reference's match-rate pivot is the same
+    contingency shape over registries).
+
+    Scale shape: one doc-keyed join (at 100 TB both sides bucket by
+    doc_id; here the embedding projection is narrow), then THREE
+    rollups of the joined frame — (label, source), label, source — all
+    map-side-collapsing to dimension-sized results; the 1-row total and
+    the two margins broadcast back onto the |labels × sources| cells.
+    The lift arithmetic is exact int64: counts ≤ corpus size keep
+    1e6 · n_ls · n far below 2^63."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = e.join(d, e.vec_id == d.doc_id).select("label", "source")
+    ls = j.groupBy("label", "source").agg(F.count("*").alias("n_ls"))
+    lm = j.groupBy("label").agg(F.count("*").alias("n_l"))
+    sm = j.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = j.agg(F.count("*").alias("n"))
+    return (
+        ls.join(F.broadcast(lm), "label")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "source",
+            "n_ls",
+            F.expr("(1000000 * n_ls * n) DIV (n_l * n_s)").alias("lift_fp"),
+        )
+        .orderBy("label", "source")
+    )

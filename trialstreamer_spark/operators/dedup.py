@@ -55,10 +55,19 @@ _POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
 # (much larger) postings. Built by prepare_dedup().
 _SIG_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 
+# (session JVM id, catalog, cache_key, id_col, text_col) → persisted
+# candidate-pair table (doc_a < doc_b). Stage 2.5 of the dedup
+# pipeline: the band self-join + distinct behind EVERY pair consumer
+# (LSH dedup, CC labeling, the degree histogram, the source matrix) is
+# itself a per-corpus-version artifact — recomputing the join per query
+# multiplied its cost by the consumer fan-out. Built by prepare_dedup(),
+# disk-backed like the signatures.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
 util.register_cache_evictor(
     lambda token: [
         util.evict_dict_cache(c, token)
-        for c in (_POSTINGS_CACHE, _SIG_CACHE, _BLOOM_CACHE)
+        for c in (_POSTINGS_CACHE, _SIG_CACHE, _BLOOM_CACHE, _PAIR_CACHE)
     ]
 )
 
@@ -333,22 +342,57 @@ def minhash_candidates(
     equi-join on (band_id, band_key): Catalyst shuffles both sides on the
     key, skew from degenerate buckets (e.g. empty docs) is handled by AQE
     skew-join; at 100 TB, band keys are near-uniform md5s so buckets are
-    balanced by construction."""
-    banded = banded_keys(
-        minhash_signatures(docs, id_col, text_col, cache_key=cache_key)
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    balanced by construction.
+
+    With ``cache_key``, the pair set is itself a per-corpus-version
+    artifact: every consumer (LSH dedup, CC labeling, the degree
+    histogram, the near-dup source matrix) reads ONE disk-backed,
+    session-persisted table instead of re-running the self-join —
+    the same once-per-version discipline as the signatures above."""
+
+    def build() -> DataFrame:
+        banded = banded_keys(
+            minhash_signatures(docs, id_col, text_col, cache_key=cache_key)
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    if cache_key is None:
+        return build()
+    key = (
+        id(docs.sparkSession._jsparkSession),
+        ("catalog", _catalog_base()),
+        cache_key,
+        id_col,
+        text_col,
     )
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from trialstreamer_spark.sidecars import disk_sidecar
+
+    out = disk_sidecar(
+        docs.sparkSession,
+        cache_key,
+        f"minhash_pairs_{id_col}_{text_col}",
+        build,
+    ).persist()
+    out.count()
+    _PAIR_CACHE[key] = out
+    return out
 
 
 def jaccard_pairs(
@@ -2101,4 +2145,189 @@ def dup_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("degree").alias("n_endpoints"),
         )
         .orderBy("degree_bucket")
+    )
+
+
+_MINHASH_BANDED_PRELUDE = f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashes AS (SELECT doc_id, md5(shingle) AS m1, md5('x' || shingle) AS m2 FROM posting),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(m1, 1, 8))  AS h0, MIN(substr(m1, 9, 8))  AS h1,
+             MIN(substr(m1, 17, 8)) AS h2, MIN(substr(m1, 25, 8)) AS h3,
+             MIN(substr(m2, 1, 8))  AS h4, MIN(substr(m2, 9, 8))  AS h5,
+             MIN(substr(m2, 17, 8)) AS h6, MIN(substr(m2, 25, 8)) AS h7
+      FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    pairs AS ({_MINHASH_PAIRS_SQL})
+"""
+
+
+@query(
+    "triangle_count_dup_graph",
+    oracle=_MINHASH_BANDED_PRELUDE
+    + """,
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pairs p1
+      JOIN pairs p2 ON p2.doc_a = p1.doc_b
+      JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+    ),
+    ends AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM ends GROUP BY doc_id),
+    wed AS (
+      SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           tri.n_triangles,
+           wed.n_wedges,
+           CAST(CASE WHEN wed.n_wedges > 0
+                     THEN (3000000 * tri.n_triangles) // wed.n_wedges
+                     ELSE -1 END AS BIGINT) AS transitivity_fp
+    FROM tri, wed
+    """,
+)
+def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global transitivity (clustering coefficient) of
+    the near-dup candidate graph — the structural complement to the
+    degree histogram: high transitivity means LSH candidates agree with
+    each other (tight duplicate cliques → safe transitive closure); low
+    transitivity with high degree means promiscuous band keys chaining
+    UNRELATED docs (the mega-cluster failure mode the reference's
+    boilerplate corpora hit). Reported at 1e-6 fixed point (-1 sentinel
+    for the no-wedge graph) — exact integers on both engines.
+
+    Scale shape: rides the SAME persisted candidate-pair sidecar as the
+    whole dedup family (no re-banding); edges are oriented doc_a <
+    doc_b, so each triangle is counted exactly once by the standard
+    two-hop join (p1 a<b, p2 b<c, closing edge a<c). The pair table is
+    candidate edges — orders of magnitude smaller than the corpus and
+    df-cap-bounded per band key — so the self-joins shuffle the edge
+    list, never documents; wedges are one rollup over symmetrized
+    endpoints. At 100 TB this is the standard distributed triangle
+    count (edge orientation kills the high-degree hub blowup)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, cache_key=sf_dir)
+    p1 = pairs.alias("p1")
+    p2 = pairs.alias("p2")
+    p3 = pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b"))
+        .join(
+            p3,
+            (F.col("p3.doc_a") == F.col("p1.doc_a"))
+            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    wed = (
+        ends.groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+        .agg(
+            F.sum(
+                F.expr("degree * (degree - 1) DIV 2")
+            ).alias("n_wedges")
+        )
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wed))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(3000000 * n_triangles) DIV n_wedges"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("transitivity_fp"),
+        )
+    )
+
+
+_SIMHASH16_SQL = (
+    """
+    SELECT doc_id,
+           CAST(("""
+    + "\n+".join(
+        f"""CASE WHEN list_aggregate(list_transform(toks,
+                   x -> CASE WHEN substr(md5(x), {i + 1}, 1) IN
+                        ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END),
+                 'sum') > 0 THEN {2**i} ELSE 0 END"""
+        for i in range(16)
+    )
+    + """
+           ) AS BIGINT) AS simhash
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents)
+"""
+)
+
+
+@query(
+    "simhash_hamming_histogram",
+    oracle=_MINHASH_BANDED_PRELUDE
+    + f""",
+    sim AS ({_SIMHASH16_SQL})
+    SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN sim sa ON sa.doc_id = p.doc_a
+    JOIN sim sb ON sb.doc_id = p.doc_b
+    GROUP BY 1 ORDER BY hamming
+    """,
+)
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation of the two near-dup detectors: the SimHash
+    hamming-distance distribution OVER the MinHash-LSH candidate pairs.
+    A candidate set dominated by small hamming distances means both
+    signature families agree the pairs are near-dups (threshold the
+    apply step can trust); a heavy far-hamming tail means LSH banding
+    is surfacing pairs SimHash disputes — tune bands or df-caps before
+    an expensive exact-verify pass. This is the tuning evidence a
+    100 TB dedup run collects BEFORE committing to a canonical apply.
+
+    Scale shape: both inputs are per-corpus sidecar-shaped — the
+    candidate-pair table (shared, persisted) and the 16-bit signature
+    table (one grouped bit-agg pass, simhash_table) — and the pair
+    table drives: two doc-keyed joins pull signatures onto ≤|pairs|
+    rows, the XOR + popcount is JVM codegen, and the histogram
+    collapses to ≤17 rows map-side."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, cache_key=sf_dir)
+    sim = simhash_table(d)
+    sa = sim.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    sb = sim.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.bit_count(F.expr("sim_a ^ sim_b")).cast("int").alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
     )

@@ -434,3 +434,222 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_type")
     )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ),
+    contrib AS (
+      SELECT ud.user_id,
+             epoch_us(ud.d) + o.o * 86400000000 AS window_end_us
+      FROM ud, (SELECT unnest(generate_series(0, 6)) AS o) o
+    ),
+    wau AS (
+      SELECT c.window_end_us,
+             CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM contrib c
+      JOIN (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS u
+            FROM events) days ON c.window_end_us = days.u
+      GROUP BY 1
+    )
+    SELECT CAST(epoch_us(dau.d) AS BIGINT) AS day_us,
+           dau.dau, wau.wau,
+           CAST((1000000 * dau.dau) // wau.wau AS BIGINT)
+             AS stickiness_fp
+    FROM dau JOIN wau ON epoch_us(dau.d) = wau.window_end_us
+    ORDER BY day_us
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product
+    dashboards plot (what share of the week's actives showed up
+    today). 1e-6 fixed-point ratio, exact on both engines.
+
+    Scale shape: both legs ride ONE (user, day) dedupe of the fact —
+    DAU is a |days|-key rollup of it; WAU reuses the bounded
+    7-window-end explode of rolling_active_users (constant expansion,
+    |users x days| bound, observed-days broadcast). The final join is
+    |days| x |days| rows — driver-trivial. No range self-join, no
+    per-day rescan, no state that grows with corpus size."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    dau = ud.groupBy(F.unix_micros("d").alias("day_us")).agg(
+        F.count("*").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.unix_micros("d").alias("day_us"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+    ).select(
+        "user_id",
+        (F.col("day_us") + F.col("o").cast("long") * 86400000000).alias(
+            "window_end_us"
+        ),
+    )
+    observed = ud.select(F.unix_micros("d").alias("window_end_us")).distinct()
+    wau = (
+        contrib.join(F.broadcast(observed), "window_end_us")
+        .groupBy("window_end_us")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day_us == wau.window_end_us)
+        .select(
+            "day_us",
+            "dau",
+            "wau",
+            F.expr("(1000000 * dau) DIV wau").alias("stickiness_fp"),
+        )
+        .orderBy("day_us")
+    )
+
+
+@query(
+    "event_rate_anomaly",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS minute,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM m GROUP BY 1
+    )
+    SELECT m.event_type,
+           s.n AS n_minutes,
+           CAST(SUM(CASE WHEN m.x * s.n > s.sx
+                          AND (m.x * s.n - s.sx) * (m.x * s.n - s.sx)
+                              > 9 * (s.n * s.sxx - s.sx * s.sx)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_burst_minutes,
+           CAST(MAX(m.x) AS BIGINT) AS max_per_minute
+    FROM m JOIN s ON m.event_type = s.event_type
+    GROUP BY m.event_type, s.n
+    ORDER BY m.event_type
+    """,
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection per event type: minutes whose arrival count
+    exceeds mean + 3 sigma of that type's per-minute rate — the feed
+    anomaly tripwire (the flip side of event_gap_stats' stall
+    detector).
+
+    Determinism: the 3-sigma test is evaluated WITHOUT division or
+    sqrt — ``(x - mu) > 3 sigma`` with mu = sx/n and sigma^2 =
+    (n*sxx - sx^2)/n^2 cross-multiplies to
+    ``(x*n - sx)^2 > 9*(n*sxx - sx^2)`` in exact int64 (counts are
+    minute-level, so all products sit far below 2^63); both engines
+    compare identical integers.
+
+    Scale shape: one (type, minute) rollup (map-side partials), a
+    |types|-row moment rollup of THAT, broadcast back, flag + final
+    |types| rollup — nothing after the first aggregation is
+    corpus-sized, and the fact is scanned once."""
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count("*").alias("x"))
+    s = m.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("sx")
+    is_burst = (dev > 0) & (
+        dev * dev > 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return (
+        m.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", F.col("n").alias("n_minutes"))
+        .agg(
+            F.sum(F.when(is_burst, 1).otherwise(0)).alias("n_burst_minutes"),
+            F.max("x").alias("max_per_minute"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_interarrival_dispersion",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS sg,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_gaps,
+           CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+           CAST((1000000 * (n_gaps * sgg - sg * sg)) // (sg * sg)
+                AS BIGINT) AS dispersion_fp
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def event_interarrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile per event type: the index of dispersion of
+    inter-arrival gaps, ``Var/mu^2`` at 1e-6 fixed point (0 = a
+    metronome, 1 = Poisson, >1 = bursty). Complements
+    event_rate_anomaly (which flags WHEN) by characterizing HOW a
+    stream arrives — the statistic that sizes streaming-ingest buffers
+    and watermark slack.
+
+    Determinism: gaps truncate to whole seconds (integer division of
+    epoch micros); Var/mu^2 = (n*sgg - sg^2)/sg^2 is computed as one
+    integer floor division — no float, no sqrt. Gap seconds are
+    bounded by the corpus time span, so n*sgg stays far below 2^63.
+
+    Scale shape: ONE lag window per type (the same single
+    sort-exchange event_gap_stats rides, partitioned by type — no
+    global sort), then a |types|-row moment rollup; the tie-break on
+    (ts, event_id) pins gap assignment when timestamps collide."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        e.select(
+            "event_type",
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("event_type", F.expr("gap_us DIV 1000000").alias("gap_s"))
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("sg"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.expr("sg DIV n_gaps").alias("mean_gap_s"),
+            F.expr(
+                "(1000000 * (n_gaps * sgg - sg * sg)) DIV (sg * sg)"
+            ).alias("dispersion_fp"),
+        )
+        .orderBy("event_type")
+    )

@@ -3059,3 +3059,287 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6c: per-group-threshold, share-of-parent, and exact-median shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    ca AS (
+      SELECT o_custkey,
+             CAST(SUM(price_c) AS BIGINT) AS sum_c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM oc GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(oc.price_c) AS BIGINT) AS revenue_cents
+    FROM oc
+    JOIN ca ON oc.o_custkey = ca.o_custkey
+    JOIN customer c ON oc.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE 2 * oc.price_c * ca.cnt > 3 * ca.sum_c
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-threshold shape on the CUSTOMER key: orders whose
+    value exceeds 1.5x that customer's own average order value, rolled
+    up per nation — the "unusually large order for THIS account"
+    anomaly query (the custkey sibling of small_qty_revenue's partkey
+    decorrelation; the reference's per-account flag rollups in crud.py
+    are the same correlated shape).
+
+    Determinism: ``price > 1.5 * avg`` evaluates as
+    ``2 * price_c * cnt > 3 * sum_c`` in int64 cents — no float
+    average crosses the comparison.
+
+    Scale shape: the correlated subquery decorrelates into ONE per-cust
+    aggregate over the same scan, joined back on custkey — both sides
+    of that self-join shuffle on custkey together (at 100 TB a
+    custkey-bucketed orders layout co-locates it, exactly like the
+    orderkey buckets the Q4/Q17/Q18 analogs ride); customer and nation
+    broadcast; the final rollup is |nations| rows."""
+    oc = load(spark, sf_dir, "orders").select(
+        "o_custkey", _cents(F.col("o_totalprice")).alias("price_c")
+    )
+    ca = oc.groupBy("o_custkey").agg(
+        F.sum("price_c").alias("sum_c"), F.count("*").alias("cnt")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        oc.join(ca.withColumnRenamed("o_custkey", "ck"),
+                oc.o_custkey == F.col("ck"))
+        .where(2 * F.col("price_c") * F.col("cnt") > 3 * F.col("sum_c"))
+        .join(F.broadcast(c), oc.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_c").alias("revenue_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "mktsegment_yearly_share",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS yr,
+             c.c_mktsegment AS segment,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS seg_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT yr, segment, seg_cents,
+           CAST((1000000 * seg_cents)
+                // SUM(seg_cents) OVER (PARTITION BY yr) AS BIGINT)
+             AS share_fp
+    FROM f
+    ORDER BY yr, segment
+    """,
+)
+def mktsegment_yearly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent trend: each market segment's share of every
+    year's total order value, at 1e-6 fixed-point resolution — the
+    "mix shift" dashboard (the reference's match-rate pivot is the same
+    share-of-parent statistic over registries).
+
+    Scale shape: the customer dim broadcasts into the orders scan, one
+    (year, segment) rollup exchange (map-side partials, |years x
+    segments| rows survive), and the share window runs on that tiny
+    frame — the corpus-sized work is a single broadcast-join pass."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    f = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("seg_cents"))
+    )
+    return f.select(
+        "yr",
+        "segment",
+        "seg_cents",
+        F.expr(
+            "(1000000 * seg_cents) DIV SUM(seg_cents)"
+            " OVER (PARTITION BY yr)"
+        ).alias("share_fp"),
+    ).orderBy("yr", "segment")
+
+
+@query(
+    "median_order_value_by_nation",
+    oracle="""
+    WITH oc AS (
+      SELECT n.n_name AS nation,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ),
+    vc AS (
+      SELECT nation, price_c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM oc GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT nation, price_c, cnt,
+             SUM(cnt) OVER (PARTITION BY nation ORDER BY price_c)
+               AS cum_n,
+             SUM(cnt) OVER (PARTITION BY nation) AS n
+      FROM vc
+    )
+    SELECT nation,
+           CAST(MIN(CASE WHEN cum_n >= (n + 1) // 2 THEN price_c END)
+              + MIN(CASE WHEN cum_n >= (n + 2) // 2 THEN price_c END)
+              AS BIGINT) AS median_cents_x2,
+           CAST(MAX(n) AS BIGINT) AS n_orders
+    FROM cum
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def median_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-nation median order value without a global sort or a
+    single-partition window: the distributed-median shape. Reported as
+    ``median_cents_x2`` (lower + upper middle value) so the even-count
+    average stays in exact int64 — no .5 float ever materializes.
+
+    Scale shape: collapse to (nation, value, count) FIRST — the windows
+    then run over |distinct values per nation| rows, not |orders|, and
+    partition by nation so no single task sees the whole corpus (the
+    NTILE/percentile_cont formulations are engine-defined on ties and
+    funnel everything through one partition; approx_percentile trades
+    exactness away — this plan is both exact and distributed). The
+    median extraction is two conditional MINs over the cumulative
+    frame, one |nations|-row rollup."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", _cents(F.col("o_totalprice")).alias("price_c")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    oc = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "price_c")
+    )
+    vc = oc.groupBy("nation", "price_c").agg(F.count("*").alias("cnt"))
+    wcum = W.partitionBy("nation").orderBy("price_c")
+    cum = vc.select(
+        "nation",
+        "price_c",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(W.partitionBy("nation")).alias("n"),
+    )
+    return (
+        cum.groupBy("nation")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum_n") >= F.expr("(n + 1) DIV 2"),
+                        F.col("price_c"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cum_n") >= F.expr("(n + 2) DIV 2"),
+                        F.col("price_c"),
+                    )
+                )
+            ).alias("median_cents_x2"),
+            F.max("n").alias("n_orders"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "excess_shipped_parts",
+    oracle="""
+    WITH f AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small %'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_name AS supplier, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_excess_parts,
+           CAST(SUM(f.qty) AS BIGINT) AS total_qty
+    FROM f
+    JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE f.qty > 90
+    GROUP BY 1, 2
+    ORDER BY supplier
+    """,
+)
+def excess_shipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    EXCESS volume (> 90 units) of a name-matched part family — the
+    semi-join chain part → lineitem → supplier that Q20 runs against
+    availqty, re-based on shipped quantity (no partsupp table in this
+    corpus; reference parity is the chain shape, not the column).
+
+    Scale shape: the name-filtered part list broadcasts into the fact
+    scan (it is the selective predicate — the LIKE is evaluated on the
+    |parts| dim, never on lineitem); the (partkey, suppkey) rollup
+    rides the partkey-bucketed lineitem layout when prepared —
+    HashPartitioning(l_partkey) satisfies the (partkey, suppkey)
+    clustered distribution, so the heavy aggregation is EXCHANGE-FREE —
+    and the excess filter cuts the survivors to a handful of rows
+    before the broadcast supplier/nation joins and the |suppliers|-row
+    final rollup."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_partkey")
+    li = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        )
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small %"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    f = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .where(F.col("qty") > 90)
+    )
+    return (
+        f.join(F.broadcast(s), f.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_excess_parts"),
+            F.sum("qty").alias("total_qty"),
+        )
+        .orderBy("supplier")
+    )
