@@ -68,6 +68,20 @@ SCALE_SET = (
     "discount_revenue_forecast",
     "rolling_active_users",
     "tokenizer_fertility_stats",
+    # round-6c additions: engagement/anomaly audits, the exact
+    # distributed median, the dup-graph health pair (both ride the new
+    # persisted candidate-pair sidecar), and the Q20-shaped semi-join
+    "dau_wau_stickiness",
+    "event_rate_anomaly",
+    "event_interarrival_dispersion",
+    "orders_above_customer_avg",
+    "mktsegment_yearly_share",
+    "median_order_value_by_nation",
+    "triangle_count_dup_graph",
+    "simhash_hamming_histogram",
+    "stopword_coverage_by_lang",
+    "excess_shipped_parts",
+    "label_source_affinity",
 )
 
 #: stop re-running an engine's query once a single run exceeds this

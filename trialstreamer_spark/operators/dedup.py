@@ -2331,3 +2331,353 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+_SPLIT_CASE_SQL = """
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+         THEN 'val'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f')
+         THEN 'test'
+         ELSE 'train' END
+"""
+
+
+@query(
+    "split_leakage_audit",
+    oracle=_MINHASH_BANDED_PRELUDE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""",
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lbl AS (SELECT node AS doc_id, MIN(label) AS component
+            FROM reach GROUP BY node),
+    sp AS (
+      SELECT component,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT {_SPLIT_CASE_SQL}) AS BIGINT) AS n_splits
+      FROM lbl GROUP BY component
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_clusters,
+           CAST(SUM(CASE WHEN n_docs > 1 AND n_splits > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters,
+           CAST(SUM(CASE WHEN n_docs > 1 AND n_splits > 1
+                         THEN n_docs ELSE 0 END) AS BIGINT)
+             AS n_docs_in_leaky,
+           CAST(CASE WHEN SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) > 0
+                     THEN (1000000 * SUM(CASE WHEN n_docs > 1
+                                              AND n_splits > 1
+                                              THEN 1 ELSE 0 END))
+                          // SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                     ELSE -1 END AS BIGINT) AS leak_rate_fp
+    FROM sp
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage through near-duplicate clusters: assign
+    every document its deterministic hash split (md5 of doc_id: 12/16
+    of the space → train, 2/16 → val, 2/16 → test — the standard
+    restart-stable split), then count dup clusters whose members
+    STRADDLE splits. A leaked cluster puts a near-copy of a training
+    document into eval — the contamination mode that inflates benchmark
+    scores — and the correct fix (split by CLUSTER, not by doc) is
+    exactly what this audit gates. Reported as a one-row summary with a
+    1e-6 fixed-point leak rate over multi-doc clusters (-1 when there
+    are none).
+
+    Scale shape: rides the disk-backed cc_labels sidecar (the
+    union-find ran once per corpus version); the split is a scan-side
+    md5 expression on the label table (never touches text), and both
+    rollups collapse map-side — per-cluster to |clusters| rows, then to
+    one. The oracle restates the closure as the recursive min-label
+    fixpoint over the same banded pairs."""
+    lbl = cc_labels(spark, sf_dir)
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first.isin("c", "d"), F.lit("val"))
+        .when(first.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    sp = lbl.groupBy("component").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(split).alias("n_splits"),
+    )
+    multi = F.col("n_docs") > 1
+    leaky = multi & (F.col("n_splits") > 1)
+    return sp.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.when(multi, 1).otherwise(0)).alias("n_multi_clusters"),
+        F.sum(F.when(leaky, 1).otherwise(0)).alias("n_leaky_clusters"),
+        F.sum(F.when(leaky, F.col("n_docs")).otherwise(0)).alias(
+            "n_docs_in_leaky"
+        ),
+    ).select(
+        "n_clusters",
+        "n_multi_clusters",
+        "n_leaky_clusters",
+        "n_docs_in_leaky",
+        F.when(
+            F.col("n_multi_clusters") > 0,
+            F.expr("(1000000 * n_leaky_clusters) DIV n_multi_clusters"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("leak_rate_fp"),
+    )
+
+
+@query(
+    "normalized_dup_census",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(text) AS raw_fp,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+      FROM documents
+    ),
+    grp AS (
+      SELECT norm_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw
+      FROM fp GROUP BY norm_fp
+    )
+    SELECT CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN n_docs > 1 AND n_raw > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_groups_norm_only,
+           CAST(SUM(n_raw - 1) AS BIGINT) AS extra_docs_removed
+    FROM grp
+    """,
+)
+def normalized_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup census: fingerprint every
+    document twice — raw md5 and md5 of the casefolded,
+    punctuation-stripped, whitespace-collapsed text — and measure what
+    the normalized pass catches that byte-exact dedup misses
+    (``n_groups_norm_only`` = collision groups invisible to the raw
+    hash; ``extra_docs_removed`` = sum over groups of distinct raw
+    variants minus the one survivor). This is the cheap first rung of
+    the dedup ladder (above it: MinHash, SimHash), and the statistic
+    that decides whether a corpus even NEEDS the expensive fuzzy pass.
+
+    Scale shape: both fingerprints are scan-side md5 expressions — the
+    shuffle carries (16-byte norm key, 16-byte raw key), never document
+    bytes (the dedup_exact discipline, dedup.py module docstring); one
+    groupBy on the norm key with a distinct-raw agg, then a one-row
+    map-side rollup. DuckDB's regexp_replace needs the 'g' flag for
+    the global substitutions Spark applies by default."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    fp = d.select(
+        F.md5(F.col("text")).alias("raw_fp"), F.md5(norm).alias("norm_fp")
+    )
+    grp = fp.groupBy("norm_fp").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("raw_fp").alias("n_raw"),
+    )
+    multi = F.col("n_docs") > 1
+    return grp.agg(
+        F.sum(F.when(multi, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(multi, F.col("n_docs")).otherwise(0)).alias(
+            "n_dup_docs"
+        ),
+        F.sum(
+            F.when(multi & (F.col("n_raw") > 1), 1).otherwise(0)
+        ).alias("n_groups_norm_only"),
+        F.sum(F.col("n_raw") - 1).alias("extra_docs_removed"),
+    )
+
+
+@query(
+    "dup_pair_jaccard_calibration",
+    oracle=_MINHASH_BANDED_PRELUDE
+    + """,
+    eq AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS est_slots
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM posting GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN posting a ON a.doc_id = p.doc_a
+      JOIN posting b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    scored AS (
+      SELECT e.est_slots,
+             CAST((10 * COALESCE(c.n_common, 0))
+                  // (za.n_sh + zb.n_sh - COALESCE(c.n_common, 0))
+                  AS BIGINT) AS exact_decile
+      FROM eq e
+      LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+      JOIN sizes za ON za.doc_id = e.doc_a
+      JOIN sizes zb ON zb.doc_id = e.doc_b
+    )
+    SELECT est_slots, exact_decile, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY est_slots, exact_decile
+    """,
+)
+def dup_pair_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration matrix of the MinHash estimator ON the candidate
+    pairs the pipeline actually acts on: matching-signature-slot count
+    (0–8, the estimator) × exact shingle-Jaccard decile (0–10, ground
+    truth), with pair counts. A diagonal-heavy matrix means the
+    8-hash estimate is trustworthy enough to threshold WITHOUT the
+    exact-verify join; mass in the (high est, low exact) corner is the
+    false-positive rate banding passes to downstream apply steps — the
+    evidence that tunes minhash_band_tuning's parameter choice.
+
+    Scale shape: all three inputs are prepare-time sidecars (pair
+    table, signature table, shingle postings); pairs DRIVE every join —
+    signatures attach by two doc-keyed lookups, the exact intersection
+    re-joins postings restricted to candidate docs (never all-pairs —
+    the minhash_band_tuning discipline), and the result collapses to a
+    ≤9×11 matrix map-side."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, cache_key=sf_dir)
+    sig = minhash_signatures(d, cache_key=sf_dir)
+    eq_col = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ).cast("long")
+    eq = (
+        pairs.join(sig.alias("sa"), pairs.doc_a == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), pairs.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", eq_col.alias("est_slots"))
+    )
+    posting = shingle_postings(d, cache_key=sf_dir)
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa_n"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb_n"))
+    scored = (
+        eq.join(common, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "est_slots",
+            F.expr(
+                "(10 * coalesce(n_common, 0))"
+                " DIV (sa_n + sb_n - coalesce(n_common, 0))"
+            ).alias("exact_decile"),
+        )
+    )
+    return (
+        scored.groupBy("est_slots", "exact_decile")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("est_slots", "exact_decile")
+    )
+
+
+@query(
+    "doc_prefix_dup_rate",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(substr(text, 1, 64)) AS prefix_fp,
+             md5(text) AS full_fp
+      FROM documents
+    ),
+    grp AS (
+      SELECT prefix_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT full_fp) AS BIGINT) AS n_full
+      FROM fp GROUP BY prefix_fp
+    ),
+    marked AS (
+      SELECT f.source,
+             CASE WHEN g.n_docs > 1 AND g.n_full > 1 THEN 1 ELSE 0 END
+               AS is_head_dup
+      FROM fp f JOIN grp g ON f.prefix_fp = g.prefix_fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_head_dup) AS BIGINT) AS n_head_dup_docs,
+           CAST((1000000 * SUM(is_head_dup)) // COUNT(*) AS BIGINT)
+             AS head_dup_fp
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-head detector: per source, the share of documents
+    whose first 64 characters collide with ANOTHER distinct document
+    (same head, different body — shared headers, templated intros,
+    truncation stubs). Full-text exact dups are excluded (n_full > 1),
+    so this isolates the boilerplate-prefix pathology that line-level
+    dedup misses and MinHash under-weights when bodies diverge.
+
+    Scale shape: both fingerprints are scan-side md5 of a bounded
+    substr — the shuffle carries 16-byte keys (the dedup_exact
+    discipline); the prefix-group census joins back doc-keyed (a
+    broadcast of the collided groups at realistic collision rates),
+    then a |sources|-key rollup."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_fp"),
+        F.md5(F.col("text")).alias("full_fp"),
+    )
+    grp = fp.groupBy("prefix_fp").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("full_fp").alias("n_full"),
+    )
+    marked = fp.join(grp, "prefix_fp").select(
+        "source",
+        F.when((F.col("n_docs") > 1) & (F.col("n_full") > 1), 1)
+        .otherwise(0)
+        .alias("is_head_dup"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_head_dup").alias("n_head_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_head_dup_docs",
+            F.expr("(1000000 * n_head_dup_docs) DIV n_docs").alias(
+                "head_dup_fp"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2114,3 +2114,96 @@ def pii_idlike_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "canonical_selection_regret",
+    oracle="""
+    WITH RECURSIVE {CTES},
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM reach GROUP BY node),
+    nw AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    j AS (
+      SELECT c.doc_id, c.component, n.n_words
+      FROM comp c JOIN nw n ON n.doc_id = c.doc_id
+    ),
+    per AS (
+      SELECT component,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_words) AS BIGINT) AS best_words,
+             CAST(arg_min(n_words, doc_id) AS BIGINT) AS minid_words
+      FROM j GROUP BY component
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
+           CAST(SUM(best_words - minid_words) AS BIGINT) AS regret_words,
+           CAST(SUM(CASE WHEN best_words > minid_words THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_regret_clusters,
+           CAST(CASE WHEN SUM(best_words) > 0
+                     THEN (1000000 * SUM(best_words - minid_words))
+                          // SUM(best_words)
+                     ELSE -1 END AS BIGINT) AS regret_share_fp
+    FROM per WHERE n_docs > 1
+    """.format(CTES=_CC_CTES),
+)
+def canonical_selection_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost of naive canonical selection, measured: for every
+    multi-doc near-dup cluster, compare the copy min-doc_id would keep
+    against the best (longest) copy, and total the token mass a min-id
+    policy throws away — the audit that justifies (or vetoes) switching
+    dedup_apply_canonical to dedup_keep_best_quality's argmax policy.
+    ``regret_share_fp`` is the lost share of the best-achievable token
+    mass at 1e-6 fixed point (-1 when there are no multi-doc clusters).
+
+    Composes the same two prepare-time sidecars as
+    dedup_keep_best_quality — cc_labels (disk-backed union-find) and
+    quality_signals (one row per doc) — touching no text at query time:
+    one doc_id-keyed join, a per-component MIN_BY/MAX rollup (min_by
+    pins the min-id copy deterministically; doc_id is unique), then a
+    one-row map-side summary. At 100 TB both inputs are one-row-per-doc
+    bucketed tables; nothing downstream is corpus-sized."""
+    from trialstreamer_spark.operators.dedup import cc_labels
+
+    j = cc_labels(spark, sf_dir).join(
+        quality_signals(spark, sf_dir).select("doc_id", "n_words"), "doc_id"
+    )
+    per = j.groupBy("component").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_words").cast("long").alias("best_words"),
+        F.min_by("n_words", "doc_id").cast("long").alias("minid_words"),
+    )
+    return (
+        per.where(F.col("n_docs") > 1)
+        .agg(
+            F.count("*").alias("n_multi_clusters"),
+            F.sum(F.col("best_words") - F.col("minid_words")).alias(
+                "regret_words"
+            ),
+            F.sum(
+                F.when(F.col("best_words") > F.col("minid_words"), 1)
+                .otherwise(0)
+            ).alias("n_regret_clusters"),
+            F.sum("best_words").alias("sum_best"),
+        )
+        .select(
+            "n_multi_clusters",
+            "regret_words",
+            "n_regret_clusters",
+            F.when(
+                F.col("sum_best") > 0,
+                F.expr("(1000000 * regret_words) DIV sum_best"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("regret_share_fp"),
+        )
+    )

@@ -23,7 +23,7 @@ sums — exact across engines (see plans/relational.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from trialstreamer_spark.io import load
@@ -653,3 +653,280 @@ def event_interarrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_gap_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+      FROM events
+    ),
+    vc AS (
+      SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, gap_s, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_s)
+               AS cum_n,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vc
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 50 * n THEN gap_s END)
+                AS BIGINT) AS p50_s,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 90 * n THEN gap_s END)
+                AS BIGINT) AS p90_s,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 99 * n THEN gap_s END)
+                AS BIGINT) AS p99_s
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of inter-arrival gaps per event type — the
+    latency-SLO tail statistic, computed with the distributed-quantile
+    shape (no approx_percentile, no single-partition global sort): the
+    p-th percentile is the smallest value whose cumulative count
+    reaches ceil(p·n/100), and ``100·cum_n >= p·n`` states exactly that
+    ceiling in integers.
+
+    Scale shape: the same type-partitioned lag window as
+    event_gap_stats / event_interarrival_dispersion, then collapse to
+    (type, gap, count) FIRST — the cumulative window runs over
+    |distinct gaps per type| rows, partitioned by type (no task sees
+    the corpus), and all three percentiles fall out of ONE window pass
+    as conditional MINs in the same |types|-row rollup."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        e.select(
+            "event_type",
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("event_type", F.expr("gap_us DIV 1000000").alias("gap_s"))
+    )
+    vc = g.groupBy("event_type", "gap_s").agg(F.count("*").alias("cnt"))
+    wcum = W.partitionBy("event_type").orderBy("gap_s")
+    cum = vc.select(
+        "event_type",
+        "gap_s",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def pctl(p: int) -> Column:
+        return F.min(
+            F.when(100 * F.col("cum_n") >= p * F.col("n"), F.col("gap_s"))
+        ).alias(f"p{p}_s")
+
+    return (
+        cum.groupBy("event_type")
+        .agg(F.max("n").alias("n_gaps"), pctl(50), pctl(90), pctl(99))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "hour_of_week_peak",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS how,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, how, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, how) AS rk,
+             SUM(n) OVER (PARTITION BY event_type) AS total_n
+      FROM h
+    )
+    SELECT event_type, how AS peak_how, n AS peak_n,
+           CAST(total_n AS BIGINT) AS total_n,
+           CAST((1000000 * n) // total_n AS BIGINT) AS peak_share_fp
+    FROM r WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def hour_of_week_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality peak per event type: the hour-of-week bucket
+    (0 = Sunday 00:00 UTC … 167 = Saturday 23:00) with the most
+    arrivals, and what share of the type's traffic it carries — the
+    statistic that schedules compaction/backfill windows AWAY from a
+    feed's hot hour. Ties break to the earliest hour (row_number over
+    (count DESC, hour)), pinned identically in both engines; UTC is
+    pinned by io.load regardless of the driver session zone.
+
+    Scale shape: one (type, hour-of-week) rollup — at most
+    |types| × 168 rows survive the map-side partial — then the argmax
+    window and the share arithmetic run on that dimension-sized frame.
+    The fact is scanned once; nothing downstream is corpus-sized."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        ((F.dayofweek("ts") - 1) * 24 + F.hour("ts"))
+        .cast("long")
+        .alias("how"),
+    ).agg(F.count("*").alias("n"))
+    wr = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("how"))
+    r = h.select(
+        "event_type",
+        "how",
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("n").over(W.partitionBy("event_type")).alias("total_n"),
+    )
+    return (
+        r.where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("how").alias("peak_how"),
+            F.col("n").alias("peak_n"),
+            "total_n",
+            F.expr("(1000000 * n) DIV total_n").alias("peak_share_fp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: Benford expected first-digit shares at 1e-6 fixed point:
+#: floor(1e6 · log10(1 + 1/d)) — constants, not runtime logs, so both
+#: engines emit identical integers.
+_BENFORD_FP = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_FP.items()
+) + " END"
+
+
+@query(
+    "benford_value_digits",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM events WHERE value > 0
+    ),
+    h AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1
+    )
+    SELECT digit, n,
+           CAST((1000000 * n) // SUM(n) OVER () AS BIGINT) AS share_fp,
+           CAST({_BENFORD_CASE_SQL} AS BIGINT) AS benford_fp
+    FROM h
+    ORDER BY digit
+    """,
+)
+def benford_value_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of event values: observed first-significant-
+    digit distribution (of the exact cent amount) against the Benford
+    expectation — the classic fabricated-data / unit-mixup tripwire
+    (organic transaction amounts lean Benford; a uniform or spiked
+    digit profile flags synthetic injection or a currency-scale bug
+    upstream). Expected shares are precomputed integer constants
+    (floor(1e6·log10(1+1/d))) — no runtime logarithm crosses the
+    engine boundary, so rows compare exactly.
+
+    Scale shape: the digit is substr(1,1) of the int64 cent string —
+    scan-side codegen, no explode; a ≤9-key rollup collapses map-side
+    and the share window runs on ≤9 rows."""
+    e = load(spark, sf_dir, "events")
+    digit = F.substring(
+        F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    h = (
+        e.where(F.col("value") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_FP.items() for x in kv]
+    )
+    return h.select(
+        "digit",
+        "n",
+        F.expr("(1000000 * n) DIV SUM(n) OVER ()").alias("share_fp"),
+        benford[F.col("digit")].cast("long").alias("benford_fp"),
+    ).orderBy("digit")
+
+
+@query(
+    "session_count_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+      FROM g GROUP BY user_id
+    ),
+    h AS (
+      SELECT CASE WHEN n_sessions >= 10 THEN 10 ELSE n_sessions END
+               AS sessions_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per GROUP BY 1
+    )
+    SELECT CAST(sessions_bucket AS BIGINT) AS sessions_bucket, n_users,
+           CAST((1000000 * n_users) // SUM(n_users) OVER () AS BIGINT)
+             AS share_fp
+    FROM h
+    ORDER BY sessions_bucket
+    """,
+)
+def session_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth distribution: how many 30-min-gap sessions each
+    user accumulated, bucketed (10+ capped) with user shares — the
+    histogram view of sessionize's per-user counts (one-session
+    drive-bys vs habitual multi-session users), the shape retention
+    models and session-store capacity planning both read.
+
+    Scale shape: the SAME single user_id shuffle as sessionize — the
+    lag window and the per-user rollup share one exchange (same key,
+    Catalyst reuses the partitioning) — then an ≤11-key histogram
+    rollup collapsing map-side, shares on ≤11 rows."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    per = (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+    h = per.select(
+        F.least(F.col("n_sessions"), F.lit(10))
+        .cast("long")
+        .alias("sessions_bucket")
+    ).groupBy("sessions_bucket").agg(F.count("*").alias("n_users"))
+    return h.select(
+        "sessions_bucket",
+        "n_users",
+        F.expr("(1000000 * n_users) DIV SUM(n_users) OVER ()").alias(
+            "share_fp"
+        ),
+    ).orderBy("sessions_bucket")

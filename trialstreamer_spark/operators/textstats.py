@@ -1632,3 +1632,212 @@ def stopword_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "bigram_lift_topk",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+      FROM t WHERE len(toks) >= 2
+    ),
+    c12 AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni)
+    SELECT c12.w1, c12.w2, c12.n_pair,
+           CAST((1000 * c12.n_pair * n.n) // (a.c * b.c) AS BIGINT)
+             AS lift_fp
+    FROM c12
+    JOIN c1 a ON c12.w1 = a.tok
+    JOIN c1 b ON c12.w2 = b.tok
+    CROSS JOIN n
+    ORDER BY lift_fp DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 token bigrams by pointwise lift
+    (observed / expected-under-independence) among pairs seen ≥5 times
+    — the statistic behind phrase vocabularies and multi-word tokenizer
+    merges (lift, unlike raw count, surfaces 'los angeles' over 'of
+    the'). Lift is exact 1e-3 fixed point: ``1000·c12·N DIV (c1·c2)``
+    keeps every product in int64 at rehearsal scales with ~500×
+    headroom (a 100 TB corpus moves the numerator to decimal(38,0) —
+    same plan); the min-count floor bounds the result set and kills the
+    hapax noise that dominates unfloored lift.
+
+    Scale shape: bigrams come from one zip-of-adjacent-slices per doc
+    (array expressions, one narrow explode — no self-join); unigram
+    counts are the standard explode+rollup; the pair table joins the
+    unigram table twice ON THE TOKEN KEY (shuffle joins both sides
+    collapse to vocabulary size, far below corpus size), the 1-row
+    total broadcasts, and the top-k is TakeOrderedAndProject with a
+    fully-pinned tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    t = d.select(toks.alias("toks"))
+    bi = (
+        t.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> named_struct('w1', toks[i], 'w2', toks[i+1]))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c12 = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+    )
+    uni = t.select(F.explode("toks").alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    n = uni.agg(F.count("*").alias("n"))
+    a = c1.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    b = c1.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        c12.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr("(1000 * n_pair * n) DIV (c_a * c_b)").alias("lift_fp"),
+        )
+        .orderBy(F.col("lift_fp").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "nonascii_ratio_by_lang",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+                  AS BIGINT) AS n_nonascii
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_nonascii) AS BIGINT) AS n_nonascii,
+           CAST(CASE WHEN SUM(n_chars) > 0
+                     THEN (1000000 * SUM(n_nonascii)) // SUM(n_chars)
+                     ELSE -1 END AS BIGINT) AS nonascii_fp
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def nonascii_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-vs-label audit: share of non-ASCII characters per labeled
+    language — the complement of stopword_coverage_by_lang (that one
+    checks function words; this one checks the raw character
+    inventory). A labeled-en shard with a high non-ASCII ratio is
+    mojibake, mislabeled, or markup-heavy; a labeled-de/fr shard with a
+    ZERO ratio lost its diacritics in some upstream transcode — both
+    are routing bugs this statistic trips before per-language branches
+    consume the shard.
+
+    Scale shape: two codegen length() expressions per row on the
+    document scan (the non-ASCII count is length minus length after
+    stripping the [^\\x00-\\x7f] class — no explode, no UDF), then one
+    |langs|-key rollup collapsing map-side. 1e-6 fixed point, -1
+    sentinel for an empty language."""
+    d = load(spark, sf_dir, "documents")
+    stripped = F.regexp_replace(F.col("text"), "[^\\x00-\\x7f]", "")
+    per = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        (F.length("text") - F.length(stripped))
+        .cast("long")
+        .alias("n_nonascii"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_nonascii").alias("n_nonascii"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_nonascii",
+            F.when(
+                F.col("n_chars") > 0,
+                F.expr("(1000000 * n_nonascii) DIV n_chars"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("nonascii_fp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "token_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(list_transform(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''),
+               x -> CASE WHEN len(x) >= 16 THEN 16 ELSE len(x) END))
+             AS len_bucket
+      FROM documents
+    ),
+    h AS (
+      SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1
+    )
+    SELECT len_bucket, n,
+           CAST((1000000 * n) // SUM(n) OVER () AS BIGINT) AS share_fp
+    FROM h
+    ORDER BY len_bucket
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution (capped at 16+) with corpus shares —
+    the tokenizer-health fingerprint: a mass spike at 1–2 chars means
+    over-splitting (bad normalization), a heavy 16+ tail means unsplit
+    URLs/DNA/base64 junk that will explode a subword vocabulary. Pairs
+    with tokenizer_fertility_stats (this is the PRE-tokenizer view).
+
+    Scale shape: the length map runs INSIDE the array (list_transform
+    before any explode — rows stay narrow), one explode feeds a
+    map-side-collapsing ≤17-key rollup, and the share window runs on
+    those ≤17 rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    lens = F.transform(
+        toks, lambda x: F.least(F.length(x), F.lit(16))
+    )
+    h = (
+        d.select(F.explode(lens).alias("lb"))
+        .select(F.col("lb").cast("long").alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return h.select(
+        "len_bucket",
+        "n",
+        F.expr("(1000000 * n) DIV SUM(n) OVER ()").alias("share_fp"),
+    ).orderBy("len_bucket")

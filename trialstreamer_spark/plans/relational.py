@@ -3343,3 +3343,438 @@ def excess_shipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier")
     )
+
+
+@query(
+    "order_value_gini_by_nation",
+    oracle="""
+    WITH oc AS (
+      SELECT n.n_name AS nation,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ),
+    vc AS (
+      SELECT nation, price_c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM oc GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT nation, price_c, cnt,
+             SUM(cnt) OVER (PARTITION BY nation ORDER BY price_c) AS r,
+             SUM(cnt) OVER (PARTITION BY nation) AS n,
+             SUM(price_c * cnt) OVER (PARTITION BY nation) AS sumx
+      FROM vc
+    ),
+    agg AS (
+      SELECT nation,
+             CAST(MAX(n) AS BIGINT) AS n_orders,
+             CAST(MAX(sumx) AS BIGINT) AS total_cents,
+             CAST(SUM(price_c * cnt * (2 * r - cnt - n)) AS BIGINT)
+               AS num
+      FROM cum GROUP BY nation
+    )
+    SELECT nation, n_orders, total_cents,
+           CAST(CASE WHEN (n_orders * total_cents) // 1000000 > 0
+                     THEN num // ((n_orders * total_cents) // 1000000)
+                     ELSE -1 END AS BIGINT) AS gini_fp
+    FROM agg
+    ORDER BY nation
+    """,
+)
+def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of order values per nation — the revenue
+    inequality audit (a nation whose Gini drifts up is concentrating
+    into whale accounts; the flip side of supplier_revenue_hhi's
+    supply-base concentration). Entirely integer: with values sorted
+    ascending, sum(|xi-xj|) = sum_i (2i - n - 1)·x_i, and a tied run of
+    count c ending at cumulative rank R contributes
+    v·c·(2R - c - n) — no floats, no per-row rank explosion. The
+    1e-6 fixed-point divide pre-shrinks the denominator
+    (n·sum(x) DIV 1e6) so every operand stays in int64 at sf1 (at
+    100 TB per-group moments this large move to decimal(38,0) — the
+    formula is unchanged).
+
+    Scale shape: dims broadcast into the orders scan, collapse to
+    (nation, value, count) FIRST (the windows then run over |distinct
+    values per nation| rows, partitioned by nation — the
+    median_order_value_by_nation discipline), one |nations|-row
+    rollup. -1 sentinel where the shrunk denominator underflows to 0
+    (degenerate tiny groups)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", _cents(F.col("o_totalprice")).alias("price_c")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    oc = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "price_c")
+    )
+    vc = oc.groupBy("nation", "price_c").agg(F.count("*").alias("cnt"))
+    wn = W.partitionBy("nation")
+    cum = vc.select(
+        "nation",
+        "price_c",
+        "cnt",
+        F.sum("cnt").over(wn.orderBy("price_c")).alias("r"),
+        F.sum("cnt").over(wn).alias("n"),
+        F.sum(F.col("price_c") * F.col("cnt")).over(wn).alias("sumx"),
+    )
+    agg = cum.groupBy("nation").agg(
+        F.max("n").alias("n_orders"),
+        F.max("sumx").alias("total_cents"),
+        F.sum(
+            F.col("price_c")
+            * F.col("cnt")
+            * (2 * F.col("r") - F.col("cnt") - F.col("n"))
+        ).alias("num"),
+    )
+    return agg.select(
+        "nation",
+        "n_orders",
+        "total_cents",
+        F.when(
+            F.expr("(n_orders * total_cents) DIV 1000000") > 0,
+            F.expr("num DIV ((n_orders * total_cents) DIV 1000000)"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("gini_fp"),
+    ).orderBy("nation")
+
+
+@query(
+    "ship_latency_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate))
+                // COUNT(*) AS BIGINT) AS mean_days,
+           CAST(MAX(datediff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS max_days,
+           CAST((1000000 * SUM(CASE WHEN
+                  datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                  THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS slow_share_fp
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def ship_latency_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per supplier nation: mean and max
+    days from order placement to line shipment, plus the share shipped
+    slower than 90 days at 1e-6 fixed point — the fulfilment-SLA
+    dashboard (the reference's per-registry freshness checks are the
+    same shape over feeds). Mean truncates via integer division; no
+    float crosses the compare.
+
+    Scale shape: the ONE fact-fact join rides the orderkey-bucketed
+    lineitem/orders projections when prepared — both sides expose
+    HashPartitioning(orderkey, 16), so the join is exchange-free —
+    supplier/nation broadcast, and the rollup collapses map-side to
+    |nations| rows."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    li = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        )
+    )
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+                "days"
+            ),
+        )
+    )
+    return (
+        lat.groupBy("nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("days").alias("sum_days"),
+            F.max("days").cast("long").alias("max_days"),
+            F.sum(F.when(F.col("days") > 90, 1).otherwise(0)).alias("n_slow"),
+        )
+        .select(
+            "nation",
+            "n_items",
+            F.expr("sum_days DIV n_items").alias("mean_days"),
+            "max_days",
+            F.expr("(1000000 * n_slow) DIV n_items").alias("slow_share_fp"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "reorder_interval_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT datediff('day',
+               lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_d
+      FROM orders
+    ),
+    vc AS (
+      SELECT gap_d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g WHERE gap_d IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT gap_d, cnt,
+             SUM(cnt) OVER (ORDER BY gap_d) AS cum_n,
+             SUM(cnt) OVER () AS n
+      FROM vc
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 50 * n THEN gap_d END)
+                AS BIGINT) AS p50_d,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 90 * n THEN gap_d END)
+                AS BIGINT) AS p90_d,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 99 * n THEN gap_d END)
+                AS BIGINT) AS p99_d
+    FROM cum
+    """,
+)
+def reorder_interval_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of the days between a customer's consecutive
+    orders — the repeat-purchase cadence that calibrates churn windows
+    ("dormant" in dormant_rich_customers should mean > p90, not a
+    guessed constant). Same distributed-quantile discipline as
+    event_gap_percentiles: the p-th percentile is the smallest gap
+    whose cumulative count reaches ceil(p·n/100), stated in integers
+    as ``100·cum_n >= p·n``.
+
+    Scale shape: one custkey-partitioned lag window (no global sort of
+    the fact), collapse to (gap, count) — the global cumulative window
+    then runs over |distinct gaps| ≤ the corpus date span in days
+    (~2.4k rows regardless of order count), so its single partition is
+    bounded by the CALENDAR, not the data; one final 1-row rollup."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_d")
+        )
+        .where(F.col("gap_d").isNotNull())
+    )
+    vc = g.groupBy("gap_d").agg(F.count("*").alias("cnt"))
+    cum = vc.select(
+        "gap_d",
+        F.sum("cnt").over(W.orderBy("gap_d")).alias("cum_n"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+
+    def pctl(p: int) -> Column:
+        return F.min(
+            F.when(100 * F.col("cum_n") >= p * F.col("n"), F.col("gap_d"))
+        ).cast("long").alias(f"p{p}_d")
+
+    return cum.agg(
+        F.max("n").alias("n_gaps"), pctl(50), pctl(90), pctl(99)
+    )
+
+
+@query(
+    "whale_revenue_share",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    vc AS (
+      SELECT rev_c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cr GROUP BY 1
+    ),
+    cum AS (
+      SELECT rev_c, cnt,
+             SUM(cnt) OVER (ORDER BY rev_c DESC) AS cum_n,
+             SUM(cnt) OVER () AS n
+      FROM vc
+    ),
+    thr AS (
+      SELECT MIN(CASE WHEN 100 * cum_n >= n THEN rev_c END) AS t,
+             MAX(n) AS n
+      FROM cum
+    )
+    SELECT CAST(thr.n AS BIGINT) AS n_customers,
+           CAST(thr.t AS BIGINT) AS threshold_cents,
+           CAST(SUM(CASE WHEN cr.rev_c >= thr.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_whales,
+           CAST((1000000 * SUM(CASE WHEN cr.rev_c >= thr.t
+                                    THEN cr.rev_c ELSE 0 END))
+                // SUM(cr.rev_c) AS BIGINT) AS whale_share_fp
+    FROM cr CROSS JOIN thr
+    GROUP BY thr.n, thr.t
+    """,
+)
+def whale_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration audit: what share of total order revenue
+    the top ~1% of customers carry (the "whale" dashboard; pairs with
+    order_value_gini_by_nation — Gini says HOW unequal, this says WHO
+    holds it). The 1% threshold is the largest revenue t such that at
+    least 1% of customers sit at or above it (``100·cum_n >= n`` over
+    the DESCENDING cumulative — the distributed-quantile ceiling), and
+    ties at t are all included — a rule both engines state identically,
+    so no ambiguity at the boundary.
+
+    Scale shape: one custkey rollup of the fact (map-side partials),
+    collapse to (revenue, count); the descending cumulative window runs
+    on that second-stage frame — |distinct revenues| ≤ |customers|,
+    already 1000× below the fact (at 100 TB, pre-bucket revenues with
+    a DIV 10^4 histogram pass and refine inside the boundary bucket —
+    same formula, two bounded windows); the 1-row threshold broadcasts
+    back onto the customer rollup for the final 1-row summary."""
+    cr = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    vc = cr.groupBy("rev_c").agg(F.count("*").alias("cnt"))
+    cum = vc.select(
+        "rev_c",
+        F.sum("cnt").over(W.orderBy(F.col("rev_c").desc())).alias("cum_n"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    thr = cum.agg(
+        F.min(
+            F.when(100 * F.col("cum_n") >= F.col("n"), F.col("rev_c"))
+        ).alias("t"),
+        F.max("n").alias("n"),
+    )
+    return (
+        cr.crossJoin(F.broadcast(thr))
+        .groupBy(F.col("n").alias("n_customers"), F.col("t").alias("threshold_cents"))
+        .agg(
+            F.sum(F.when(F.col("rev_c") >= F.col("t"), 1).otherwise(0)).alias(
+                "n_whales"
+            ),
+            F.sum(
+                F.when(F.col("rev_c") >= F.col("t"), F.col("rev_c")).otherwise(0)
+            ).alias("whale_cents"),
+            F.sum("rev_c").alias("total_cents"),
+        )
+        .select(
+            "n_customers",
+            "threshold_cents",
+            "n_whales",
+            F.expr("(1000000 * whale_cents) DIV total_cents").alias(
+                "whale_share_fp"
+            ),
+        )
+    )
+
+
+@query(
+    "order_fulfillment_backlog",
+    oracle="""
+    WITH placed AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n_placed
+      FROM orders GROUP BY 1
+    ),
+    done AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    completed AS (
+      SELECT CAST(EXTRACT(year FROM last_ship) * 100
+                  + EXTRACT(month FROM last_ship) AS BIGINT) AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n_completed
+      FROM done GROUP BY 1
+    )
+    SELECT p.ym,
+           p.n_placed,
+           CAST(COALESCE(c.n_completed, 0) AS BIGINT) AS n_completed,
+           CAST(SUM(p.n_placed) OVER (ORDER BY p.ym)
+                - SUM(COALESCE(c.n_completed, 0)) OVER (ORDER BY p.ym)
+                AS BIGINT) AS open_backlog
+    FROM placed p LEFT JOIN completed c ON p.ym = c.ym
+    ORDER BY p.ym
+    """,
+)
+def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series: per month, orders placed, orders
+    fully shipped (every line item out the door), and the running
+    backlog — the operations chart that shows fulfilment falling behind
+    demand. An order completes in the month of its LAST line shipment
+    (MAX, not MIN — partial shipment isn't done).
+
+    Scale shape: the per-order MAX(l_shipdate) rollup rides the
+    orderkey-bucketed lineitem projection when prepared (the groupBy
+    key IS the bucket key — exchange-free), the placed rollup collapses
+    map-side to |months| rows, and both cumulative windows run on the
+    |months|-sized join — bounded by the calendar, never the fact.
+    Months completed-only (no placements) don't occur in this corpus
+    shape (a completion month always trails a placement month within
+    the date span); the left join keeps placement months with zero
+    completions exact."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    li = (
+        lb.select("l_orderkey", "l_shipdate")
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate"
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+
+    def ym(col: str) -> Column:
+        return (F.year(col) * 100 + F.month(col)).cast("long")
+
+    placed = o.groupBy(ym("o_orderdate").alias("ym")).agg(
+        F.count("*").alias("n_placed")
+    )
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    completed = done.groupBy(ym("last_ship").alias("ym")).agg(
+        F.count("*").alias("n_completed")
+    )
+    j = (
+        placed.join(completed.withColumnRenamed("ym", "cym"),
+                    placed.ym == F.col("cym"), "left")
+        .select(
+            "ym",
+            "n_placed",
+            F.coalesce("n_completed", F.lit(0)).cast("long").alias(
+                "n_completed"
+            ),
+        )
+    )
+    wc = W.orderBy("ym")
+    return (
+        j.select(
+            "ym",
+            "n_placed",
+            "n_completed",
+            (
+                F.sum("n_placed").over(wc) - F.sum("n_completed").over(wc)
+            ).cast("long").alias("open_backlog"),
+        )
+        .orderBy("ym")
+    )
