@@ -226,6 +226,7 @@ def prepare_parity(spark: SparkSession, sf_dir: str) -> None:
         "stream_stream_join_parity",
         "upsert_sink_stream_parity",
         "topk_stream_parity",
+        "watermark_finalize_stream_parity",
     ):
         QUERIES[name](spark, sf_dir)
 
@@ -683,3 +684,108 @@ def topk_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, top, "topk", output_mode="update", cache_key=sf_dir
     )
     return t.orderBy("user_id", "rank")
+
+
+def _write_single_parquet(df: DataFrame, dest_dir: str, name: str, mtime: int) -> None:
+    """Write ``df`` as ONE bare parquet file ``dest_dir/name`` with a
+    pinned modification time — the unit of arrival for the multi-batch
+    replay below (the file streaming source admits files oldest-mtime
+    first under maxFilesPerTrigger=1, so pinned mtimes ARE the arrival
+    order)."""
+    import glob as _glob
+
+    stage = os.path.join(dest_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dst = os.path.join(dest_dir, name)
+    shutil.move(part, dst)
+    shutil.rmtree(stage)
+    os.utime(dst, (mtime, mtime))
+
+
+@query(
+    "watermark_finalize_stream_parity",
+    oracle="""
+    WITH wm AS (
+      SELECT MAX(epoch_us(ts)) - 3600000000 AS wm_us
+      FROM events WHERE event_id % 2 = 0
+    )
+    SELECT CAST(epoch_us(date_trunc('hour', e.ts)) AS BIGINT)
+             AS window_start_us,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e, wm
+    WHERE epoch_us(date_trunc('hour', e.ts)) + 3600000000 <= wm.wm_us
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def watermark_finalize_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch watermark finalization, driver-checked — the
+    semantics a single-batch replay cannot exercise. The corpus
+    replays as TWO deterministic arrivals (even event_ids, then odd,
+    pinned by file mtime under maxFilesPerTrigger=1): batch 1 seeds
+    the 1-hour-delay watermark at max(even ts) − 1h; during batch 2
+    exactly the windows ending at or before THAT watermark finalize
+    into the append-mode sink. Measured (and asserted by the oracle):
+    batch-2 rows landing in those closing windows still MERGE before
+    the end-of-batch eviction — Spark's watermark guarantee is
+    one-directional (state lives at least until the watermark; late
+    data is not guaranteed dropped when its window evicts in the same
+    batch it arrives), so the sink equals the FULL hourly rollup
+    restricted to windows ending ≤ the batch-1 watermark, which is
+    precisely what the oracle states. This pins three production
+    behaviors end-to-end through the real streaming runtime: the
+    watermark is computed from the PREVIOUS batch's data, append mode
+    emits exactly the finalized-window set, and merge-happens-before-
+    evict within a batch.
+
+    Scale shape: identical to the production hourly rollup — state is
+    one row per open (window, type), the watermark bounds it, and the
+    only exchange is the streaming aggregation's own hash
+    partitioning. The two-file replay is the harness analog of a
+    backfill racing the live feed."""
+    from trialstreamer_spark.io import load
+
+    tag = "wm_finalize"
+    hit = _replay_get(spark, tag, sf_dir)
+    if hit is None:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        src = tempfile.mkdtemp(prefix="parity_wm_finalize_src_")
+        ev = load(spark, sf_dir, "events")
+        _write_single_parquet(
+            ev.where(F.col("event_id") % 2 == 0), src, "b0.parquet", 1_000_000
+        )
+        _write_single_parquet(
+            ev.where(F.col("event_id") % 2 == 1), src, "b1.parquet", 2_000_000
+        )
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        t = _run_stream_to_table(
+            spark, agg, tag, output_mode="append", cache_key=sf_dir
+        )
+        # the sink is materialized; the staged arrival files are done
+        shutil.rmtree(src, ignore_errors=True)
+    else:
+        t = spark.table(hit["view"])
+    return (
+        t.select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
