@@ -1477,3 +1477,180 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe", "query_id")
     )
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id AS neighbor_id, e.label,
+             CAST({_DD_DOT_FP.format(a="e.embedding", b="q.qvec")} AS BIGINT)
+               / SQRT(CAST(CAST({_DD_DOT_FP.format(a="e.embedding", b="e.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_DD_DOT_FP.format(a="q.qvec", b="q.qvec")} AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0 AND e.label = q.qlabel
+    )
+    SELECT neighbor_id, label, cosine
+    FROM scored
+    ORDER BY cosine DESC, neighbor_id
+    LIMIT 10
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact cosine top-10 among vectors sharing
+    the query's label — the metadata-constrained ANN shape ("nearest
+    in-class neighbors") every production vector store has to serve and
+    most approximate indexes handle badly. This engine PRE-filters: the
+    label predicate is pushed to the scan so only qualifying vectors
+    cross the Arrow scoring boundary — exact recall by construction,
+    cost proportional to predicate selectivity. (Contrast post-filter
+    IVF: probe cells, THEN drop non-matching labels — cheaper per probe
+    but recall collapses when the filter is selective; the IVF path
+    here would intersect cell membership with a label posting list,
+    the same two-sidecar join shape as the postings engine.)
+
+    Scale shape: one filtered corpus scan (predicate + column pruning
+    reach the parquet reader), the query vector and its norm ride the
+    UDF closure (nothing is joined), TakeOrderedAndProject keeps k.
+    Identical fixed-point kernel as ann_cosine_topk, so the cosine is
+    bit-identical across engines."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+    qrow = e.filter(F.col("vec_id") == 0).select("label").head()
+    qlabel = qrow[0]
+    qnsq = fp_dot_vec(qv, qv)
+    s = scores_vs_query_udf(qv)
+    return (
+        e.filter((F.col("vec_id") != 0) & (F.col("label") == F.lit(qlabel)))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            s(F.col("embedding")).alias("s"),
+        )
+        .select(
+            "neighbor_id",
+            "label",
+            (
+                F.col("s.dot")
+                / F.sqrt(F.col("s.nsq").cast("double") * F.lit(float(qnsq)))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        .limit(10)
+    )
+
+
+def _trunc_rank_sql(dims: int) -> str:
+    """DuckDB: vec_ids of the exact cosine top-10 of vec 0 using only the
+    first ``dims`` dimensions (the Matryoshka truncation)."""
+    dot = _DD_DOT_FP.format(
+        a=f"list_slice(e.embedding, 1, {dims})",
+        b=f"list_slice(q.qvec, 1, {dims})",
+    )
+    na = _DD_DOT_FP.format(
+        a=f"list_slice(e.embedding, 1, {dims})",
+        b=f"list_slice(e.embedding, 1, {dims})",
+    )
+    nb = _DD_DOT_FP.format(
+        a=f"list_slice(q.qvec, 1, {dims})",
+        b=f"list_slice(q.qvec, 1, {dims})",
+    )
+    return f"""
+      SELECT e.vec_id
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY CAST({dot} AS BIGINT)
+               / SQRT(CAST(CAST({na} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({nb} AS BIGINT) AS DOUBLE)) DESC,
+               e.vec_id
+      LIMIT 10
+    """
+
+
+@query(
+    "embedding_truncation_recall",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    full_k AS ({_trunc_rank_sql(64)}),
+    half_k AS ({_trunc_rank_sql(32)}),
+    quarter_k AS ({_trunc_rank_sql(16)}),
+    lv AS (
+      SELECT CAST(32 AS BIGINT) AS trunc_dims,
+             CAST((SELECT COUNT(*) FROM half_k h
+                   JOIN full_k f ON f.vec_id = h.vec_id) AS BIGINT)
+               AS n_overlap
+      UNION ALL
+      SELECT 16,
+             CAST((SELECT COUNT(*) FROM quarter_k h
+                   JOIN full_k f ON f.vec_id = h.vec_id) AS BIGINT)
+    )
+    SELECT trunc_dims, n_overlap,
+           CAST((1000000 * n_overlap) // 10 AS BIGINT) AS recall_fp
+    FROM lv
+    ORDER BY trunc_dims
+    """,
+)
+def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much of the exact full-dim (64)
+    top-10 neighborhood survives when cosine is computed on only the
+    first 32 / 16 dimensions — the measurement that decides whether an
+    index (or a cheap first-stage rerank) can run on truncated vectors
+    (Kusupati et al., MRL). recall@10 at 1e-6 fixed point per
+    truncation level.
+
+    Determinism: every rank list uses the shared fixed-point kernel on
+    SLICED arrays (floor-to-int64 per element, exact integer sums), so
+    both engines rank identical integers; ties break on vec_id. The
+    Spark side evaluates the sliced dot entirely in the expression
+    engine (aggregate ∘ zip_with ∘ slice) — fine for rank work bounded
+    by the embeddings table; the Arrow kernel remains the corpus-scan
+    path.
+
+    Scale shape: one scan computes all three truncation scores
+    column-wise (no per-level rescan); each top-10 is a
+    TakeOrderedAndProject; the overlap joins are 10-row broadcasts."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+
+    def dot_expr(dims: int, against_self: bool) -> str:
+        lits = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in qv[:dims])
+        b = f"slice(embedding, 1, {dims})" if against_self else f"array({lits})"
+        return (
+            f"aggregate(zip_with(slice(embedding, 1, {dims}), {b}, "
+            "(x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+            " * 10000000) AS BIGINT)), 0L, (a, b) -> a + b)"
+        )
+
+    def topk(dims: int) -> DataFrame:
+        qn = float(fp_dot_vec(qv[:dims], qv[:dims]))
+        cos = (
+            F.expr(dot_expr(dims, False))
+            / F.sqrt(F.expr(dot_expr(dims, True)).cast("double") * F.lit(qn))
+        )
+        return (
+            e.filter(F.col("vec_id") != 0)
+            .select("vec_id", cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full_k = topk(64)
+    rows = []
+    for dims in (16, 32):
+        n = topk(dims).join(full_k, "vec_id").count()
+        rows.append((dims, n))
+    return (
+        e.sparkSession.createDataFrame(rows, "trunc_dims long, n_overlap long")
+        .select(
+            "trunc_dims",
+            "n_overlap",
+            F.expr("(1000000 * n_overlap) DIV 10").alias("recall_fp"),
+        )
+        .orderBy("trunc_dims")
+    )
