@@ -106,6 +106,18 @@ class TestShipLatencyLayout:
         assert "ts_bkt_" in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
 
+    def test_order_lines_histogram_aggregates_without_exchange(
+        self, spark, bucketed_sf
+    ):
+        """groupBy on the bucket key: the corpus-sized per-order count
+        inherits HashPartitioning(l_orderkey, 16) from the layout, so
+        the only hash exchange is the ≤7-row histogram rollup."""
+        df = QUERIES["order_lines_histogram"](spark, bucketed_sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ts_bkt_" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
 
 def test_version_bump_evicts_bucket_and_pair_caches(spark, monkeypatch, tmp_path):
     """The two round-6c in-memory layers — the persisted bucket

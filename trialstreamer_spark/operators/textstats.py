@@ -1841,3 +1841,76 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(1000000 * n) DIV SUM(n) OVER ()").alias("share_fp"),
     ).orderBy("len_bucket")
+
+
+@query(
+    "hapax_mass_by_source",
+    oracle="""
+    WITH st AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_st
+      FROM (SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, CAST(SUM(n_st) AS BIGINT) AS c FROM st GROUP BY 1)
+    SELECT st.source,
+           CAST(SUM(st.n_st) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.c <= 2 THEN st.n_st ELSE 0 END) AS BIGINT)
+             AS hapax_mass,
+           CAST(COUNT(DISTINCT CASE WHEN v.c <= 2 THEN st.tok END) AS BIGINT)
+             AS n_hapax_types,
+           CAST((1000000 * SUM(CASE WHEN v.c <= 2 THEN st.n_st ELSE 0 END))
+                // SUM(st.n_st) AS BIGINT) AS hapax_mass_fp
+    FROM st JOIN vocab v ON st.tok = v.tok
+    GROUP BY st.source ORDER BY st.source
+    """,
+)
+def hapax_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token mass per source: the share of a source's token stream
+    spent on corpus-wide hapax/dis legomena (global frequency ≤ 2) —
+    the noise/OCR-junk/contamination proxy (a clean prose source runs a
+    few percent; a source full of serial numbers, mangled encodings, or
+    unique boilerplate IDs spikes) that, with oov_rate_stats (fixed
+    external vocab) and token-TV distance, completes the source-quality
+    triangle.
+
+    Scale shape: ONE explode feeds the (source, token) rollup; the
+    global vocabulary is a second rollup OF that (vocab-sized, not
+    corpus-sized); the join back is token-keyed between two vocab-scale
+    frames and the final rollup is |sources| rows. Nothing after the
+    first aggregation touches corpus-sized data."""
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n_st"))
+    )
+    vocab = st.groupBy("tok").agg(F.sum("n_st").alias("c"))
+    rare = F.col("c") <= 2
+    return (
+        st.join(vocab, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("n_st").alias("n_tokens"),
+            F.sum(F.when(rare, F.col("n_st")).otherwise(0)).alias(
+                "hapax_mass"
+            ),
+            F.countDistinct(F.when(rare, F.col("tok"))).alias(
+                "n_hapax_types"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "hapax_mass",
+            "n_hapax_types",
+            F.expr("(1000000 * hapax_mass) DIV n_tokens").alias(
+                "hapax_mass_fp"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -3778,3 +3778,142 @@ def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+@query(
+    "order_lines_histogram",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST((1000000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS BIGINT)
+             AS share_fp
+    FROM per GROUP BY n_lines ORDER BY n_lines
+    """,
+)
+def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution with shares — the fact-table shape
+    audit (fan-out of the orderkey join, MERGE batch sizing, and the
+    denominator behind every per-order average). Trivial statistic,
+    non-trivial plan point: the per-order count is a groupBy ON THE
+    BUCKET KEY, so over the prepared orderkey layout the corpus-sized
+    aggregation runs with NO exchange at all — the same
+    HashPartitioning(l_orderkey, 16) that co-locates the fact joins
+    satisfies the aggregation's distribution; only the ≤7-row histogram
+    shuffles."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    li = (
+        lb.select("l_orderkey")
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select("l_orderkey")
+    )
+    per = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return (
+        per.groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.expr("(1000000 * n_orders) DIV SUM(n_orders) OVER ()").alias(
+                "share_fp"
+            ),
+        )
+        .orderBy("n_lines")
+    )
+
+
+@query(
+    "customer_repeat_rate_yoy",
+    oracle="""
+    WITH cy AS (
+      SELECT DISTINCT c.c_nationkey,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             o.o_custkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    j AS (
+      SELECT a.c_nationkey, a.yr,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained
+      FROM cy a
+      LEFT JOIN cy b ON b.c_nationkey = a.c_nationkey
+                    AND b.o_custkey = a.o_custkey
+                    AND b.yr = a.yr + 1
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation, j.yr, j.n_active, j.n_retained,
+           CAST((1000000 * j.n_retained) // j.n_active AS BIGINT)
+             AS retained_fp
+    FROM j JOIN nation n ON j.c_nationkey = n.n_nationkey
+    WHERE j.yr < (SELECT MAX(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))
+                  FROM orders)
+    ORDER BY nation, yr
+    """,
+)
+def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year repeat-customer rate per nation: of the customers
+    active in year Y, what share ordered again in Y+1 — the commerce
+    retention KPI (the order-side sibling of the event-side
+    retention_cohorts). The trailing year is excluded (no Y+1 to retain
+    into); 1e-6 fixed-point shares of exact distinct-customer counts.
+
+    Scale shape: dedupe to (nation, year, customer) FIRST (the same
+    collapse-before-expensive-work discipline as rolling_active_users),
+    then ONE custkey-keyed self equi-join on (customer, year+1) — both
+    sides shuffle on the same key; no range join, no per-year rescan —
+    and a |nations × years| rollup; nation names broadcast."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cy = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_nationkey", "yr", "o_custkey")
+        .distinct()
+    )
+    nxt = cy.select(
+        F.col("c_nationkey").alias("nk"),
+        (F.col("yr") - 1).alias("prev_yr"),
+        F.col("o_custkey").alias("ck"),
+    )
+    j = (
+        cy.join(
+            nxt,
+            (cy.c_nationkey == nxt.nk)
+            & (cy.o_custkey == nxt.ck)
+            & (cy.yr == nxt.prev_yr),
+            "left",
+        )
+        .groupBy("c_nationkey", "yr")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.when(F.col("ck").isNotNull(), 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+        )
+    )
+    maxyr = load(spark, sf_dir, "orders").agg(
+        F.max(F.year("o_orderdate").cast("long")).alias("maxyr")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        j.join(F.broadcast(n), j.c_nationkey == n.n_nationkey)
+        .crossJoin(F.broadcast(maxyr))
+        .where(F.col("yr") < F.col("maxyr"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "yr",
+            "n_active",
+            "n_retained",
+            F.expr("(1000000 * n_retained) DIV n_active").alias(
+                "retained_fp"
+            ),
+        )
+        .orderBy("nation", "yr")
+    )
