@@ -3917,3 +3917,139 @@ def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "yr")
     )
+
+
+@query(
+    "trade_flow_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                 * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS volume_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT supp_nation, cust_nation, n_items, volume_cents,
+           CAST((1000000 * volume_cents)
+                // SUM(volume_cents) OVER (PARTITION BY supp_nation)
+                AS BIGINT) AS export_share_fp
+    FROM f
+    ORDER BY supp_nation, cust_nation
+    """,
+)
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bilateral trade-flow matrix (TPC-H Q7 generalized from one
+    nation pair to all |nations|²): discounted volume shipped from
+    every supplier nation to every customer nation, plus each lane's
+    share of its exporter's total — the trade-concentration dashboard
+    (an exporter with one dominant lane is a supply-chain risk the
+    Q7-style two-nation query never surfaces).
+
+    Scale shape: ONE fact-fact join (lineitem ⋈ orders rides the
+    orderkey buckets exchange-free when prepared); customer, supplier,
+    and both nation legs broadcast; the rollup collapses map-side to
+    ≤|nations|² rows and the exporter-share window runs on that matrix.
+    Exact integer cents; shares at 1e-6 fixed point."""
+    from trialstreamer_spark.io import bucketed_table
+
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    li = (
+        lb
+        if lb is not None
+        else load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+    )
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(rev).alias("volume_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return f.select(
+        "supp_nation",
+        "cust_nation",
+        "n_items",
+        "volume_cents",
+        F.expr(
+            "(1000000 * volume_cents)"
+            " DIV SUM(volume_cents) OVER (PARTITION BY supp_nation)"
+        ).alias("export_share_fp"),
+    ).orderBy("supp_nation", "cust_nation")
+
+
+@query(
+    "revenue_cube_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+             AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY grouping_id, returnflag, linestatus
+    """,
+)
+def revenue_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every combination PLUS both
+    one-dimension margins PLUS the grand total in ONE aggregation pass
+    — the grouping-sets surface (the sibling of rollup_priority_status'
+    hierarchical ROLLUP; the reference's matview refresh recomputes its
+    margins as separate queries, crud.py). grouping_id disambiguates a
+    real 'N/A' value from a margin row; margin dimension values print
+    as '(all)' identically in both engines.
+
+    Scale shape: Catalyst lowers CUBE to one Expand (4 grouping sets →
+    4× rows pre-aggregation) feeding a single hash aggregate — map-side
+    partials collapse each set to its ≤|flags × statuses| cells, so the
+    one exchange carries ~4× a dimension-sized frame, never the fact.
+    At 100 TB this beats four separate rollups by three corpus scans."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
+            F.count("*").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "grouping_id",
+            "n_items",
+            "revenue_cents",
+        )
+        .orderBy("grouping_id", "returnflag", "linestatus")
+    )
