@@ -930,3 +930,70 @@ def session_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_fp"
         ),
     ).orderBy("sessions_bucket")
+
+
+@query(
+    "trailing_hour_user_value",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    framed AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             CAST(SUM(v_c) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS trailing_hour_cents
+      FROM v
+    )
+    SELECT event_id, user_id, ts_us, trailing_hour_cents
+    FROM framed
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def trailing_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame running aggregate: at every purchase, the
+    user's total value over the trailing hour INCLUDING simultaneous
+    events — the velocity feature fraud/rate-limit rules key on. The
+    RANGE frame is the point: a ROWS frame counts a fixed number of
+    events regardless of their spacing, and the bounded-explode
+    approach (rolling_active_users) only lands on fixed window ENDS —
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW evaluates the
+    true per-event sliding sum in one pass. Ties (equal ts) are framed
+    by VALUE, not row position, so simultaneous events all see each
+    other — deterministic without an event_id tiebreak, which RANGE
+    would reject anyway (single ordering expression).
+
+    Scale shape: ONE user-keyed sort exchange (the same single window
+    shuffle as the as-of join); the frame is evaluated with a sliding
+    two-pointer over each user's sorted run — no self-join, no explode,
+    state bounded by the widest hour of one user. Integer cents and
+    epoch micros end-to-end."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        v.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_us",
+            F.sum("v_c").over(w).alias("trailing_hour_cents"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_us", "trailing_hour_cents")
+        .orderBy("event_id")
+    )

@@ -1914,3 +1914,95 @@ def hapax_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "source_scorecard",
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id, text,
+             md5(text) AS fp,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+                  AS BIGINT) AS n_nonascii
+      FROM documents
+    ),
+    dup AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM base GROUP BY fp
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_words) // COUNT(*) AS BIGINT) AS mean_words,
+           CAST((1000000 * SUM(CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_doc_share_fp,
+           CAST(CASE WHEN SUM(b.n_chars) > 0
+                     THEN (1000000 * SUM(b.n_nonascii)) // SUM(b.n_chars)
+                     ELSE -1 END AS BIGINT) AS nonascii_fp
+    FROM base b JOIN dup d ON b.fp = d.fp
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row-per-source reliability scorecard a curation run
+    reads FIRST: volume, mean document length, exact-duplicate document
+    share, and non-ASCII character share — the triage view that decides
+    which source gets the expensive treatments (fuzzy dedup, manual
+    review, per-language branching) before any of them run. Composes
+    the signals the specialist audits (dedup_exact,
+    nonascii_ratio_by_lang, text_quality_stats) measure individually,
+    keyed by source in ONE pass.
+
+    Scale shape: every per-doc signal (md5, token count, char counts)
+    is computed scan-side in the same projection; the dup census is a
+    16-byte-key rollup joined back doc-keyed; the final rollup is
+    |sources| rows. One corpus scan, two dimension-bounded exchanges."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.md5(F.col("text")).alias("fp"),
+        F.size(tokens_col(F.lower(F.col("text")))).cast("long").alias(
+            "n_words"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^\\x00-\\x7f]", ""))
+        )
+        .cast("long")
+        .alias("n_nonascii"),
+    )
+    dup = base.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    return (
+        base.join(dup, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_nonascii").alias("sum_nonascii"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("sum_words DIV n_docs").alias("mean_words"),
+            F.expr("(1000000 * n_dup_docs) DIV n_docs").alias(
+                "dup_doc_share_fp"
+            ),
+            F.when(
+                F.col("sum_chars") > 0,
+                F.expr("(1000000 * sum_nonascii) DIV sum_chars"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("nonascii_fp"),
+        )
+        .orderBy("source")
+    )
