@@ -1654,3 +1654,56 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trunc_dims")
     )
+
+
+@query(
+    "embedding_coverage_audit",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id FROM embeddings)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM d JOIN e ON e.vec_id = d.doc_id)
+                AS BIGINT) AS n_embedded,
+           CAST((SELECT COUNT(*) FROM e
+                 WHERE vec_id NOT IN (SELECT doc_id FROM d))
+                AS BIGINT) AS n_orphan_vectors,
+           CAST((1000000 * (SELECT COUNT(*) FROM d JOIN e
+                            ON e.vec_id = d.doc_id))
+                // (SELECT COUNT(*) FROM d) AS BIGINT) AS coverage_fp
+    """,
+)
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the document corpus and its
+    embedding table: how many documents HAVE a vector (semi-join), how
+    many vectors point at no document (anti-join — stale rows from a
+    corpus version the erasure/dedup pass already removed), and the
+    coverage share. This is the gate a retrieval or semantic-dedup
+    stage checks before trusting the embedding sidecar: ANN recall
+    numbers are meaningless if a third of the corpus was never
+    embedded, and orphan vectors are the PII-erasure leak path
+    (erasure_manifest's vector-side complement).
+
+    Scale shape: two doc_id-keyed joins (semi + anti) between two
+    one-column projections — at 100 TB both tables bucket by doc_id so
+    the joins are co-located; the outputs are 1-row counts that
+    broadcast into the final single-row summary."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    n_docs = d.count()
+    n_vectors = e.count()
+    n_embedded = d.join(e, d.doc_id == e.vec_id, "left_semi").count()
+    n_orphan = e.join(d, e.vec_id == d.doc_id, "left_anti").count()
+    rows = [(n_docs, n_vectors, n_embedded, n_orphan)]
+    return (
+        d.sparkSession.createDataFrame(
+            rows, "n_docs long, n_vectors long, n_embedded long, n_orphan_vectors long"
+        )
+        .select(
+            "n_docs",
+            "n_vectors",
+            "n_embedded",
+            "n_orphan_vectors",
+            F.expr("(1000000 * n_embedded) DIV n_docs").alias("coverage_fp"),
+        )
+    )

@@ -4053,3 +4053,97 @@ def revenue_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_id", "returnflag", "linestatus")
     )
+
+
+@query(
+    "session_duration_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             ts_us
+      FROM g
+    ),
+    dur AS (
+      SELECT (MAX(ts_us) - MIN(ts_us)) // 1000000 AS dur_s
+      FROM sess GROUP BY user_id, sid
+    ),
+    vc AS (
+      SELECT dur_s, CAST(COUNT(*) AS BIGINT) AS cnt FROM dur GROUP BY 1
+    ),
+    cum AS (
+      SELECT dur_s, cnt,
+             SUM(cnt) OVER (ORDER BY dur_s) AS cum_n,
+             SUM(cnt) OVER () AS n
+      FROM vc
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 50 * n THEN dur_s END)
+                AS BIGINT) AS p50_s,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 90 * n THEN dur_s END)
+                AS BIGINT) AS p90_s,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 99 * n THEN dur_s END)
+                AS BIGINT) AS p99_s
+    FROM cum
+    """,
+)
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 session duration (first-to-last event of each
+    30-min-gap session, whole seconds) — the session-length SLO behind
+    state-store TTLs and the session_window gap choice itself
+    (a p99 near the 30-min gap means the threshold is splitting real
+    sessions). Completes the sessionization family: sessionize counts,
+    session_count_histogram distributes, this one sizes.
+
+    Scale shape: the boundary flag, the running session-id, and the
+    per-session rollup all ride ONE user_id exchange (same-key window →
+    window → groupBy chain, Catalyst reuses the partitioning); then the
+    value-count collapse + cumulative window of the exact-quantile
+    discipline — the global window runs over |distinct durations|
+    (bounded by the corpus time span in seconds), and ties on equal
+    timestamps pin via event_id in the boundary ordering."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    g = e.select(
+        "user_id", ts_us.alias("ts_us"), "event_id", new_s.alias("new_s")
+    )
+    wses = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = g.select(
+        "user_id", "ts_us", F.sum("new_s").over(wses).alias("sid")
+    )
+    dur = (
+        sess.groupBy("user_id", "sid")
+        .agg(((F.max("ts_us") - F.min("ts_us"))).alias("dur_us"))
+        .select(F.expr("dur_us DIV 1000000").alias("dur_s"))
+    )
+    vc = dur.groupBy("dur_s").agg(F.count("*").alias("cnt"))
+    cum = vc.select(
+        "dur_s",
+        F.sum("cnt").over(W.orderBy("dur_s")).alias("cum_n"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+
+    def pctl(p: int) -> Column:
+        return F.min(
+            F.when(100 * F.col("cum_n") >= p * F.col("n"), F.col("dur_s"))
+        ).cast("long").alias(f"p{p}_s")
+
+    return cum.agg(
+        F.max("n").alias("n_sessions"), pctl(50), pctl(90), pctl(99)
+    )
