@@ -227,6 +227,7 @@ def prepare_parity(spark: SparkSession, sf_dir: str) -> None:
         "upsert_sink_stream_parity",
         "topk_stream_parity",
         "watermark_finalize_stream_parity",
+        "update_mode_rollup_stream_parity",
     ):
         QUERIES[name](spark, sf_dir)
 
@@ -788,4 +789,102 @@ def watermark_finalize_stream_parity(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("n").cast("long").alias("n"),
         )
         .orderBy("window_start_us", "event_type")
+    )
+
+
+@query(
+    "update_mode_rollup_stream_parity",
+    oracle="""
+    WITH er AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+               AS window_start_us,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+               AS window_start_us,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ot AS (
+      SELECT DISTINCT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+               AS window_start_us, event_type
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT * FROM (
+      SELECT * FROM er
+      UNION ALL
+      SELECT fr.window_start_us, fr.event_type, fr.n
+      FROM fr JOIN ot ON fr.window_start_us = ot.window_start_us
+                     AND fr.event_type = ot.event_type
+    )
+    ORDER BY window_start_us, event_type, n
+    """,
+)
+def update_mode_rollup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode re-emission across batches, driver-checked — the
+    third leg of the output-mode triangle (complete:
+    windowed_rollup_stream_parity; append finalization:
+    watermark_finalize_stream_parity). Same two-batch even/odd replay;
+    in update mode the sink receives each (window, type) key's CURRENT
+    count whenever a batch changes it, so the accumulated sink is a
+    deterministic MULTISET: every even-only count from batch 1, plus —
+    for exactly the keys an odd event touched — the final full count
+    re-emitted by batch 2 (measured: batch-2 rows merge into
+    watermark-closed windows too; no late drop — consistent with the
+    append-mode finding). The oracle states that multiset as
+    even-rollup UNION ALL (full rollup semi-joined to odd-touched
+    keys); the value-hash compare is order-insensitive, so duplicate
+    keys with different counts are exactly what's being asserted.
+
+    This is the contract a downstream keyed-upsert sink relies on:
+    update mode re-delivers a key's latest value after every change,
+    and MERGE idempotency (upsert_sink_stream_parity) absorbs the
+    re-delivery.
+
+    Scale shape: identical to the production rollup — per-key state,
+    watermark-bounded, one streaming-aggregation exchange."""
+    from trialstreamer_spark.io import load
+
+    tag = "upd_rollup"
+    hit = _replay_get(spark, tag, sf_dir)
+    if hit is None:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        src = tempfile.mkdtemp(prefix="parity_upd_rollup_src_")
+        ev = load(spark, sf_dir, "events")
+        _write_single_parquet(
+            ev.where(F.col("event_id") % 2 == 0), src, "b0.parquet", 1_000_000
+        )
+        _write_single_parquet(
+            ev.where(F.col("event_id") % 2 == 1), src, "b1.parquet", 2_000_000
+        )
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        t = _run_stream_to_table(
+            spark, agg, tag, output_mode="update", cache_key=sf_dir
+        )
+        shutil.rmtree(src, ignore_errors=True)
+    else:
+        t = spark.table(hit["view"])
+    return (
+        t.select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("window_start_us", "event_type", "n")
     )
