@@ -228,6 +228,7 @@ def prepare_parity(spark: SparkSession, sf_dir: str) -> None:
         "topk_stream_parity",
         "watermark_finalize_stream_parity",
         "update_mode_rollup_stream_parity",
+        "dedup_expiry_stream_parity",
     ):
         QUERIES[name](spark, sf_dir)
 
@@ -888,3 +889,98 @@ def update_mode_rollup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("window_start_us", "event_type", "n")
     )
+
+
+@query(
+    "dedup_expiry_stream_parity",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    tm AS (SELECT MAX(ts_us) AS tmax FROM ev),
+    ok AS (SELECT DISTINCT user_id, event_type FROM ev, tm
+           WHERE ts_us <= tm.tmax - 14400000000),
+    rk AS (SELECT DISTINCT user_id, event_type FROM ev, tm
+           WHERE ts_us > tm.tmax - 7200000000),
+    mk AS (SELECT DISTINCT user_id, event_type FROM ev, tm
+           WHERE ts_us > tm.tmax - 14400000000
+             AND ts_us <= tm.tmax - 7200000000),
+    b2 AS (SELECT user_id, event_type FROM rk
+           EXCEPT SELECT user_id, event_type FROM ok),
+    b3 AS (SELECT user_id, event_type FROM mk
+           EXCEPT SELECT user_id, event_type FROM b2)
+    SELECT user_id, event_type FROM ok
+    UNION ALL SELECT user_id, event_type FROM b2
+    UNION ALL SELECT user_id, event_type FROM b3
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_expiry_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state dedup EXPIRY, driver-checked — the property that
+    makes dropDuplicatesWithinWatermark deployable (state is freed once
+    the watermark passes a key's horizon, so a re-delivery after it
+    legitimately re-emits). A two-batch replay can never show this, so
+    the corpus replays as THREE time-sliced arrivals: old traffic
+    (≤ tmax−4h), recent traffic (> tmax−2h) that drags the watermark to
+    tmax−1h, then the middle slice, whose keys' state is expired by
+    construction.
+
+    The emitted multiset encodes three MEASURED semantics (each pinned
+    by discriminating experiments at three scale factors; the wrong
+    variants differ by up to 23 rows at sf0.1):
+    - within the batch that receives a duplicate, existing state is
+      intact — batch 2 emits exactly the recent keys unseen in old;
+    - state eviction observed by batch N uses the watermark advanced
+      by batch N−1's own data (tmax−1h before batch 3), so EVERY
+      old-slice key (last sighting ≤ tmax−4h, TTL +1h) is expired by
+      then — including keys a batch-2 duplicate touched, because
+    - dropped duplicates do NOT extend a key's TTL (expiration is set
+      by the emitted row alone).
+    Hence batch 3 re-emits every middle key except those batch 2
+    freshly emitted: oracle = old-keys ∪ (recent∖old) ∪
+    (mid ∖ (recent∖old)), a pure set statement. Keys-only projection
+    keeps which-row-won out of the compare.
+
+    Scale shape: per-key (expiresAt) state riding the dedup shuffle's
+    hash partitioning; eviction is the watermark predicate — state is
+    bounded by arrival-rate × delay, the contract this parity pins."""
+    from trialstreamer_spark.io import load
+
+    tag = "dedup_expiry"
+    hit = _replay_get(spark, tag, sf_dir)
+    if hit is None:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        src = tempfile.mkdtemp(prefix="parity_dedup_expiry_src_")
+        ev = load(spark, sf_dir, "events")
+        tmax = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+        h = 3_600_000_000
+        tsu = F.unix_micros("ts")
+        _write_single_parquet(
+            ev.where(tsu <= tmax - 4 * h), src, "b0.parquet", 1_000_000
+        )
+        _write_single_parquet(
+            ev.where(tsu > tmax - 2 * h), src, "b1.parquet", 2_000_000
+        )
+        _write_single_parquet(
+            ev.where((tsu > tmax - 4 * h) & (tsu <= tmax - 2 * h)),
+            src,
+            "b2.parquet",
+            3_000_000,
+        )
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        t = _run_stream_to_table(
+            spark, out, tag, output_mode="append", cache_key=sf_dir
+        )
+        shutil.rmtree(src, ignore_errors=True)
+    else:
+        t = spark.table(hit["view"])
+    return t.orderBy("user_id", "event_type")
