@@ -51,13 +51,60 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 def test_core_join_broadcasts_small_side(spark, sf_dir):
     p = plan_of(QUERIES["core_join_topk"](spark, sf_dir))
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    # two independent assertions (the old OR passed vacuously whenever
+    # there was simply no BNLJ): the dim leg must actually broadcast,
+    # AND no nested-loop fallback may appear anywhere in the plan.
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def _tree_marker_col(line: str) -> int:
+    """Column of the plan-tree branch marker ('+- ' / ':- '), or -1 for
+    root lines — deeper subtree lines have strictly larger columns."""
+    cols = [i for i in (line.find("+- "), line.find(":- ")) if i >= 0]
+    return min(cols) if cols else -1
+
+
+def _unbounded_bnlj_builds(p: str) -> list[str]:
+    """BroadcastNestedLoopJoin build sides whose subtree has no bounded-
+    cardinality source. An IdentityBroadcastMode exchange is the BNLJ
+    build; legitimate ones carry a one-row/tiny frame (an aggregate, a
+    literal LocalTableScan, a limit). A raw table scan there is the
+    silent fallback Catalyst picks when an equi-key is lost — at 100 TB
+    that is an O(n*m) loop join, so it must fail CI."""
+    BOUNDED = (
+        "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+        "LocalTableScan", "GlobalLimit", "CollectLimit",
+        "TakeOrderedAndProject", "ReusedExchange", "OneRowRelation",
+        "Range (0, 1,",  # inline_rows: literal rows exploded over a 1-row Range
+    )
+    bad: list[str] = []
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in line:
+            continue
+        if "ReusedExchange" in line:
+            continue
+        col = _tree_marker_col(line)
+        subtree: list[str] = []
+        for nxt in lines[i + 1:]:
+            c = _tree_marker_col(nxt)
+            if 0 <= c <= col:
+                break
+            subtree.append(nxt)
+        body = "\n".join(subtree)
+        if not any(tok in body for tok in BOUNDED):
+            bad.append(line.strip())
+    return bad
 
 
 def test_no_cartesian_anywhere():
     """Candidate generation across the dedup/similarity family must be
-    key-equi-joins; a cartesian in any registered plan is a scale bug."""
+    key-equi-joins; a cartesian in any registered plan is a scale bug.
+    Likewise any BroadcastNestedLoopJoin must build from a bounded
+    (aggregate/literal/limit) frame — a BNLJ over a real table is the
+    silent plan Catalyst falls back to when an equi-key is lost."""
     from trialstreamer_spark.session import get_spark
 
     spark = get_spark("plan-hygiene")
@@ -70,6 +117,35 @@ def test_no_cartesian_anywhere():
         # broadcast of a literal single-row query vector is fine; an
         # unkeyed join of two full tables is not
         assert "CartesianProduct" not in p, name
+        unbounded = _unbounded_bnlj_builds(p)
+        assert not unbounded, (name, unbounded)
+
+
+def test_sf_dim_join_strategy_is_size_dependent(spark, sf_dir):
+    """VERDICT r6 #2: SF-scaled dims (customer/supplier/part) must not
+    be hint-forced into a broadcast. Under the session threshold the
+    customer leg of returned_item_topk broadcasts (tiny at test SF);
+    with the threshold disabled — simulating a dim whose stats exceed
+    it on a 100 TB corpus — the very same plan must fall back to a
+    shuffle join, while the hinted fixed-size nation dim keeps its
+    broadcast. A forced F.broadcast(customer) would keep BHJ in both
+    runs and fail the second assertion."""
+    q = QUERIES["returned_item_topk"]
+    p_default = plan_of(q(spark, sf_dir))
+    assert "BroadcastHashJoin" in p_default
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        p = plan_of(q(spark, sf_dir))
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+        # the explicit hint on the fixed-size nation dim still wins
+        assert "BroadcastHashJoin" in p
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
 
 
 def test_shingle_projection_above_exchange(spark, sf_dir):

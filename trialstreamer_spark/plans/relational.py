@@ -24,7 +24,10 @@ HALF_UP, DuckDB via libm — they disagree on .xx5 boundaries), so instead:
 Scale notes (100 TB):
 - filters/projections are expressed directly on the scan → parquet
   pushdown (check PushedFilters in .explain).
-- dimension joins broadcast explicitly (customer ≈ 1.5% of orders).
+- fixed-cardinality dims (nation/region) and one-row aggregates broadcast
+  explicitly; SF-scaled dims (customer/supplier/part) go through
+  ``_sf_dim`` with NO hint so the join strategy stays size-dependent
+  (broadcast under the threshold, shuffle/sort-merge at 100 TB).
 - aggregations partial-aggregate map-side; groupBy keys are
   low-cardinality so shuffles stay tiny regardless of input size.
 - top-k uses orderBy+limit → TakeOrderedAndProject (no global sort).
@@ -42,6 +45,21 @@ from trialstreamer_spark.plans.registry import query
 def _cents(c: Column) -> Column:
     """Exact integer cents from a 2-decimal double (see module docstring)."""
     return F.round(c * 100, 0).cast("long")
+
+
+def _sf_dim(df: DataFrame) -> DataFrame:
+    """An SF-scaled dimension leg (customer / supplier / part / partsupp).
+
+    No forced broadcast hint: these tables grow linearly with the scale
+    factor, so a hard ``F.broadcast()`` would force an OOM-sized build side
+    at 100 TB and bypass AQE's size check. With no hint, Catalyst picks a
+    broadcast join from file-size stats while the table is under
+    ``spark.sql.autoBroadcastJoinThreshold`` (all test SFs) and falls back
+    to shuffle/sort-merge beyond it — the size-dependent strategy a large
+    cluster needs. Fixed-cardinality dims (nation/region) and one-row
+    aggregate frames keep their explicit hints.
+    """
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +228,7 @@ def core_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     score = F.col("o_totalprice") * F.col("c_acctbal")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_sf_dim(c), o.o_custkey == c.c_custkey)
         .select(
             "o_orderkey",
             "c_name",
@@ -426,7 +444,7 @@ def anti_join_skiplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     c = load(spark, sf_dir, "customer").select("c_custkey")
     return (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey, "left_anti")
+        e.join(_sf_dim(c), e.user_id == c.c_custkey, "left_anti")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
@@ -1168,7 +1186,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_sf_dim(c), o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.unix_micros("o_orderdate").alias("orderdate_us"),
@@ -1436,7 +1454,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(stats, "l_partkey")
         .where(5 * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.sum("price_c").alias("revenue_cents"),
@@ -1767,7 +1785,7 @@ def returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_sf_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -1831,7 +1849,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.select("l_partkey", rc.alias("rc"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(promo).alias("promo_cents"),
             F.sum("rc").alias("total_cents"),
@@ -1894,7 +1912,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(best))
         .where(F.col("total_rev_c") == F.col("max_rev_c"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sf_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),
@@ -1971,7 +1989,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_sf_dim(c), o.o_custkey == c.c_custkey)
         .select(
             F.col("c_name").alias("cust_name"),
             F.col("c_custkey").alias("custkey"),
@@ -2072,7 +2090,7 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flagged.groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sf_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_name").alias("supp_name"),
             F.col("s_suppkey").alias("suppkey"),
@@ -2308,8 +2326,8 @@ def cross_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l = l.hint("merge")
     joined = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_sf_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sf_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("supp_region") != F.col("cust_region"))
     )
     return (
@@ -2424,10 +2442,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     if lb is not None and ob is not None:
         l = l.hint("merge")
     joined = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sf_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_sf_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (
         joined.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
@@ -2531,8 +2549,8 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     if lb is not None and ob is not None:
         l = l.hint("merge")
     joined = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_sf_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
@@ -2621,8 +2639,8 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unit.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_sf_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("p_partkey").alias("partkey"),
             F.col("p_name").alias("part_name"),
@@ -2745,7 +2763,7 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_type")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("ptype"))
         .agg(
             F.countDistinct("l_suppkey").alias("supplier_cnt"),
@@ -2817,7 +2835,7 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .where(bracket)
         .agg(
             F.sum(rc).alias("revenue_cents"),
@@ -3037,7 +3055,7 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(_sf_dim(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
         .agg(F.sum("rev_u").alias("rev_u"))
@@ -3122,7 +3140,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         oc.join(ca.withColumnRenamed("o_custkey", "ck"),
                 oc.o_custkey == F.col("ck"))
         .where(2 * F.col("price_c") * F.col("cnt") > 3 * F.col("sum_c"))
-        .join(F.broadcast(c), oc.o_custkey == c.c_custkey)
+        .join(_sf_dim(c), oc.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -3166,7 +3184,7 @@ def mktsegment_yearly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     f = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_sf_dim(c), o.o_custkey == c.c_custkey)
         .groupBy(
             F.year("o_orderdate").alias("yr"),
             F.col("c_mktsegment").alias("segment"),
@@ -3235,7 +3253,7 @@ def median_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     oc = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_sf_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), "price_c")
     )
@@ -3328,13 +3346,13 @@ def excess_shipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     f = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(_sf_dim(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
         .where(F.col("qty") > 90)
     )
     return (
-        f.join(F.broadcast(s), f.l_suppkey == s.s_suppkey)
+        f.join(_sf_dim(s), f.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
         .agg(
@@ -3407,7 +3425,7 @@ def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     oc = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_sf_dim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), "price_c")
     )
@@ -3498,7 +3516,7 @@ def ship_latency_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     lat = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(_sf_dim(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -3873,7 +3891,7 @@ def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     cy = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_sf_dim(c), o.o_custkey == c.c_custkey)
         .select("c_nationkey", "yr", "o_custkey")
         .distinct()
     )
@@ -3985,8 +4003,8 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     f = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(_sf_dim(c), o.o_custkey == c.c_custkey)
+        .join(_sf_dim(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
         .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
         .groupBy("supp_nation", "cust_nation")

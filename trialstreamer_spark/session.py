@@ -35,6 +35,16 @@ def get_spark(app_name: str = "trialstreamer-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dims broadcast by SIZE, never by forced hint: SF-scaled dims
+        # (customer/supplier/part) carry no F.broadcast() hint
+        # (plans/relational._sf_dim), so this threshold is the single
+        # knob deciding broadcast vs shuffle for them. 64 MiB is
+        # comfortable for multi-GiB executors and keeps sf<=1 dims
+        # broadcast; a multi-billion-row dim at 100 TB exceeds it and
+        # falls back to sort-merge/shuffle-hash instead of a
+        # hint-forced broadcast OOM.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet timestamps in the testdata are timestamp[us] with
         # isAdjustedToUTC=false; newer Spark reads those as TIMESTAMP_NTZ,

@@ -404,17 +404,18 @@ def stream_static_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims), then rolled up per nation in complete mode so the single
     replay batch emits exactly the batch GROUP BY.
 
-    Scale notes: the static side is broadcast per micro-batch when small
-    (here), and when it is NOT broadcastable the stream side must
-    shuffle every batch on the join key — which is where the manual
-    salting of plans/relational.salted_skew_join_totals applies, since
-    AQE cannot re-plan a running stream. Money is exact integer cents
-    (round-then-sum, the engine's float discipline)."""
+    Scale notes: the static side carries NO forced broadcast hint —
+    customer is SF-scaled, so Catalyst broadcasts it per micro-batch
+    from size stats while small and falls back to shuffling the stream
+    side on the join key beyond the threshold — which is where the
+    manual salting of plans/relational.salted_skew_join_totals applies,
+    since AQE cannot re-plan a running stream. Money is exact integer
+    cents (round-then-sum, the engine's float discipline)."""
     from trialstreamer_spark.io import load
 
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    dim = F.broadcast(c.join(n, c.c_nationkey == n.n_nationkey))
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     e = _stream_events(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     joined = (
