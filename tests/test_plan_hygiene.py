@@ -298,22 +298,46 @@ def test_erasure_manifest_reads_materialized_featurizations(spark, sf_dir):
     assert p.count("InMemoryTableScan") >= 2, p
 
 
-def test_parity_second_call_reuses_completed_replay(spark, sf_dir):
+# every parity query and its _REPLAY_CACHE tag — single-batch memory
+# sinks, the production upsert sink, and the multi-batch staged replays
+# all ride the ONE shared registry, so the reuse contract is testable
+# uniformly across the full family.
+PARITY_TAGS = {
+    "sessionize_stream_parity": "sessionize",
+    "running_totals_stream_parity": "totals",
+    "windowed_rollup_stream_parity": "rollup",
+    "hopping_rollup_stream_parity": "hopping",
+    "dedup_stream_parity": "dedup",
+    "stream_static_join_parity": "stream_static",
+    "stream_stream_join_parity": "stream_stream",
+    "topk_stream_parity": "topk",
+    "upsert_sink_stream_parity": "upsert_sink",
+    "watermark_finalize_stream_parity": "wm_finalize",
+    "update_mode_rollup_stream_parity": "upd_rollup",
+    "dedup_expiry_stream_parity": "dedup_expiry",
+}
+
+
+@pytest.mark.parametrize("qname", sorted(PARITY_TAGS))
+def test_parity_second_call_reuses_completed_replay(spark, sf_dir, qname):
     """A completed parity replay is memoized per (operator, corpus):
-    the second invocation must return the SAME sink table without
-    starting a new streaming query or a new checkpoint."""
+    the second invocation must return the SAME sink/table payload
+    without starting a new streaming query or a new checkpoint —
+    asserted for EVERY parity query, so no operator can quietly grow
+    its own bespoke uncached sink path again."""
     from trialstreamer_spark.streaming import parity
 
-    first = QUERIES["dedup_stream_parity"](spark, sf_dir)
+    tag = PARITY_TAGS[qname]
+    first = QUERIES[qname](spark, sf_dir)
     keys_after_first = {
-        k for k in parity._REPLAY_CACHE if k[1] == "dedup" and k[2] == sf_dir
+        k for k in parity._REPLAY_CACHE if k[1] == tag and k[2] == sf_dir
     }
     assert len(keys_after_first) == 1
     (key,) = keys_after_first
-    name = parity._REPLAY_CACHE[key][0]["view"]
-    second = QUERIES["dedup_stream_parity"](spark, sf_dir)
+    payload = parity._REPLAY_CACHE[key][0]
+    second = QUERIES[qname](spark, sf_dir)
     assert set(parity._REPLAY_CACHE) >= keys_after_first  # entry survived
-    assert name == parity._REPLAY_CACHE[key][0]["view"]  # same sink, no re-run
+    assert payload is parity._REPLAY_CACHE[key][0]  # same payload, no re-run
     # and the two invocations agree row-for-row
     assert sorted(map(tuple, first.collect())) == sorted(
         map(tuple, second.collect())

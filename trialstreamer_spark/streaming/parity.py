@@ -706,6 +706,73 @@ def _write_single_parquet(df: DataFrame, dest_dir: str, name: str, mtime: int) -
     os.utime(dst, (mtime, mtime))
 
 
+def _staged_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    slices,
+    build,
+    output_mode: str = "append",
+) -> DataFrame:
+    """THE multi-batch replay mechanism (shared by every cross-batch
+    parity query): stage the events table as N deterministic arrival
+    files — one per slice predicate, arrival order pinned by mtime —
+    stream them back one file per trigger through ``build(stream)``,
+    and run to the memoized sink via _run_stream_to_table (so repeat
+    calls reuse the completed replay like every single-batch parity).
+
+    ``slices`` is a callable ``events_df -> [Column, ...]`` so a replay
+    can derive its cut points from the corpus (e.g. dedup_expiry's
+    max-ts time slicing); ``build`` maps the staged stream to the
+    streaming result frame. The staging dir is throwaway — the sink is
+    the materialized artifact — so it is removed even on failure."""
+    hit = _replay_get(spark, tag, sf_dir)
+    if hit is not None:
+        return spark.table(hit["view"])
+    from trialstreamer_spark.io import load
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tempfile.mkdtemp(prefix=f"parity_{tag}_src_")
+    try:
+        ev = load(spark, sf_dir, "events")
+        for i, pred in enumerate(slices(ev)):
+            _write_single_parquet(
+                ev.where(pred), src, f"b{i}.parquet", (i + 1) * 1_000_000
+            )
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return _run_stream_to_table(
+            spark, build(stream), tag, output_mode=output_mode, cache_key=sf_dir
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def _even_odd_slices(ev: DataFrame) -> list:
+    """Two-batch arrival split by event-id parity (the backfill-racing-
+    the-live-feed harness shape shared by the watermark-finalize and
+    update-mode replays)."""
+    return [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+
+
+def _hourly_window_rollup(stream: DataFrame) -> DataFrame:
+    """The production hourly rollup under a 1-hour watermark — the
+    streaming aggregate both output-mode replays drive."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 @query(
     "watermark_finalize_stream_parity",
     oracle="""
@@ -748,42 +815,10 @@ def watermark_finalize_stream_parity(spark: SparkSession, sf_dir: str) -> DataFr
     only exchange is the streaming aggregation's own hash
     partitioning. The two-file replay is the harness analog of a
     backfill racing the live feed."""
-    from trialstreamer_spark.io import load
-
-    tag = "wm_finalize"
-    hit = _replay_get(spark, tag, sf_dir)
-    if hit is None:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        src = tempfile.mkdtemp(prefix="parity_wm_finalize_src_")
-        ev = load(spark, sf_dir, "events")
-        _write_single_parquet(
-            ev.where(F.col("event_id") % 2 == 0), src, "b0.parquet", 1_000_000
-        )
-        _write_single_parquet(
-            ev.where(F.col("event_id") % 2 == 1), src, "b1.parquet", 2_000_000
-        )
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        agg = (
-            stream.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 hour"), "event_type")
-            .agg(F.count("*").alias("n"))
-            .select(
-                F.col("window.start").alias("window_start"),
-                "event_type",
-                "n",
-            )
-        )
-        t = _run_stream_to_table(
-            spark, agg, tag, output_mode="append", cache_key=sf_dir
-        )
-        # the sink is materialized; the staged arrival files are done
-        shutil.rmtree(src, ignore_errors=True)
-    else:
-        t = spark.table(hit["view"])
+    t = _staged_replay(
+        spark, sf_dir, "wm_finalize", _even_odd_slices,
+        _hourly_window_rollup, output_mode="append",
+    )
     return (
         t.select(
             F.unix_micros("window_start").alias("window_start_us"),
@@ -847,41 +882,10 @@ def update_mode_rollup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale shape: identical to the production rollup — per-key state,
     watermark-bounded, one streaming-aggregation exchange."""
-    from trialstreamer_spark.io import load
-
-    tag = "upd_rollup"
-    hit = _replay_get(spark, tag, sf_dir)
-    if hit is None:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        src = tempfile.mkdtemp(prefix="parity_upd_rollup_src_")
-        ev = load(spark, sf_dir, "events")
-        _write_single_parquet(
-            ev.where(F.col("event_id") % 2 == 0), src, "b0.parquet", 1_000_000
-        )
-        _write_single_parquet(
-            ev.where(F.col("event_id") % 2 == 1), src, "b1.parquet", 2_000_000
-        )
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        agg = (
-            stream.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 hour"), "event_type")
-            .agg(F.count("*").alias("n"))
-            .select(
-                F.col("window.start").alias("window_start"),
-                "event_type",
-                "n",
-            )
-        )
-        t = _run_stream_to_table(
-            spark, agg, tag, output_mode="update", cache_key=sf_dir
-        )
-        shutil.rmtree(src, ignore_errors=True)
-    else:
-        t = spark.table(hit["view"])
+    t = _staged_replay(
+        spark, sf_dir, "upd_rollup", _even_odd_slices,
+        _hourly_window_rollup, output_mode="update",
+    )
     return (
         t.select(
             F.unix_micros("window_start").alias("window_start_us"),
@@ -945,43 +949,26 @@ def dedup_expiry_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-key (expiresAt) state riding the dedup shuffle's
     hash partitioning; eviction is the watermark predicate — state is
     bounded by arrival-rate × delay, the contract this parity pins."""
-    from trialstreamer_spark.io import load
 
-    tag = "dedup_expiry"
-    hit = _replay_get(spark, tag, sf_dir)
-    if hit is None:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        src = tempfile.mkdtemp(prefix="parity_dedup_expiry_src_")
-        ev = load(spark, sf_dir, "events")
+    def _time_slices(ev: DataFrame) -> list:
         tmax = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
         h = 3_600_000_000
         tsu = F.unix_micros("ts")
-        _write_single_parquet(
-            ev.where(tsu <= tmax - 4 * h), src, "b0.parquet", 1_000_000
-        )
-        _write_single_parquet(
-            ev.where(tsu > tmax - 2 * h), src, "b1.parquet", 2_000_000
-        )
-        _write_single_parquet(
-            ev.where((tsu > tmax - 4 * h) & (tsu <= tmax - 2 * h)),
-            src,
-            "b2.parquet",
-            3_000_000,
-        )
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        out = (
+        return [
+            tsu <= tmax - 4 * h,
+            tsu > tmax - 2 * h,
+            (tsu > tmax - 4 * h) & (tsu <= tmax - 2 * h),
+        ]
+
+    def _bounded_dedup(stream: DataFrame) -> DataFrame:
+        return (
             stream.withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
             .select("user_id", "event_type")
         )
-        t = _run_stream_to_table(
-            spark, out, tag, output_mode="append", cache_key=sf_dir
-        )
-        shutil.rmtree(src, ignore_errors=True)
-    else:
-        t = spark.table(hit["view"])
+
+    t = _staged_replay(
+        spark, sf_dir, "dedup_expiry", _time_slices, _bounded_dedup,
+        output_mode="append",
+    )
     return t.orderBy("user_id", "event_type")
