@@ -14,7 +14,9 @@ Tests and this container (no model, no network) use
 ``DeterministicStubAnnotator`` — md5-seeded scores/spans/embeddings with
 the exact production schema, so the pipeline around the model boundary
 is fully exercised (the same trick as the reference's
-safety_test_parse dry-run mode).
+safety_test_parse dry-run mode). Deployments inject
+``functions.rest_annotator.RESTAnnotator`` — the real queue/poll/report
+client — through the same ``annotator=`` parameter.
 """
 
 from __future__ import annotations
