@@ -66,6 +66,7 @@ def main() -> None:
     from trialstreamer_spark.operators.quality import prepare_curation
     from trialstreamer_spark.operators.retrieval import prepare_stats
     from trialstreamer_spark.operators.similarity import prepare_indexes
+    from trialstreamer_spark.operators.temporal import prepare_temporal
     from trialstreamer_spark.streaming.parity import prepare_parity
 
     for prep in (
@@ -77,6 +78,7 @@ def main() -> None:
         prepare_pq,
         prepare_semdedup,
         prepare_curation,
+        prepare_temporal,
         prepare_parity,
     ):
         # Dedup stage-1 featurization (shared shingle postings) and the

@@ -1,14 +1,17 @@
-"""Scale rehearsal: run the expensive + formerly-perf-weak query set at
-sf0.1 AND sf1 (tools/gen_scale.py corpus), Spark vs DuckDB on identical
-oracle SQL, and print one JSON document per scale factor.
+"""Scale rehearsal: run EVERY registered query at sf0.1 AND sf1
+(tools/gen_scale.py corpus), Spark vs DuckDB on identical oracle SQL,
+and print one JSON document per scale factor.
 
-Purpose (round-5 directive #4): the watchlist queries' >2x ratios at
-sf0.1 were attributed to Spark's fixed multi-stage overhead at toy
-scale; this measures whether each ratio SHRINKS as data grows (overhead
-amortizes — the claim holds) or GROWS (a real plan problem). Results are
+Purpose (round-5 directive #4, extended to the full registry by the
+round-6 directive #1): a >2x ratio at sf0.1 attributed to Spark's fixed
+multi-stage overhead at toy scale must SHRINK as data grows (overhead
+amortizes — the claim holds) rather than GROW (a real plan problem);
+running the whole registry leaves no unmeasured straggler. Results are
 summarized in SCALE.md.
 
-Usage: python tools/scale_rehearsal.py [out.json]
+Usage: python tools/scale_rehearsal.py [out.json] [name_filter ...]
+(name filters restrict the set — for quick re-measures of named
+queries after a plan change)
 """
 
 from __future__ import annotations
@@ -26,63 +29,8 @@ import duckdb
 from trialstreamer_spark.plans.all_queries import ORACLES, QUERIES
 from trialstreamer_spark.session import get_spark
 
-#: the heaviest queries from the round-5 bench plus every perf-weak /
-#: watchlist entry from the round-5 verdict, plus the new postings query
-SCALE_SET = (
-    "concept_match_greedy",
-    "minhash_band_tuning",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "pagerank_dup_graph",
-    "dup_cluster_size_histogram",
-    "dedup_token_savings",
-    "knn_graph_topk",
-    "knn_label_consistency",
-    "small_qty_revenue",
-    "late_shipment_priority",
-    "source_distinctive_tokens",
-    "dsir_importance_weights",
-    "winnowing_overlap_pairs",
-    "sketch_merge_parity",
-    "ann_nprobe_recall_curve",
-    "oov_rate_stats",
-    "linear_probe_distinct",
-    "bloom_decontaminate_stats",
-    "near_dup_source_matrix",
-    "minhash_jaccard_estimate",
-    "postings_term_search",
-    # round-6b additions: the new decision-support plan shapes (their
-    # sf0.1 ratios are fixed-overhead-dominated; this measures whether
-    # they converge at sf1 like the rest of the watchlist) and the two
-    # non-trivial new pipeline audits
-    "sole_late_supplier",
-    "large_volume_orders",
-    "returned_item_topk",
-    "cross_region_volume",
-    "nation_market_share",
-    "product_profit_by_nation",
-    "cheapest_supplier_per_part",
-    "high_value_parts",
-    "part_supplier_variety",
-    "disjunctive_bracket_revenue",
-    "discount_revenue_forecast",
-    "rolling_active_users",
-    "tokenizer_fertility_stats",
-    # round-6c additions: engagement/anomaly audits, the exact
-    # distributed median, the dup-graph health pair (both ride the new
-    # persisted candidate-pair sidecar), and the Q20-shaped semi-join
-    "dau_wau_stickiness",
-    "event_rate_anomaly",
-    "event_interarrival_dispersion",
-    "orders_above_customer_avg",
-    "mktsegment_yearly_share",
-    "median_order_value_by_nation",
-    "triangle_count_dup_graph",
-    "simhash_hamming_histogram",
-    "stopword_coverage_by_lang",
-    "excess_shipped_parts",
-    "label_source_affinity",
-)
+#: the full registry — every registered query is measured at both scales
+SCALE_SET = tuple(sorted(QUERIES))
 
 #: stop re-running an engine's query once a single run exceeds this
 SLOW_CUTOFF_S = 90.0
@@ -100,16 +48,21 @@ def best_of(f, n: int = 3) -> float:
     return best
 
 
-def rehearse(spark, sf_dir: str) -> dict:
+def rehearse(spark, sf_dir: str, names=None) -> dict:
     from trialstreamer_spark.io import prepare_buckets, warm_cache
+    from trialstreamer_spark.operators.clustering import prepare_pq, prepare_semdedup
     from trialstreamer_spark.operators.dedup import prepare_dedup
     from trialstreamer_spark.operators.quality import prepare_curation
     from trialstreamer_spark.operators.retrieval import prepare_stats
     from trialstreamer_spark.operators.similarity import prepare_indexes
+    from trialstreamer_spark.operators.temporal import prepare_temporal
+    from trialstreamer_spark.streaming.parity import prepare_parity
 
     t0 = time.perf_counter()
     for prep in (warm_cache, prepare_buckets, prepare_indexes,
-                 prepare_dedup, prepare_stats, prepare_curation):
+                 prepare_dedup, prepare_stats, prepare_curation,
+                 prepare_pq, prepare_semdedup, prepare_temporal,
+                 prepare_parity):
         prep(spark, sf_dir)
     prep_s = time.perf_counter() - t0
 
@@ -128,7 +81,7 @@ def rehearse(spark, sf_dir: str) -> dict:
         )
 
     out: dict = {"sf_dir": sf_dir, "prepare_s": round(prep_s, 2), "queries": {}}
-    for name in SCALE_SET:
+    for name in (names or SCALE_SET):
         row: dict = {}
         try:
             QUERIES[name](spark, sf_dir).count()  # warm (codegen/cache)
@@ -156,12 +109,13 @@ def rehearse(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "scale_rehearsal.json"
+    names = [n for n in sys.argv[2:] if n in QUERIES] or None
     spark = get_spark("scale-rehearsal")
     results = [
-        rehearse(spark, "/root/testdata/sf0.1"),
+        rehearse(spark, "/root/testdata/sf0.1", names),
         rehearse(spark, os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "scale_data", "sf1")),
+            "scale_data", "sf1"), names),
     ]
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

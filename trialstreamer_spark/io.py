@@ -142,6 +142,24 @@ BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
         "l_partkey",
         ("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"),
     ),
+    # customer-keyed order analytics (per-account aggregates + join-backs:
+    # orders_above_customer_avg and the account-rollup family) — the
+    # groupBy(o_custkey) and the self-join both ride this layout's
+    # HashPartitioning with no Exchange
+    "orders_by_custkey": (
+        "orders",
+        "o_custkey",
+        ("o_custkey", "o_orderdate", "o_totalprice"),
+    ),
+    # the matching customer side: at 100 TB customer is NOT broadcastable
+    # (SF-scaled), so account-level joins ride this co-located layout —
+    # and even at bench scale it saves the per-query broadcast build of
+    # the full customer dim
+    "customer_by_custkey": (
+        "customer",
+        "c_custkey",
+        ("c_custkey", "c_nationkey", "c_mktsegment"),
+    ),
 }
 
 #: Bucket count for the prepared layouts. Both sides of a co-located

@@ -47,18 +47,64 @@ def _cents(c: Column) -> Column:
     return F.round(c * 100, 0).cast("long")
 
 
+def _conf_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('64MB', '10485760', '-1')."""
+    v = v.strip().upper()
+    for suf, m in (("KB", 1 << 10), ("MB", 1 << 20), ("GB", 1 << 30),
+                   ("K", 1 << 10), ("M", 1 << 20), ("G", 1 << 30), ("B", 1)):
+        if v.endswith(suf):
+            return int(v[: -len(suf)]) * m
+    return int(v)
+
+
+def _leaf_scan_bytes(df: DataFrame) -> int:
+    """Sum of the LEAF relation sizes under a plan — the honest size of
+    a dimension leg. Needed because without CBO Spark's non-leaf size
+    estimate is the PRODUCT of the children, so a dim chain like
+    supplier⋈nation⋈region estimates astronomically large and never
+    auto-broadcasts even when its tables total a few KB."""
+    total = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        n = node.children().size()
+        if n == 0:
+            v = node.stats().sizeInBytes()
+            total += v if isinstance(v, int) else int(v.toString())
+        else:
+            for i in range(n):
+                stack.append(node.children().apply(i))
+    return total
+
+
 def _sf_dim(df: DataFrame) -> DataFrame:
     """An SF-scaled dimension leg (customer / supplier / part / partsupp).
 
-    No forced broadcast hint: these tables grow linearly with the scale
-    factor, so a hard ``F.broadcast()`` would force an OOM-sized build side
-    at 100 TB and bypass AQE's size check. With no hint, Catalyst picks a
-    broadcast join from file-size stats while the table is under
-    ``spark.sql.autoBroadcastJoinThreshold`` (all test SFs) and falls back
-    to shuffle/sort-merge beyond it — the size-dependent strategy a large
-    cluster needs. Fixed-cardinality dims (nation/region) and one-row
-    aggregate frames keep their explicit hints.
+    The broadcast hint is SIZE-CONDITIONAL, never forced: these tables
+    grow linearly with the scale factor, so an unconditional
+    ``F.broadcast()`` would force an OOM-sized build side at 100 TB and
+    bypass every size check. The leg's actual leaf-scan bytes (driver-
+    side metadata — no job) are compared against the session's
+    ``spark.sql.autoBroadcastJoinThreshold``: under it (every test SF)
+    the hint is applied and the plan is the map-side join the bench
+    shapes want; over it — or with broadcasting disabled — no hint, and
+    the planner falls back to shuffle/sort-merge. Plain stats-based
+    auto-broadcast cannot do this for composite dim legs (see
+    _leaf_scan_bytes), which is why the hint exists at all.
     """
+    spark = df.sparkSession
+    try:
+        cap = _conf_bytes(spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    except Exception:
+        cap = 10 << 20
+    if cap <= 0:
+        return df
+    try:
+        if _leaf_scan_bytes(df) <= cap:
+            return F.broadcast(df)
+    except Exception:
+        pass
     return df
 
 
@@ -3123,24 +3169,51 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     average crosses the comparison.
 
     Scale shape: the correlated subquery decorrelates into ONE per-cust
-    aggregate over the same scan, joined back on custkey — both sides
-    of that self-join shuffle on custkey together (at 100 TB a
-    custkey-bucketed orders layout co-locates it, exactly like the
-    orderkey buckets the Q4/Q17/Q18 analogs ride); customer and nation
-    broadcast; the final rollup is |nations| rows."""
-    oc = load(spark, sf_dir, "orders").select(
+    aggregate over the same scan, joined back on custkey — on the
+    custkey-bucketed orders layout (io.BUCKET_SPECS orders_by_custkey)
+    BOTH the rollup and the join-back ride HashPartitioning(o_custkey)
+    with no Exchange, exactly like the orderkey buckets the Q4/Q17/Q18
+    analogs ride; on plain parquet the one custkey exchange is shared.
+    Customer and nation broadcast; the final rollup is |nations| rows."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
+    cb = bucketed_table(spark, sf_dir, "customer_by_custkey")
+    o_src = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    )
+    oc = o_src.select(
         "o_custkey", _cents(F.col("o_totalprice")).alias("price_c")
     )
     ca = oc.groupBy("o_custkey").agg(
         F.sum("price_c").alias("sum_c"), F.count("*").alias("cnt")
     )
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = (
+        cb.select("c_custkey", "c_nationkey")
+        if cb is not None
+        else load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    ca2 = ca.withColumnRenamed("o_custkey", "ck")
+    if ob is not None:
+        # Both self-join legs already ride the bucket layout's
+        # HashPartitioning(custkey); a shuffled-hash hint makes the join
+        # exchange-free AND sort-free, building only the per-partition
+        # slice of the per-customer aggregate. Without the hint the
+        # planner may invert to broadcasting the FACT projection (it
+        # sits under the size threshold at bench scale — measured 4x
+        # slower at sf1), and a merge hint pays two sorts.
+        ca2 = ca2.hint("shuffle_hash")
+        if cb is not None:
+            c = c.hint("shuffle_hash")
+    elif cb is None:
+        c = _sf_dim(c)  # un-bucketed fallback: size-conditional broadcast
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        oc.join(ca.withColumnRenamed("o_custkey", "ck"),
-                oc.o_custkey == F.col("ck"))
+        oc.join(ca2, oc.o_custkey == F.col("ck"))
         .where(2 * F.col("price_c") * F.col("cnt") > 3 * F.col("sum_c"))
-        .join(_sf_dim(c), oc.o_custkey == c.c_custkey)
+        .join(c, oc.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -3177,14 +3250,37 @@ def mktsegment_yearly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mix shift" dashboard (the reference's match-rate pivot is the same
     share-of-parent statistic over registries).
 
-    Scale shape: the customer dim broadcasts into the orders scan, one
-    (year, segment) rollup exchange (map-side partials, |years x
-    segments| rows survive), and the share window runs on that tiny
-    frame — the corpus-sized work is a single broadcast-join pass."""
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    Scale shape: on the custkey-bucketed layouts the orders–customer
+    join is co-located (merge join over HashPartitioning(custkey), no
+    exchange, no per-query broadcast build of the SF-scaled customer
+    dim); one (year, segment) rollup exchange (map-side partials,
+    |years x segments| rows survive), and the share window runs on that
+    tiny frame."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
+    cb = bucketed_table(spark, sf_dir, "customer_by_custkey")
+    o = (
+        ob
+        if ob is not None
+        else load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        )
+    )
+    c = (
+        cb.select("c_custkey", "c_mktsegment")
+        if cb is not None
+        else load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    if ob is not None and cb is not None:
+        # both legs ride HashPartitioning(custkey) and the cached bucket
+        # scans are key-sorted: the merge join is exchange-free and
+        # skips the per-query broadcast build of the SF-scaled customer
+        c = c.hint("merge")
+    else:
+        c = _sf_dim(c)  # un-bucketed fallback: size-conditional broadcast
     f = (
-        o.join(_sf_dim(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.year("o_orderdate").alias("yr"),
             F.col("c_mktsegment").alias("segment"),
