@@ -315,6 +315,7 @@ PARITY_TAGS = {
     "watermark_finalize_stream_parity": "wm_finalize",
     "update_mode_rollup_stream_parity": "upd_rollup",
     "dedup_expiry_stream_parity": "dedup_expiry",
+    "session_window_stream_parity": "session_window",
 }
 
 
@@ -399,6 +400,45 @@ def test_rank_shift_prunes_year_at_scan(spark, sf_dir):
         "PushedFilters" in p
     )
     assert "CartesianProduct" not in p
+
+
+def test_census_audits_run_exchange_free(spark, sf_dir):
+    """The rate/seasonality audits ride the event_type-clustered minute
+    census: their executed plans must read the cached census
+    (InMemoryTableScan) and need NO hash exchange anywhere — the moment
+    rollup, broadcast join-back, island window, and final rollups all
+    reuse the cache's HashPartitioning(event_type) (hash partitioning
+    on a PREFIX of the grouping keys satisfies the distribution). A
+    hashpartitioning exchange reappearing here means the census lost
+    its clustering and every audit re-pays a corpus-shaped shuffle."""
+    from trialstreamer_spark.operators.temporal import prepare_temporal
+
+    def query_side(p: str) -> str:
+        # drop each InMemoryRelation's STORED build subtree (it
+        # legitimately contains the one-time clustering repartition);
+        # what remains is the per-query plan
+        out, skip_past = [], -1
+        for line in p.splitlines():
+            col = _tree_marker_col(line)
+            if skip_past >= 0 and (col < 0 or col > skip_past):
+                continue
+            skip_past = -1
+            if "InMemoryRelation" in line:
+                skip_past = col
+                continue
+            out.append(line)
+        return "\n".join(out)
+
+    prepare_temporal(spark, sf_dir)
+    for name in ("event_rate_anomaly", "hour_of_week_peak", "event_burst_runs"):
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        assert "InMemoryTableScan" in p, name
+        assert "Exchange hashpartitioning" not in query_side(p), name
+    # daily_value_drift re-keys the census by day (a |days×types|-sized
+    # exchange — fine); it must still read the census, not the fact
+    p = plan_of(QUERIES["daily_value_drift"](spark, sf_dir))
+    assert "InMemoryTableScan" in p
+    assert "events.parquet" not in query_side(p)
 
 
 def test_degree_histogram_reuses_candidate_pairs(spark, sf_dir):

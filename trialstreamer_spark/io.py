@@ -158,7 +158,7 @@ BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
     "customer_by_custkey": (
         "customer",
         "c_custkey",
-        ("c_custkey", "c_nationkey", "c_mktsegment"),
+        ("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"),
     ),
 }
 

@@ -51,13 +51,19 @@ def minute_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = load(spark, sf_dir, "events")
         return e.groupBy(
             "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
-        ).agg(F.count("*").alias("x"))
+        ).agg(
+            F.count("*").alias("x"),
+            # exact integer cents ride the census so value-drift audits
+            # roll up from it too (int sums re-aggregate associatively)
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"),
+        )
 
     # the cached relation is clustered on event_type (post re-applies the
     # partitioning a parquet roundtrip cannot carry): HashPartitioning on
     # a PREFIX of any (event_type, ...) grouping satisfies its
     # distribution, so the moment rollups, argmax windows, and join-backs
-    # all run exchange-free on the census
+    # all run exchange-free on the census. key_extra versions the disk
+    # artifact: the vc column was added after v1 sidecars were committed.
     return disk_cached_plan(
         spark,
         sf_dir,
@@ -65,6 +71,7 @@ def minute_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         source_tables=("events",),
         post=lambda df: df.repartition(F.col("event_type")),
+        key_extra=("v2",),
     )
 
 
@@ -96,8 +103,8 @@ def prepare_temporal(spark: SparkSession, sf_dir: str) -> None:
 
     minute_census(spark, sf_dir)
     user_day_pairs(spark, sf_dir)
-    for name in ("minute_census", "user_day_pairs"):
-        materialize_plan(spark, (name, sf_dir))
+    for key in (("minute_census", sf_dir, "v2"), ("user_day_pairs", sf_dir)):
+        materialize_plan(spark, key)
 
 
 def asof_join(
@@ -320,18 +327,23 @@ def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's run statistics, pipeline.observe(), are the same
     per-batch drift check).
 
-    Scale shape: one |days|-key rollup (map-side partials), a 1-row
-    broadcast global, and the drift test as exact int64
-    cross-multiplication — no division, no float, no second scan of the
-    events fact. The flags cannot disagree between engines because both
-    compare identical integers."""
-    e = load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    Scale shape: rolls the shared minute census up to days (integer-
+    cent sums re-aggregate associatively, so the census IS the partial
+    aggregate — the events fact is never rescanned on the query path),
+    then a 1-row broadcast global and the drift test as exact int64
+    cross-multiplication — no division, no float. Day boundaries come
+    from epoch arithmetic (zone-free, like every census consumer). The
+    flags cannot disagree between engines because both compare
+    identical integers."""
+    mc = minute_census(spark, sf_dir)
+    day_us = F.expr(
+        "(unix_micros(minute) DIV 86400000000) * 86400000000"
+    ).alias("day_us")
     d = (
-        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        mc.groupBy(day_us)
         .agg(
-            F.sum(cents).alias("day_cents"),
-            F.count("*").alias("n_events"),
+            F.sum("vc").alias("day_cents"),
+            F.sum("x").alias("n_events"),
         )
     )
     g = d.agg(
@@ -354,7 +366,7 @@ def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.crossJoin(F.broadcast(g))
         .select(
-            F.unix_micros("day").alias("day_us"),
+            "day_us",
             "day_cents",
             "n_events",
             drift.alias("drift"),
@@ -643,6 +655,104 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(is_burst, 1).otherwise(0)).alias("n_burst_minutes"),
             F.max("x").alias("max_per_minute"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_burst_runs",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS minute,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM m GROUP BY 1
+    ),
+    b AS (
+      SELECT m.event_type,
+             epoch_us(m.minute) // 60000000 AS mi
+      FROM m JOIN s ON m.event_type = s.event_type
+      WHERE m.x * s.n > s.sx
+        AND (m.x * s.n - s.sx) * (m.x * s.n - s.sx)
+            > 9 * (s.n * s.sxx - s.sx * s.sx)
+    ),
+    g AS (
+      SELECT event_type, mi,
+             mi - row_number() OVER (PARTITION BY event_type ORDER BY mi)
+               AS grp
+      FROM b
+    ),
+    r AS (
+      SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM g GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS total_burst_minutes
+    FROM r GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst RUN structure per event type — the gaps-and-islands shape:
+    consecutive 3-sigma burst minutes (same integer-exact test as
+    event_rate_anomaly) coalesce into runs via the classic
+    minute-index-minus-row-number island key, yielding run count,
+    longest run, and total burst minutes. One sustained 20-minute burst
+    and twenty scattered spikes look identical to event_rate_anomaly;
+    this query tells them apart — the difference between a feed outage
+    replay and a flaky producer.
+
+    Determinism: minute indexes are epoch-micros integer division;
+    the island key is exact integer arithmetic; row_number's order
+    (mi within type) is total.
+
+    Scale shape: everything downstream of the shared minute census
+    sidecar rides its event_type clustering — the moment rollup, the
+    broadcast join-back, the island window, and both rollups need NO
+    exchange; the census itself is time-bounded, not corpus-bounded."""
+    m = minute_census(spark, sf_dir)
+    s = m.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("sx")
+    is_burst = (dev > 0) & (
+        dev * dev > 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    burst = (
+        m.join(F.broadcast(s), "event_type")
+        .where(is_burst)
+        .select(
+            "event_type",
+            F.expr("unix_micros(minute) DIV 60000000").alias("mi"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("mi")
+    runs = (
+        burst.select(
+            "event_type",
+            (F.col("mi") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("event_type", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("run_len").alias("longest_run"),
+            F.sum("run_len").alias("total_burst_minutes"),
         )
         .orderBy("event_type")
     )

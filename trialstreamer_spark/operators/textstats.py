@@ -2006,3 +2006,102 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "bigram_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM t WHERE len(toks) >= 2),
+    bi AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+      FROM t2
+    ),
+    c12 AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bi GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    p AS (
+      SELECT c12.w1 AS w1, c12.w2 AS w2,
+             CAST((1000000 * c12.c12) // c1.c1 AS BIGINT) AS p_fp
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1
+    ),
+    ds AS (
+      SELECT bi.doc_id, bi.source,
+             CAST(SUM(p.p_fp) // COUNT(*) AS BIGINT) AS score_fp
+      FROM bi JOIN p ON bi.b.w1 = p.w1 AND bi.b.w2 = p.w2
+      GROUP BY bi.doc_id, bi.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_fp) // COUNT(*) AS BIGINT) AS mean_score_fp,
+           CAST(SUM(CASE WHEN score_fp < 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low
+    FROM ds GROUP BY source ORDER BY source
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring: each document's mean bigram transition
+    probability P(w2|w1) under the corpus's OWN bigram model, 1e-6 fixed
+    point, rolled up per source with a low-fluency count — the
+    perplexity-style quality gate (CCNet/Gopher's LM filter) expressed
+    without transcendentals so both engines emit identical integers
+    (probability per bigram is one int64 floor division; the per-doc
+    mean is a second).
+
+    Scale shape: the bigram census and its prefix rollup collapse to
+    vocabulary-squared/vocabulary cardinality via map-side partials
+    (the once-per-corpus LM-table build — sidecar material at 100 TB);
+    scoring re-joins the doc bigram stream on the (w1, w2) key — a
+    shuffle join whose dim side is vocab-bounded — and the per-doc mean
+    reuses a doc_id rollup. No per-row Python, no window over the
+    corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    t = d.select("doc_id", "source", toks.alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bi = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> named_struct('w1', toks[i], 'w2', toks[i+1]))"
+            )
+        ).alias("b"),
+    )
+    c12 = bi.groupBy(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    p = c12.join(c1, "w1").select(
+        "w1", "w2", F.expr("(1000000 * c12) DIV c1").alias("p_fp")
+    )
+    ds = (
+        bi.join(
+            p,
+            (F.col("b.w1") == F.col("w1")) & (F.col("b.w2") == F.col("w2")),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.expr("CAST(SUM(p_fp) DIV COUNT(*) AS LONG)").alias("score_fp"))
+    )
+    return (
+        ds.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("SUM(score_fp) DIV COUNT(*)").alias("mean_score_fp"),
+            F.sum(F.when(F.col("score_fp") < 100000, 1).otherwise(0)).alias(
+                "n_low"
+            ),
+        )
+        .orderBy("source")
+    )

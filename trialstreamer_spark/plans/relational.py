@@ -1534,16 +1534,28 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: orders partial-aggregates map-side per custkey BEFORE
     the outer join (aggregate pushdown written explicitly — joining raw
-    orders first would shuffle the whole fact), so the join carries one
-    row per customer on each side, keyed and co-partitioned on custkey;
-    the second aggregation's key space is the tiny distinct-count
-    domain. All counts, all exact."""
-    c = load(spark, sf_dir, "customer").select("c_custkey")
+    orders first would shuffle the whole fact); on the custkey bucket
+    layouts the rollup AND the outer join ride HashPartitioning(custkey)
+    with no exchange and no broadcast build (shuffle_hash hint — the
+    planner would otherwise broadcast a side that is SF-scaled); the
+    second aggregation's key space is the tiny distinct-count domain.
+    All counts, all exact."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
+    cb = bucketed_table(spark, sf_dir, "customer_by_custkey")
+    c = (
+        cb.select("c_custkey")
+        if cb is not None
+        else load(spark, sf_dir, "customer").select("c_custkey")
+    )
     per_cust_orders = (
-        load(spark, sf_dir, "orders")
+        (ob if ob is not None else load(spark, sf_dir, "orders"))
         .groupBy(F.col("o_custkey"))
         .agg(F.count("*").alias("n"))
     )
+    if ob is not None and cb is not None:
+        per_cust_orders = per_cust_orders.hint("shuffle_hash")
     return (
         c.join(per_cust_orders, c.c_custkey == F.col("o_custkey"), "left")
         .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
@@ -1598,11 +1610,17 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_c`` in int64 cents — no floating average crosses the comparison.
 
     Scale shape: the threshold is a 1-row broadcast; the anti-join keys
-    on custkey against the map-side-distinct order keys (at 100 TB both
-    sides bucket on custkey and the anti-join co-locates); the nation
-    dim broadcasts. The only full exchange is the fact-sized anti
-    join's."""
-    cust = load(spark, sf_dir, "customer").select(
+    on custkey against the date-filtered order keys — on the custkey
+    bucket layouts both sides ride HashPartitioning(custkey), so the
+    anti-join co-locates with no exchange and no broadcast build
+    (shuffle_hash hint); the nation dim broadcasts."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
+    cb = bucketed_table(spark, sf_dir, "customer_by_custkey")
+    cust = (
+        cb if cb is not None else load(spark, sf_dir, "customer")
+    ).select(
         "c_custkey",
         "c_nationkey",
         _cents(F.col("c_acctbal")).alias("bal_c"),
@@ -1611,10 +1629,12 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal_c").alias("sum_c"), F.count("*").alias("cnt")
     )
     o = (
-        load(spark, sf_dir, "orders")
+        (ob if ob is not None else load(spark, sf_dir, "orders"))
         .where(F.col("o_orderdate") >= DORMANT_CUTOFF)
         .select("o_custkey")
     )
+    if ob is not None and cb is not None:
+        o = o.hint("shuffle_hash")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         cust.crossJoin(F.broadcast(thresh))
@@ -3762,8 +3782,11 @@ def whale_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     a DIV 10^4 histogram pass and refine inside the boundary bucket —
     same formula, two bounded windows); the 1-row threshold broadcasts
     back onto the customer rollup for the final 1-row summary."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
     cr = (
-        load(spark, sf_dir, "orders")
+        (ob if ob is not None else load(spark, sf_dir, "orders"))
         .groupBy("o_custkey")
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"))
     )
@@ -3979,15 +4002,30 @@ def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: dedupe to (nation, year, customer) FIRST (the same
     collapse-before-expensive-work discipline as rolling_active_users),
-    then ONE custkey-keyed self equi-join on (customer, year+1) — both
-    sides shuffle on the same key; no range join, no per-year rescan —
-    and a |nations × years| rollup; nation names broadcast."""
-    o = load(spark, sf_dir, "orders").select(
+    then ONE custkey-keyed self equi-join on (customer, year+1) — on
+    the custkey bucket layouts the customer join, the dedupe, AND the
+    self-join all ride HashPartitioning(custkey) (custkey is a subset
+    of every key set involved) with no exchange; no range join, no
+    per-year rescan — and a |nations × years| rollup; nation names
+    broadcast."""
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
+    cb = bucketed_table(spark, sf_dir, "customer_by_custkey")
+    o = (ob if ob is not None else load(spark, sf_dir, "orders")).select(
         "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
     )
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = (
+        cb.select("c_custkey", "c_nationkey")
+        if cb is not None
+        else load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    if ob is not None and cb is not None:
+        c = c.hint("shuffle_hash")
+    else:
+        c = _sf_dim(c)
     cy = (
-        o.join(_sf_dim(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("c_nationkey", "yr", "o_custkey")
         .distinct()
     )

@@ -229,6 +229,7 @@ def prepare_parity(spark: SparkSession, sf_dir: str) -> None:
         "watermark_finalize_stream_parity",
         "update_mode_rollup_stream_parity",
         "dedup_expiry_stream_parity",
+        "session_window_stream_parity",
     ):
         QUERIES[name](spark, sf_dir)
 
@@ -972,3 +973,77 @@ def dedup_expiry_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return t.orderBy("user_id", "event_type")
+
+
+@query(
+    "session_window_stream_parity",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def session_window_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window aggregation (F.session_window —
+    the built-in MergingSessionsExec path, distinct from the custom
+    applyInPandasWithState sessionizer that sessionize_stream_parity
+    checks) driver-checked against the batch gap-sessionization oracle.
+    Complete mode emits every merged session of the single-batch
+    replay, so the oracle is the FULL sessionization — including each
+    user's final session, which the custom operator's in-batch parity
+    must exclude.
+
+    Two native-semantics details the oracle mirrors exactly:
+    - a session window is [event_ts, event_ts + gap) and windows merge
+      only on OVERLAP, so two events exactly gap apart do NOT merge —
+      hence the oracle's ``>= gap`` new-session test (the custom
+      sessionizer uses ``> gap``; this parity pins the difference);
+    - the emitted session end is last-event-time + gap, not
+      last-event-time.
+
+    Scale shape: state is one (user, open-session) row merged by the
+    streaming aggregation's own hash exchange on user_id; in production
+    a watermark bounds it in append mode — complete mode here is the
+    deterministic-replay harness device, same as the other rollup
+    parities."""
+    e = _stream_events(spark, sf_dir)
+    agg = e.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count("*").alias("n_events"))
+    t = _run_stream_to_table(
+        spark, agg, "session_window", output_mode="complete", cache_key=sf_dir
+    )
+    return (
+        t.select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start_us")
+    )
