@@ -1611,9 +1611,14 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the embeddings table; the Arrow kernel remains the corpus-scan
     path.
 
-    Scale shape: one scan computes all three truncation scores
-    column-wise (no per-level rescan); each top-10 is a
-    TakeOrderedAndProject; the overlap joins are 10-row broadcasts."""
+    Scale shape: ONE lazy plan — a single scan computes all three
+    truncation cosines column-wise, three rank windows run over the
+    |embeddings|-bounded frame, and both recall@10 overlaps fall out of
+    one conditional aggregate unpivoted with stack() (the previous
+    formulation ran a separate driver job per truncation level,
+    re-executing the full-dim top-k each time)."""
+    from pyspark.sql import Window as W
+
     e = load(spark, sf_dir, "embeddings")
     qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
 
@@ -1626,27 +1631,38 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000000) AS BIGINT)), 0L, (a, b) -> a + b)"
         )
 
-    def topk(dims: int) -> DataFrame:
+    def cos_col(dims: int) -> Column:
         qn = float(fp_dot_vec(qv[:dims], qv[:dims]))
-        cos = (
-            F.expr(dot_expr(dims, False))
-            / F.sqrt(F.expr(dot_expr(dims, True)).cast("double") * F.lit(qn))
-        )
-        return (
-            e.filter(F.col("vec_id") != 0)
-            .select("vec_id", cos.alias("cosine"))
-            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-            .limit(10)
-            .select("vec_id")
+        return F.expr(dot_expr(dims, False)) / F.sqrt(
+            F.expr(dot_expr(dims, True)).cast("double") * F.lit(qn)
         )
 
-    full_k = topk(64)
-    rows = []
-    for dims in (16, 32):
-        n = topk(dims).join(full_k, "vec_id").count()
-        rows.append((dims, n))
+    scored = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        cos_col(64).alias("c64"),
+        cos_col(16).alias("c16"),
+        cos_col(32).alias("c32"),
+    )
+
+    def rk(c: str) -> Column:
+        return F.row_number().over(
+            W.orderBy(F.col(c).desc(), F.col("vec_id"))
+        )
+
+    ranked = scored.select(
+        rk("c64").alias("r64"), rk("c16").alias("r16"), rk("c32").alias("r32")
+    )
+    in10 = lambda a, b: (F.col(a) <= 10) & (F.col(b) <= 10)  # noqa: E731
+    agg = ranked.agg(
+        F.sum(F.when(in10("r16", "r64"), 1).otherwise(0)).alias("n16"),
+        F.sum(F.when(in10("r32", "r64"), 1).otherwise(0)).alias("n32"),
+    )
     return (
-        e.sparkSession.createDataFrame(rows, "trunc_dims long, n_overlap long")
+        agg.select(
+            F.expr(
+                "stack(2, 16L, n16, 32L, n32) AS (trunc_dims, n_overlap)"
+            )
+        )
         .select(
             "trunc_dims",
             "n_overlap",
@@ -1684,20 +1700,28 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded, and orphan vectors are the PII-erasure leak path
     (erasure_manifest's vector-side complement).
 
-    Scale shape: two doc_id-keyed joins (semi + anti) between two
-    one-column projections — at 100 TB both tables bucket by doc_id so
-    the joins are co-located; the outputs are 1-row counts that
-    broadcast into the final single-row summary."""
+    Scale shape: ONE full-outer doc_id-keyed join between two
+    one-column projections carries all four counts as conditional
+    aggregates of its null pattern — a single lazy plan (the previous
+    semi + anti formulation ran four separate driver-side jobs per
+    call); at 100 TB both tables bucket by doc_id so the join is
+    co-located, and the output is one row."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     e = load(spark, sf_dir, "embeddings").select("vec_id")
-    n_docs = d.count()
-    n_vectors = e.count()
-    n_embedded = d.join(e, d.doc_id == e.vec_id, "left_semi").count()
-    n_orphan = e.join(d, e.vec_id == d.doc_id, "left_anti").count()
-    rows = [(n_docs, n_vectors, n_embedded, n_orphan)]
+    j = d.join(e, d.doc_id == e.vec_id, "full_outer")
     return (
-        d.sparkSession.createDataFrame(
-            rows, "n_docs long, n_vectors long, n_embedded long, n_orphan_vectors long"
+        j.agg(
+            F.count("doc_id").alias("n_docs"),
+            F.count("vec_id").alias("n_vectors"),
+            F.sum(
+                F.when(
+                    F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_embedded"),
+            F.sum(
+                F.when(F.col("doc_id").isNull(), 1).otherwise(0)
+            ).alias("n_orphan_vectors"),
         )
         .select(
             "n_docs",

@@ -94,6 +94,29 @@ def user_day_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user_id, event_type) pairs — the engagement-set census
+    the affinity matrix self-joins (and the natural seed for any
+    per-user behavioral feature). |users × types| rows, types fixed —
+    sub-fact cardinality, one build per corpus version. Persisted
+    clustered on user_id so the pair self-join and any per-user rollup
+    ride the cache's partitioning exchange-free."""
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "events")
+        return e.select("user_id", "event_type").distinct()
+
+    return disk_cached_plan(
+        spark,
+        sf_dir,
+        "user_type_pairs",
+        build,
+        source_tables=("events",),
+        post=lambda df: df.repartition(F.col("user_id")),
+    )
+
+
 def prepare_temporal(spark: SparkSession, sf_dir: str) -> None:
     """Offline featurization hook (bench/deploy): materialize the event
     census sidecars for a corpus version — same once-per-corpus contract
@@ -103,7 +126,12 @@ def prepare_temporal(spark: SparkSession, sf_dir: str) -> None:
 
     minute_census(spark, sf_dir)
     user_day_pairs(spark, sf_dir)
-    for key in (("minute_census", sf_dir, "v2"), ("user_day_pairs", sf_dir)):
+    user_type_pairs(spark, sf_dir)
+    for key in (
+        ("minute_census", sf_dir, "v2"),
+        ("user_day_pairs", sf_dir),
+        ("user_type_pairs", sf_dir),
+    ):
         materialize_plan(spark, key)
 
 
@@ -406,15 +434,16 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     treating two behaviors as independent signals (the reference's
     co-occurrence top-k, A6, is the token-level analog).
 
-    Scale shape: dedupe to (user, type) FIRST — every later step is
-    bounded by |users × types|, never raw events; the pair build
-    self-joins on user_id where each user contributes at most
-    C(|types|, 2) rows (|types| is small and fixed); per-type totals are
-    a |types|-row broadcast. Jaccard is one integer floor-division of
-    exact counts — the inclusion-exclusion denominator never goes
+    Scale shape: the (user, type) dedupe serves from the shared
+    user_type_pairs sidecar (user_id-clustered, once per corpus
+    version) — every later step is bounded by |users × types|, never
+    raw events, and the pair self-join rides the cache's user_id
+    partitioning exchange-free; each user contributes at most
+    C(|types|, 2) rows (|types| is small and fixed); per-type totals
+    are a |types|-row broadcast. Jaccard is one integer floor-division
+    of exact counts — the inclusion-exclusion denominator never goes
     through a float."""
-    e = load(spark, sf_dir, "events")
-    ut = e.select("user_id", "event_type").distinct()
+    ut = user_type_pairs(spark, sf_dir)
     n = ut.groupBy("event_type").agg(F.count("*").alias("n"))
     a = ut.select("user_id", F.col("event_type").alias("ta"))
     b = ut.select("user_id", F.col("event_type").alias("tb"))

@@ -36,15 +36,18 @@ def get_spark(app_name: str = "trialstreamer-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Dims broadcast by SIZE, never by forced hint: SF-scaled dims
-        # (customer/supplier/part) carry no F.broadcast() hint
-        # (plans/relational._sf_dim), so this threshold is the single
-        # knob deciding broadcast vs shuffle for them. 64 MiB is
-        # comfortable for multi-GiB executors and keeps sf<=1 dims
-        # broadcast; a multi-billion-row dim at 100 TB exceeds it and
-        # falls back to sort-merge/shuffle-hash instead of a
-        # hint-forced broadcast OOM.
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+        # (customer/supplier/part) get a size-CONDITIONAL hint
+        # (plans/relational._sf_dim compares the leg's leaf-scan bytes
+        # to this threshold), so this is the single knob deciding
+        # broadcast vs shuffle for them. Spark's default 10 MB is the
+        # right separator: it clears every dim at rehearsal scales but
+        # sits BELOW the fact projections (orders 25 MB, events 15 MB
+        # at sf1) — a larger value was tried and measured 2-4x SLOWER
+        # on the bucket-co-located TPC-H plans because the planner
+        # started broadcasting whole fact projections, replacing
+        # exchange-free bucket joins with multi-MB broadcast builds.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet timestamps in the testdata are timestamp[us] with
         # isAdjustedToUTC=false; newer Spark reads those as TIMESTAMP_NTZ,
