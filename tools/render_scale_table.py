@@ -43,11 +43,16 @@ def main() -> None:
     lag.sort(key=lambda t: -t[1])
     tot_s = sum(r.get("spark_s", 0) for r in big.values() if isinstance(r.get("spark_s"), (int, float)))
     tot_d = sum(r.get("duckdb_s", 0) for r in big.values() if isinstance(r.get("duckdb_s"), (int, float)))
-    print(f"sf1 aggregate: Spark {tot_s:.1f}s vs DuckDB {tot_d:.1f}s "
-          f"(ratio {tot_s / tot_d:.2f}) over {len(names)} queries")
-    print(f"sf1 stragglers >2x ({len(lag)}):")
-    for n, r, s in lag:
-        print(f"  {n}: {r}x at {s}s absolute")
+    if tot_d:
+        print(f"sf1 aggregate: Spark {tot_s:.1f}s vs DuckDB {tot_d:.1f}s "
+              f"(ratio {tot_s / tot_d:.2f}) over {len(names)} queries")
+    else:
+        print("sf1 aggregate: no sf1 DuckDB timings in this run "
+              "(sf0.1 half rendered above)")
+    if big:
+        print(f"sf1 stragglers >2x ({len(lag)}):")
+        for n, r, s in lag:
+            print(f"  {n}: {r}x at {s}s absolute")
     errs = [(n, k) for n, row in big.items() for k in row if k.endswith("_error")]
     if errs:
         print("sf1 errors:", errs)

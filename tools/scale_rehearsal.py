@@ -109,7 +109,12 @@ def rehearse(spark, sf_dir: str, names=None) -> dict:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "scale_rehearsal.json"
-    names = [n for n in sys.argv[2:] if n in QUERIES] or None
+    unknown = [n for n in sys.argv[2:] if n not in QUERIES]
+    if unknown:
+        # A typo must not silently fall back to rehearsing the FULL
+        # registry at both scales (hours of work for a one-query re-run).
+        sys.exit(f"unknown query name(s): {unknown}")
+    names = list(sys.argv[2:]) or None
     spark = get_spark("scale-rehearsal")
     results = [
         rehearse(spark, "/root/testdata/sf0.1", names),

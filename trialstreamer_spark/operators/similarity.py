@@ -1700,27 +1700,40 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded, and orphan vectors are the PII-erasure leak path
     (erasure_manifest's vector-side complement).
 
-    Scale shape: ONE full-outer doc_id-keyed join between two
-    one-column projections carries all four counts as conditional
-    aggregates of its null pattern — a single lazy plan (the previous
-    semi + anti formulation ran four separate driver-side jobs per
-    call); at 100 TB both tables bucket by doc_id so the join is
-    co-located, and the output is one row."""
-    d = load(spark, sf_dir, "documents").select("doc_id")
-    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    Scale shape: each side pre-aggregates to (key, multiplicity) — a
+    map-side-partial rollup — and ONE full-outer join between the two
+    DISTINCT key sets carries all four counts as multiplicity sums of
+    its null pattern, in a single lazy plan (the previous semi + anti
+    formulation ran four separate driver-side jobs per call). The
+    per-side pre-aggregation also makes the counts duplicate-safe: a
+    repeated doc_id or vec_id multiplies the join output rows, so
+    counting joined ROWS would inflate n_docs/n_vectors, while
+    sum(dc)/sum(ec)/sum(dc·ec) reproduce the oracle's subquery counts
+    exactly for any key multiplicity. At 100 TB both tables bucket by
+    doc_id so the join is co-located, and the output is one row."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dc"))
+    )
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("ec"))
+    )
     j = d.join(e, d.doc_id == e.vec_id, "full_outer")
     return (
         j.agg(
-            F.count("doc_id").alias("n_docs"),
-            F.count("vec_id").alias("n_vectors"),
+            F.sum("dc").alias("n_docs"),
+            F.sum("ec").alias("n_vectors"),
             F.sum(
                 F.when(
                     F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(),
-                    1,
+                    F.col("dc") * F.col("ec"),
                 ).otherwise(0)
             ).alias("n_embedded"),
             F.sum(
-                F.when(F.col("doc_id").isNull(), 1).otherwise(0)
+                F.when(F.col("doc_id").isNull(), F.col("ec")).otherwise(0)
             ).alias("n_orphan_vectors"),
         )
         .select(

@@ -364,8 +364,12 @@ def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags cannot disagree between engines because both compare
     identical integers."""
     mc = minute_census(spark, sf_dir)
+    # floor-to-day via pmod (always non-negative), NOT `DIV 864e8 * 864e8`:
+    # DIV truncates toward zero, so a pre-1970 minute would round to the
+    # WRONG day while the oracle's date_trunc('day') floors — subtracting
+    # the pmod remainder is exact floor for any sign of the epoch.
     day_us = F.expr(
-        "(unix_micros(minute) DIV 86400000000) * 86400000000"
+        "unix_micros(minute) - pmod(unix_micros(minute), 86400000000)"
     ).alias("day_us")
     d = (
         mc.groupBy(day_us)
@@ -764,6 +768,10 @@ def event_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(is_burst)
         .select(
             "event_type",
+            # census minutes are date_trunc('minute') values, so
+            # unix_micros(minute) is an exact multiple of 6e7 — DIV on an
+            # exact multiple equals floor for either sign, so the minute
+            # index is correct even for pre-1970 data.
             F.expr("unix_micros(minute) DIV 60000000").alias("mi"),
         )
     )
@@ -984,9 +992,16 @@ def hour_of_week_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not pass through io.load's UTC pin — epoch hours are zone-free.
     # Epoch hour 0 was a Thursday (dow index 4), hence the +96h rotation
     # to make 0 = Sunday 00:00 UTC, matching the oracle's dayofweek*24.
+    # Floor-div via pmod-subtraction (DIV truncates toward zero, which
+    # would pick the wrong hour pre-1970) and pmod for the final bucket
+    # (Spark's % follows the dividend sign; the oracle's dayofweek*24+hour
+    # is always 0..167).
     h = mc.groupBy(
         "event_type",
-        F.expr("(unix_micros(minute) DIV 3600000000 + 96) % 168").alias("how"),
+        F.expr(
+            "pmod((unix_micros(minute) - pmod(unix_micros(minute),"
+            " 3600000000)) DIV 3600000000 + 96, 168)"
+        ).alias("how"),
     ).agg(F.sum("x").alias("n"))
     # argmax as ONE aggregate (max over (n, -how) structs — ties break to
     # the earliest hour, same order as the oracle's row_number), fused
