@@ -96,12 +96,33 @@ class FakeService:
         ]
 
 
+class FakeClock:
+    """Monotonic stand-in: sleeps advance it, and a service can advance
+    it directly to model slow HTTP round-trips."""
+
+    def __init__(self):
+        self.t = 0.0
+        self.sleeps: list[float] = []
+
+    def sleep(self, s):
+        self.sleeps.append(s)
+        self.t += s
+
+    def __call__(self):
+        return self.t
+
+
 def _annotator(service, **kw):
-    sleeps: list[float] = []
+    clk = FakeClock()
     ann = RESTAnnotator(
-        BASE, api_key="k123", transport=service, sleep=sleeps.append, **kw
+        BASE,
+        api_key="k123",
+        transport=service,
+        sleep=clk.sleep,
+        clock=clk,
+        **kw,
     )
-    return ann, sleeps
+    return ann, clk.sleeps
 
 
 def _articles(n=4):
@@ -172,6 +193,32 @@ def test_poll_timeout_bounds_stuck_report():
     ann, _ = _annotator(svc, poll_timeout_s=0.9)
     with pytest.raises(AnnotationServiceError, match="not ready"):
         ann.annotate(_articles(1))
+
+
+def test_poll_timeout_counts_slow_http_time():
+    """A slow-but-responsive service must not overrun the wall-clock
+    bound: each status round-trip burns 0.5 s of clock with NO sleeps
+    scheduled, so a sleeps-only accounting would poll forever."""
+
+    class SlowService(FakeService):
+        clock = None
+
+        def get_json(self, url, headers):
+            SlowService.clock.t += 0.5
+            return super().get_json(url, headers)
+
+    svc = SlowService(pending_polls=10_000)
+    clk = FakeClock()
+    SlowService.clock = clk
+    ann = RESTAnnotator(
+        BASE, api_key="k123", transport=svc, sleep=clk.sleep, clock=clk,
+        poll_timeout_s=0.9,
+    )
+    with pytest.raises(AnnotationServiceError, match="not ready"):
+        ann.predict([{"ti": "t", "ab": "a"}], ["rct_bot"])
+    # deadline fires on wall clock: 2 slow polls (1.0 s) exceed 0.9 s
+    # even though only one 0.3 s sleep was ever scheduled
+    assert clk.sleeps == [0.3]
 
 
 def test_classify_chunking_one_request_per_batch():

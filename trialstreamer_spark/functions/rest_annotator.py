@@ -85,8 +85,13 @@ class RESTAnnotator:
     ``retry_attempts`` = download_retry_attempts (default 3);
     ``poll_interval_s`` = the hard-coded 0.3 s poll of pubmed.py:344;
     ``poll_timeout_s`` bounds a stuck report (the reference polls
-    forever — a deployability fix, not a semantic change). ``sleep`` is
-    injectable so tests assert the backoff schedule deterministically.
+    forever — a deployability fix, not a semantic change). ``sleep`` and
+    ``clock`` are injectable so tests assert the backoff schedule and the
+    timeout deadline deterministically; the timeout is a wall-clock
+    deadline (``clock() >= start + poll_timeout_s``), so time spent in
+    slow HTTP calls and retry backoffs counts toward it — counting only
+    scheduled poll sleeps would let a slow-but-responsive service overrun
+    the bound arbitrarily.
     """
 
     def __init__(
@@ -101,6 +106,7 @@ class RESTAnnotator:
         classify_batch: int = CLASSIFY_BATCH,
         pico_batch: int = PICO_BATCH,
         sleep: Callable[[float], None] = time.sleep,
+        clock: Callable[[], float] = time.monotonic,
     ) -> None:
         self.base_url = base_url
         self.api_key = api_key
@@ -112,6 +118,7 @@ class RESTAnnotator:
         self.classify_batch = classify_batch
         self.pico_batch = pico_batch
         self._sleep = sleep
+        self._clock = clock
 
     # -- protocol state machine ------------------------------------------
 
@@ -166,7 +173,10 @@ class RESTAnnotator:
             )
         report_id = queued["report_id"]
 
-        waited = 0.0
+        # Wall-clock deadline: slow HTTP round-trips and retry backoffs
+        # count toward the bound, not just the scheduled poll sleeps.
+        start = self._clock()
+        deadline = start + self.poll_timeout_s
         while True:
             status = self._with_retry(
                 lambda: t.get_json(
@@ -181,12 +191,12 @@ class RESTAnnotator:
                 raise AnnotationServiceError(
                     f"report {report_id} terminal state {state!r} (poison batch)"
                 )
-            if waited >= self.poll_timeout_s:
+            if self._clock() >= deadline:
                 raise AnnotationServiceError(
-                    f"report {report_id} not ready after {waited:.0f}s"
+                    f"report {report_id} not ready after "
+                    f"{self._clock() - start:.0f}s"
                 )
             self._sleep(self.poll_interval_s)
-            waited += self.poll_interval_s
 
         return self._with_retry(
             lambda: t.get_json(

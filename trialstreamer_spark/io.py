@@ -41,18 +41,50 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 util.register_cache_evictor(lambda token: util.evict_dict_cache(_TABLE_CACHE, token))
 
 
+# Minimum rows per cached partition. The corpus parquet is written with
+# ~1M-row row groups, which Spark cannot split: at sf0.1 EVERY table scans
+# as ONE partition and at sf1 lineitem lands 6M rows in 6 of 28 splits
+# (measured — the other 22 are empty). One round-robin shuffle at warm
+# time turns every subsequent scan of the cached relation from a
+# straggler into parallel work. The threshold is a measured trade: each
+# extra partition costs ~5-10 ms of local task dispatch per downstream
+# stage (a 600k-row agg: 0.13 s at 1 part, 0.36 s at 32), while an
+# unsplit 1M-row partition serializes ~1 s of scan work — so narrow fact
+# rows fan out at 64k rows/partition (≈9 parts at sf0.1, the full core
+# count at sf1), keeping sub-second sf0.1 rollups off the task-dispatch
+# tax while sf1 gets full width. On a real cluster this knob is the
+# table layout's file/row-group sizing; the cache shuffle is the
+# local-mode stand-in.
+_WARM_ROWS_PER_PARTITION = 65536
+
+# documents rows are ~KB of text each and the tokenize/regex family is
+# CPU-bound per row (measured: sf1 fan-out cuts the text stragglers
+# 2-6x), so they fan out at a much lower row count than the narrow
+# numeric fact rows.
+_WARM_ROWS_OVERRIDE = {"documents": 1024}
+
+
 def warm_cache(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> None:
     """Register every corpus table once for this session: persist in
     memory (deserialized columnar) and materialize. Subsequent load()
     calls reuse the cached plan — cutting the per-query footer-read +
-    scan-build fixed cost that dominates a 33-query bench run."""
+    scan-build fixed cost that dominates a multi-query bench run — and
+    re-spread giant unsplittable row groups across the cores (see
+    _WARM_ROWS_PER_PARTITION)."""
     key_session = id(spark._jsparkSession)
+    par = spark.sparkContext.defaultParallelism
     for name in tables:
         key = (key_session, sf_dir, name)
         if key not in _TABLE_CACHE:
-            df = load(spark, sf_dir, name).persist()
+            raw = load(spark, sf_dir, name)
+            n = raw.count()
+            rpp = _WARM_ROWS_OVERRIDE.get(name, _WARM_ROWS_PER_PARTITION)
+            target = max(1, min(par, n // rpp))
+            if target > 1:
+                raw = raw.repartition(target)
+            df = raw.persist()
             df.count()
             _TABLE_CACHE[key] = df
 

@@ -651,10 +651,19 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group — the windowed generalization of the reference's
     global ORDER BY/LIMIT rankings (T1/A6). At scale: one shuffle on the
-    group key; rank truncation happens inside the window operator, so
-    only k rows per group survive to the output. Prices compared as
-    integer cents so ordering (and thus the selected set) is identical
-    across engines."""
+    group key; WindowGroupLimit truncates rank>k rows MAP-SIDE, so the
+    shuffle carries only k rows per group per map slice. Prices compared
+    as integer cents so ordering (and thus the selected set) is
+    identical across engines.
+
+    A max-struct cascade (rank 1 = hash max(struct(price, -key)), rank 2
+    = the same max over the rows beaten by the broadcast-back champion)
+    was measured as the alternative and LOST at both sf0.1 and sf1
+    (0.62/0.57 s vs 0.34/0.32 s): this plan's former 1.8 s sf1 straggler
+    was a cached-scan partition-skew artifact (one 1M-row row group in an
+    otherwise-empty layout — fixed in io.warm_cache), not the per-slice
+    sort, and the cascade's second scan + join overhead costs more than
+    a 32-way-parallel bounded sort saves."""
     o = load(spark, sf_dir, "orders")
     from pyspark.sql import Window as W
 
