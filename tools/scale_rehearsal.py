@@ -48,7 +48,7 @@ def best_of(f, n: int = 3) -> float:
     return best
 
 
-def rehearse(spark, sf_dir: str, names=None) -> dict:
+def rehearse(spark, sf_dir: str, names=None, oracle_reuse: dict | None = None) -> dict:
     from trialstreamer_spark.io import prepare_buckets, warm_cache
     from trialstreamer_spark.operators.clustering import prepare_pq, prepare_semdedup
     from trialstreamer_spark.operators.dedup import prepare_dedup
@@ -90,12 +90,22 @@ def rehearse(spark, sf_dir: str, names=None) -> dict:
             )
         except Exception as e:  # noqa: BLE001 — recorded, not fatal
             row["spark_error"] = repr(e)[:200]
-        try:
-            row["duckdb_s"] = round(
-                best_of(lambda: con.execute(ORACLES[name]).fetchall()), 3
-            )
-        except Exception as e:  # noqa: BLE001
-            row["duckdb_error"] = repr(e)[:200]
+        reused = (oracle_reuse or {}).get(name, {})
+        if "duckdb_s" in reused or "duckdb_error" in reused:
+            # --reuse-oracle: Spark-side plan changes don't move the
+            # DuckDB timings (same SQL, same parquet), so a full
+            # re-measure can skip the ~25 min / 40 GiB-spill oracle leg
+            # and copy the prior run's numbers.
+            for k in ("duckdb_s", "duckdb_error"):
+                if k in reused:
+                    row[k] = reused[k]
+        else:
+            try:
+                row["duckdb_s"] = round(
+                    best_of(lambda: con.execute(ORACLES[name]).fetchall()), 3
+                )
+            except Exception as e:  # noqa: BLE001
+                row["duckdb_error"] = repr(e)[:200]
         if "spark_s" in row and row.get("duckdb_s"):
             row["ratio"] = round(row["spark_s"] / row["duckdb_s"], 2)
         out["queries"][name] = row
@@ -108,19 +118,32 @@ def rehearse(spark, sf_dir: str, names=None) -> dict:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "scale_rehearsal.json"
-    unknown = [n for n in sys.argv[2:] if n not in QUERIES]
+    argv = list(sys.argv[1:])
+    reuse_path = None
+    if "--reuse-oracle" in argv:
+        i = argv.index("--reuse-oracle")
+        reuse_path = argv[i + 1]
+        del argv[i : i + 2]
+    out_path = argv[0] if argv else "scale_rehearsal.json"
+    unknown = [n for n in argv[1:] if n not in QUERIES]
     if unknown:
         # A typo must not silently fall back to rehearsing the FULL
         # registry at both scales (hours of work for a one-query re-run).
         sys.exit(f"unknown query name(s): {unknown}")
-    names = list(sys.argv[2:]) or None
+    names = argv[1:] or None
+    reuse_by_dir: dict = {}
+    if reuse_path:
+        for run in json.load(open(reuse_path)):
+            reuse_by_dir[os.path.basename(run["sf_dir"])] = run["queries"]
     spark = get_spark("scale-rehearsal")
+    sf1_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scale_data", "sf1")
     results = [
-        rehearse(spark, "/root/testdata/sf0.1", names),
-        rehearse(spark, os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "scale_data", "sf1"), names),
+        rehearse(spark, "/root/testdata/sf0.1", names,
+                 oracle_reuse=reuse_by_dir.get("sf0.1")),
+        rehearse(spark, sf1_dir, names,
+                 oracle_reuse=reuse_by_dir.get("sf1")),
     ]
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

@@ -1221,3 +1221,84 @@ def trailing_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts_us", "trailing_hour_cents")
         .orderBy("event_id")
     )
+
+
+@query(
+    "daily_autocovariance",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+           CAST(SUM(a.x) AS BIGINT) AS sx,
+           CAST(SUM(b.x) AS BIGINT) AS sy,
+           CAST(COUNT(*) * SUM(a.x * b.x) - SUM(a.x) * SUM(b.x)
+                AS BIGINT) AS autocov_num
+    FROM d a
+    JOIN d b
+      ON a.event_type = b.event_type
+     AND b.day_us = a.day_us + 86400000000
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def daily_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocovariance of each event type's daily-arrival series —
+    the burstiness/seasonality screen an ingestion monitor runs before
+    trusting a day-over-day rate alert (high positive autocovariance =
+    trending/seasonal, near zero = memoryless). Emitted as the exact
+    integer moments (n, Σx·y, Σx, Σy) plus the covariance NUMERATOR
+    n·Σxy − Σx·Σy, so both engines compare pure int64 — the variance
+    normalization is one client-side division away and would be the
+    only inexact step. Pairs are consecutive PRESENT days (a day with
+    zero arrivals for a type breaks the chain rather than riding as a
+    synthetic zero — absence of the row is the signal the monitor keys
+    on separately via event_gap_stats).
+
+    Scale shape: rolls the (event_type, minute) census sidecar up to
+    days (dimension-bounded: |types|×|days| rows), then one tiny
+    equi-join on (type, day+1) and a |types|-row aggregate — the events
+    fact is never rescanned. Day indices come from floor-safe epoch
+    arithmetic (pmod subtraction), not session-zone date functions,
+    because the census cache-hit path bypasses io.load's UTC pin."""
+    mc = minute_census(spark, sf_dir)
+    day_us = F.expr(
+        "unix_micros(minute) - pmod(unix_micros(minute), 86400000000)"
+    ).alias("day_us")
+    d = mc.groupBy("event_type", day_us).agg(F.sum("x").alias("x"))
+    a = d.select("event_type", "day_us", F.col("x").alias("xa"))
+    b = d.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day_us").alias("day_b"),
+        F.col("x").alias("xb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("day_b") == F.col("day_us") + F.lit(86400000000)),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            "sxy",
+            "sx",
+            "sy",
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .alias("autocov_num"),
+        )
+        .orderBy("event_type")
+    )

@@ -2112,3 +2112,65 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "token_gini_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM cnt GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, sum_sq,
+           CAST(((n_tokens * n_tokens - sum_sq) * 1000000)
+                // (n_tokens * n_tokens) AS BIGINT) AS gini_fp
+    FROM agg
+    ORDER BY source
+    """,
+)
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of each source's unigram distribution — the
+    rational-arithmetic twin of Shannon entropy (1 − Σp², no logs, so
+    both engines compute identical integers) used as a cheap "is this
+    slice dominated by a few tokens" mixture diagnostic alongside
+    [hapax mass / TV distance]. Emitted as exact int64: token total,
+    type count, Σc², and the impurity in 1e-6 fixed point.
+
+    Scale shape: reads ONLY the (source, tok, c) rollup sidecar
+    (|vocab × sources| rows, built once per corpus version by
+    prepare_curation); the query itself is one dimension-bounded
+    groupBy with map-side partials. At a 10¹²-token corpus the c² sums
+    need DECIMAL(38) before int64 overflows; the shape is unchanged."""
+    c = source_token_counts(spark, sf_dir)
+    t2 = F.col("n_tokens") * F.col("n_tokens")
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "sum_sq",
+            F.expr(
+                "((n_tokens * n_tokens - sum_sq) * 1000000)"
+                " DIV (n_tokens * n_tokens)"
+            ).alias("gini_fp"),
+        )
+        .orderBy("source")
+    )

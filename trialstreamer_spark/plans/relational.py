@@ -2707,14 +2707,24 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name")
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    unit = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit_c).alias("unit_cents")
+    # The type-slice filter joins into the FACT before the rollup: only
+    # ~1/|p_type domain| of parts survive, so the (partkey, suppkey)
+    # rollup and the per-part rank process 25x fewer rows than a
+    # rollup-everything-then-filter plan (which computed a min for every
+    # part and discarded 96% against the dim). A partkey-equi join keeps
+    # the bucketed layout's HashPartitioning, so the chain stays
+    # exchange-free on the fact side whether the sliced dim broadcasts
+    # (small SF) or shuffles itself to the buckets (100 TB).
+    unit = (
+        l.join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(F.min(unit_c).alias("unit_cents"))
     )
     w = W.partitionBy("l_partkey").orderBy("unit_cents", "l_suppkey")
     return (
         unit.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .join(_sf_dim(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("p_partkey", F.col("l_partkey"))
         .join(_sf_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("p_partkey").alias("partkey"),
