@@ -2210,3 +2210,72 @@ def canonical_selection_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("regret_share_fp"),
         )
     )
+
+
+#: 2^53 + 1 (prime-free but odd modulus > any driver float concern;
+#: chosen inside the exact-integer range of BOTH engines' BIGINT and of
+#: IEEE doubles, so the checksum survives any float round-trip too).
+CHECKSUM_MODULUS = 9007199254740993
+
+
+@query(
+    "corpus_checksum_by_source",
+    oracle=f"""
+    WITH rowhash AS (
+      SELECT source,
+             md5(concat_ws(chr(31), doc_id, lang, text)) AS h
+      FROM documents
+    ),
+    chunk AS (
+      SELECT source,
+             CAST(CAST(from_hex(substr(h, 1, 12)) AS BIT) AS BIGINT) AS v,
+             h
+      FROM rowhash
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) % {CHECKSUM_MODULUS} AS BIGINT) AS checksum,
+           MIN(h) AS min_hash,
+           MAX(h) AS max_hash
+    FROM chunk
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_checksum_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per source — the
+    migration-validation audit a user switching engines (the brief's
+    own scenario) runs on both systems and diffs: per source, the row
+    count, the modular sum of a 48-bit md5 prefix of each row's
+    canonical encoding, and the min/max row hash. Any dropped,
+    duplicated, or mutated row moves the checksum; commutative addition
+    makes it independent of partitioning, task order, and engine. The
+    same shape backs the warehouse's CDF diff fingerprints
+    (operators/upsert.py) — this is its read-only, cross-engine face.
+
+    Exactness across engines: md5 is bit-identical everywhere;
+    concat_ws skips NULLs identically in Spark and DuckDB; the 48-bit
+    prefix sum accumulates in DECIMAL(38)/HUGEINT (an int64 SUM would
+    overflow at ~32k rows) and reduces mod 2^53+1, inside every
+    engine's exact-integer range. Scale shape: one map-side-partial
+    hash aggregate; the shuffle carries |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("\x1f", F.col("doc_id"), F.col("lang"), F.col("text")))
+    return (
+        d.select("source", h.alias("h"))
+        .select(
+            "source",
+            "h",
+            F.conv(F.substring("h", 1, 12), 16, 10).cast("decimal(38,0)").alias("v"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(f"CAST(SUM(v) % {CHECKSUM_MODULUS} AS BIGINT)").alias(
+                "checksum"
+            ),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+        .orderBy("source")
+    )
