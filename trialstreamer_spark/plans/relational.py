@@ -1982,10 +1982,21 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     rev = l.groupBy("l_suppkey").agg(F.sum(cents).alias("total_rev_c"))
-    best = rev.agg(F.max("total_rev_c").alias("max_rev_c"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # The scalar max rides a global window over the |suppliers|-row
+    # rollup instead of a separate agg + crossJoin consumption of `rev`
+    # (which re-ran the fact scan absent runtime exchange reuse). The
+    # single-partition window frame is dimension-sized by construction.
     return (
-        rev.crossJoin(F.broadcast(best))
+        rev.withColumn(
+            "max_rev_c",
+            # pmod(key, 1) is a constant 0 that is NOT foldable-literal,
+            # so the planner routes all |suppliers| rows to one window
+            # partition without WindowExec's no-partition warning.
+            F.max("total_rev_c").over(
+                W.partitionBy(F.expr("pmod(l_suppkey, 1)"))
+            ),
+        )
         .where(F.col("total_rev_c") == F.col("max_rev_c"))
         .join(_sf_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
@@ -3145,14 +3156,22 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
         .agg(F.sum("rev_u").alias("rev_u"))
     )
-    tot = rev.groupBy("nation").agg(
-        F.sum("rev_u").alias("tot_u"),
-        F.count("*").alias("n_suppliers"),
-    )
-    share = rev.join(F.broadcast(tot), "nation").select(
+    # Totals via a window over the |suppliers|-row rollup, NOT a second
+    # aggregate-and-join-back consumption of `rev`: the plan consumed
+    # `rev` twice, and without runtime exchange reuse that re-ran the
+    # whole fact scan + join + rollup (measured 1.9x slower at sf0.1).
+    # The round-6 "windows lose to rollup+join-back" negative result
+    # applied to CORPUS-sized window frames; this frame is the
+    # dimension-sized rollup, where the window's one small exchange
+    # replaces a full second fact pass.
+    w = W.partitionBy("nation")
+    share = rev.select(
         "nation",
-        "n_suppliers",
-        F.expr("(1000000 * rev_u) DIV tot_u").alias("share_fp"),
+        F.count("*").over(w).alias("n_suppliers"),
+        (F.lit(1000000) * F.col("rev_u")).alias("num"),
+        F.sum("rev_u").over(w).alias("tot_u"),
+    ).select(
+        "nation", "n_suppliers", F.expr("num DIV tot_u").alias("share_fp")
     )
     return (
         share.groupBy("nation", "n_suppliers")
