@@ -123,3 +123,39 @@ def test_prefix_filter_is_lossless_with_hot_boilerplate(spark, tmp_path):
     want = _brute_force_pairs(docs)
     assert got == want
     assert want, "fixture must actually produce qualifying pairs"
+
+
+def test_prefix_filter_matches_brute_force_on_random_corpora(spark, tmp_path):
+    """Seeded random corpora with planted near-dups at varying overlap
+    levels around the t=0.5 boundary — the count-bound must keep every
+    J >= 0.5 pair and the verify must reject everything below."""
+    import os
+    import random
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(60)]
+    docs: dict[int, str] = {}
+    did = 0
+    for _ in range(12):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 18))]
+        docs[did] = " ".join(base)
+        did += 1
+        # planted variant: mutate a random fraction of tokens
+        if rng.random() < 0.7:
+            var = list(base)
+            for _ in range(rng.randint(0, max(1, len(base) // 2))):
+                var[rng.randrange(len(var))] = rng.choice(vocab)
+            docs[did] = " ".join(var)
+            did += 1
+    sf_dir = str(tmp_path / "sfR")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in QUERIES["jaccard_prefix_filter_pairs"](spark, sf_dir).collect()
+    }
+    assert got == _brute_force_pairs(docs)

@@ -1115,17 +1115,25 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue is per-row rounded to integer cents THEN summed (the
     engine-parity float discipline: IEEE multiplication is deterministic
     per row; only float SUMS are accumulation-order-dependent)."""
+    from trialstreamer_spark.io import bucketed_table
+
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").where(
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    o = (ob if ob is not None else load(spark, sf_dir, "orders")).where(
         (F.col("o_orderdate") >= "1995-01-01")
         & (F.col("o_orderdate") < "1997-01-01")
     )
-    l = load(spark, sf_dir, "lineitem")
+    l = lb if lb is not None else load(spark, sf_dir, "lineitem")
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
+    if lb is not None and ob is not None:
+        # the one fact-fact leg rides the shared orderkey bucket layout —
+        # co-located merge, no exchange on either fact at any SF
+        l = l.hint("merge")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1224,21 +1232,29 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB broadcasts the filtered customer-segment dim into the
     orders join, keeps the date predicates pushed into both fact scans
     (partition pruning on a date-partitioned warehouse), and finishes
-    with TakeOrderedAndProject — no global sort. Revenue uses the
-    per-row round-to-cents-then-sum discipline (see regional_revenue).
+    with TakeOrderedAndProject — no global sort. The fact-fact leg
+    rides the shared orderkey bucket layout when prepared (co-located
+    merge, no exchange on either fact). Revenue uses the per-row
+    round-to-cents-then-sum discipline (see regional_revenue).
     Timestamps leave as epoch micros per the registry conventions."""
+    from trialstreamer_spark.io import bucketed_table
+
     c = load(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = load(spark, sf_dir, "orders").where(
+    ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
+    lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
+    o = (ob if ob is not None else load(spark, sf_dir, "orders")).where(
         F.col("o_orderdate") < "1996-01-01"
     )
-    l = load(spark, sf_dir, "lineitem").where(
+    l = (lb if lb is not None else load(spark, sf_dir, "lineitem")).where(
         F.col("l_shipdate") > "1996-01-01"
     )
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
+    if lb is not None and ob is not None:
+        l = l.hint("merge")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(_sf_dim(c), o.o_custkey == c.c_custkey)
