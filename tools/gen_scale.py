@@ -38,7 +38,18 @@ LANGS = ["en", "de", "zh", "fr", "es"]
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # 64k-row row groups, NOT pyarrow's ~1M default: Spark cannot split
+    # a row group, so a 1M-row group scans as one partition regardless
+    # of spark.sql.files.maxPartitionBytes (measured in round 8: the
+    # driver's sf0.1 corpus scans every table single-threaded, and the
+    # earlier sf1 run here landed 6M lineitem rows in 6 of 28 splits).
+    # io.warm_cache re-spreads cached relations as a runtime stand-in;
+    # this writes any FUTURE corpus with a splittable layout at the
+    # source. (Existing scale_data is NOT regenerated — its timings are
+    # the committed rehearsal baselines.)
+    pq.write_table(
+        table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=65536
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 
