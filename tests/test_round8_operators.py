@@ -34,6 +34,7 @@ SF = "/root/testdata/sf0.001"
         "jaccard_prefix_filter_pairs",
         "token_gini_by_source",
         "daily_autocovariance",
+        "containment_pairs_capped",
     ],
 )
 def test_round8_queries_match_oracle(spark, name):

@@ -395,6 +395,18 @@ def minhash_candidates(
     return out
 
 
+def _pairs_from_lists(lists: DataFrame) -> DataFrame:
+    """Double-explode a (shingle, ds:[(doc_id, n_sh)]) lists table into
+    per-shared-shingle doc pairs (a < b) — the capped pair generator
+    shared by the Jaccard and containment variants. Safe because df_cap
+    bounds every list, so the Generate fan-out is ≤ C(df_cap, 2)."""
+    return (
+        lists.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -439,61 +451,8 @@ def jaccard_pairs(
 
     sh = shingle_postings(docs, id_col, text_col, cache_key=cache_key)
     if df_cap is not None:
-        if "df" in sh.columns:
-            # Materialized postings carry df (index-build statistic):
-            # the hot-shingle prune is a narrow filter — no per-query
-            # aggregation at all. This is the 100 TB configuration.
-            kept = sh.filter(F.col("df") <= df_cap)
-        else:
-            # Ad-hoc path (no materialized postings): prune WITHOUT
-            # shuffling the postings by shingle — the set of shingles
-            # with df > cap is small by construction (≤ |postings| /
-            # cap), so aggregate just that set (map-side partial agg;
-            # only (shingle, count) partials shuffle) and
-            # broadcast-anti-join it away. An ultra-hot shingle never
-            # routes every posting to one reducer, which is exactly the
-            # skew the cap exists to prevent.
-            hot = (
-                sh.groupBy("shingle")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") > df_cap)
-                .select("shingle")
-            )
-            kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        # Post-prune set sizes via a window over doc_id, which reuses
-        # the partitioning shingle_postings established (sort within
-        # partitions, no new exchange).
-        sh = kept.withColumn(
-            "n_sh", F.count("*").over(W.partitionBy("doc_id"))
-        ).select("doc_id", "n_sh", "shingle")
-
-        def build_lists() -> DataFrame:
-            # SHARED shingles only (singletons generate no pairs), with
-            # the post-prune set size stamped in the structs — the same
-            # lists-sidecar shape as winnow_fp_lists
-            return (
-                sh.groupBy("shingle")
-                .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
-                .where(F.size("ds") > 1)
-            )
-
-        if cache_key is not None:
-            from trialstreamer_spark.sidecars import disk_cached_plan
-
-            lists = disk_cached_plan(
-                docs.sparkSession,
-                cache_key,
-                "jaccard_doc_lists",
-                build_lists,
-                key_extra=(df_cap,),
-            )
-        else:
-            lists = build_lists()
-        paired = (
-            lists.select(F.explode("ds").alias("a"), "ds")
-            .select("a", F.explode("ds").alias("b"))
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        )
+        lists = capped_doc_lists(docs, id_col, text_col, df_cap, cache_key)
+        paired = _pairs_from_lists(lists)
     else:
         a, b = sh.alias("a"), sh.alias("b")
         paired = a.join(
@@ -519,6 +478,72 @@ def jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def capped_doc_lists(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = 5,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The df-capped shared-shingle lists sidecar: (shingle,
+    ds:[(doc_id, post-prune n_sh)]) for shingles with 2..df_cap
+    postings — the bounded feature space every capped similarity
+    variant (Jaccard, containment) pairs over. Disk-backed per
+    (corpus, df_cap)."""
+    from pyspark.sql import Window as W
+
+    sh = shingle_postings(docs, id_col, text_col, cache_key=cache_key)
+    if "df" in sh.columns:
+        # Materialized postings carry df (index-build statistic):
+        # the hot-shingle prune is a narrow filter — no per-query
+        # aggregation at all. This is the 100 TB configuration.
+        kept = sh.filter(F.col("df") <= df_cap)
+    else:
+        # Ad-hoc path (no materialized postings): prune WITHOUT
+        # shuffling the postings by shingle — the set of shingles
+        # with df > cap is small by construction (≤ |postings| /
+        # cap), so aggregate just that set (map-side partial agg;
+        # only (shingle, count) partials shuffle) and
+        # broadcast-anti-join it away. An ultra-hot shingle never
+        # routes every posting to one reducer, which is exactly the
+        # skew the cap exists to prevent.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # Post-prune set sizes via a window over doc_id, which reuses
+    # the partitioning shingle_postings established (sort within
+    # partitions, no new exchange).
+    sh = kept.withColumn(
+        "n_sh", F.count("*").over(W.partitionBy("doc_id"))
+    ).select("doc_id", "n_sh", "shingle")
+
+    def build_lists() -> DataFrame:
+        # SHARED shingles only (singletons generate no pairs), with
+        # the post-prune set size stamped in the structs — the same
+        # lists-sidecar shape as winnow_fp_lists
+        return (
+            sh.groupBy("shingle")
+            .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+            .where(F.size("ds") > 1)
+        )
+
+    if cache_key is not None:
+        from trialstreamer_spark.sidecars import disk_cached_plan
+
+        return disk_cached_plan(
+            docs.sparkSession,
+            cache_key,
+            "jaccard_doc_lists",
+            build_lists,
+            key_extra=(df_cap,),
+        )
+    return build_lists()
 
 
 def simhash_table(
@@ -2831,4 +2856,118 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_fp"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+#: Containment threshold t = 4/5: inner doc counts as contained when
+#: |A∩B| / |A| >= 0.8 over the capped feature space.
+CONTAINMENT_T_NUM, CONTAINMENT_T_DEN = 4, 5
+
+
+@query(
+    "containment_pairs_capped",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM posting)
+      WHERE df <= 5
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT c.doc_a, c.doc_b, c.n_common,
+             sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a AS inner_doc, doc_b AS outer_doc,
+           CAST(n_a AS BIGINT) AS n_inner,
+           CAST(n_b AS BIGINT) AS n_outer,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST((1000000 * n_common) // n_a AS BIGINT) AS containment_fp
+    FROM pb WHERE 5 * n_common >= 4 * n_a
+    UNION ALL
+    SELECT doc_b, doc_a,
+           CAST(n_b AS BIGINT), CAST(n_a AS BIGINT),
+           CAST(n_common AS BIGINT),
+           CAST((1000000 * n_common) // n_b AS BIGINT)
+    FROM pb WHERE 5 * n_common >= 4 * n_b
+    ORDER BY inner_doc, outer_doc
+    """,
+)
+def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT join over the df-capped feature space:
+    directed (inner, outer) pairs where |inner ∩ outer| / |inner| >=
+    0.8 — the excerpt/quote detector Jaccard structurally misses (a
+    paragraph quoted inside a 100x longer page has J ≈ 0.01 but
+    containment = 1.0; the same asymmetry flags template-wrapped
+    re-posts and subset-crawls). Both directions are tested
+    independently, so mutual near-dups emit both rows. Integer
+    predicate 5·c >= 4·|inner| and 1e-6 fixed-point score keep both
+    engines bit-identical.
+
+    Scale shape: identical machinery to dedup_jaccard_capped — the
+    SAME disk-backed capped lists sidecar (built once per (corpus,
+    df_cap)), the same bounded double-explode pair generation (fan-out
+    ≤ C(df_cap, 2) per shingle however hot the boilerplate), one
+    grouped count, and a two-direction projection of the one pair
+    frame (no second pass). Containment over the PRUNED feature space
+    is deliberate: at 100 TB the ubiquitous shingles carry no
+    containment signal and would alone quadratically dominate the
+    join, exactly as for capped Jaccard."""
+    lists = capped_doc_lists(
+        load(spark, sf_dir, "documents"), df_cap=5, cache_key=sf_dir
+    )
+    pairs = (
+        _pairs_from_lists(lists)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    fwd = pairs.where(
+        F.lit(CONTAINMENT_T_DEN) * F.col("n_common")
+        >= F.lit(CONTAINMENT_T_NUM) * F.col("n_a")
+    ).select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        F.col("n_a").alias("n_inner"),
+        F.col("n_b").alias("n_outer"),
+        "n_common",
+    )
+    rev = pairs.where(
+        F.lit(CONTAINMENT_T_DEN) * F.col("n_common")
+        >= F.lit(CONTAINMENT_T_NUM) * F.col("n_b")
+    ).select(
+        F.col("doc_b").alias("inner_doc"),
+        F.col("doc_a").alias("outer_doc"),
+        F.col("n_b").alias("n_inner"),
+        F.col("n_a").alias("n_outer"),
+        "n_common",
+    )
+    return (
+        fwd.unionByName(rev)
+        .select(
+            "inner_doc",
+            "outer_doc",
+            "n_inner",
+            "n_outer",
+            "n_common",
+            F.expr("(1000000 * n_common) DIV n_inner").alias(
+                "containment_fp"
+            ),
+        )
+        .orderBy("inner_doc", "outer_doc")
     )
