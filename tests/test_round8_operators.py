@@ -35,6 +35,7 @@ SF = "/root/testdata/sf0.001"
         "token_gini_by_source",
         "daily_autocovariance",
         "containment_pairs_capped",
+        "weekly_value_quantile_drift",
     ],
 )
 def test_round8_queries_match_oracle(spark, name):

@@ -1302,3 +1302,132 @@ def daily_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: One week of epoch microseconds (weekly drift bucketing).
+WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "weekly_value_quantile_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT epoch_us(ts) // {WEEK_US} AS week_idx,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    vc AS (
+      SELECT week_idx, v_c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT week_idx, v_c, cnt,
+             SUM(cnt) OVER (PARTITION BY week_idx ORDER BY v_c) AS cum_n,
+             SUM(cnt) OVER (PARTITION BY week_idx) AS n
+      FROM vc
+    ),
+    wk AS (
+      SELECT week_idx,
+             CAST(MAX(n) AS BIGINT) AS n_events,
+             CAST(MIN(CASE WHEN 100 * cum_n >= 50 * n THEN v_c END)
+                  AS BIGINT) AS p50_c,
+             CAST(MIN(CASE WHEN 100 * cum_n >= 90 * n THEN v_c END)
+                  AS BIGINT) AS p90_c
+      FROM cum GROUP BY week_idx
+    ),
+    gc AS (
+      SELECT v_c, CAST(SUM(cnt) AS BIGINT) AS cnt FROM vc GROUP BY v_c
+    ),
+    gcum AS (
+      SELECT v_c, SUM(cnt) OVER (ORDER BY v_c) AS cum_n,
+             SUM(cnt) OVER () AS n
+      FROM gc
+    ),
+    g AS (
+      SELECT CAST(MIN(CASE WHEN 100 * cum_n >= 50 * n THEN v_c END)
+                  AS BIGINT) AS gp50_c
+      FROM gcum
+    )
+    SELECT wk.week_idx, wk.n_events, wk.p50_c, wk.p90_c, g.gp50_c,
+           CASE WHEN 5 * wk.p50_c > 6 * g.gp50_c THEN 'high'
+                WHEN 5 * wk.p50_c < 4 * g.gp50_c THEN 'low'
+                ELSE 'normal' END AS drift
+    FROM wk, g
+    ORDER BY wk.week_idx
+    """,
+)
+def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly exact value quantiles vs the corpus median — the
+    distribution-shift monitor a mixture pipeline runs per snapshot
+    ("did this week's spend/size distribution move, not just its
+    mean"): per epoch-week, exact discrete p50/p90 of the integer-cent
+    value, the global p50, and a high/low/normal drift flag at ±20%.
+    All exact integers: quantiles come from a value-count CDF (min
+    value whose cumulative count crosses the rank), the drift compare
+    is cross-multiplied (5·p50 vs 6·gp50), and week indexing is
+    truncating integer division of epoch micros — Spark DIV and
+    DuckDB // agree for any sign (both truncate toward zero on
+    integers; verified -7//2 = -3 in DuckDB).
+
+    Scale shape: ONE map-side-partial rollup to (week, cent) counts
+    bounds every later stage by |value domain| × |weeks|, not corpus
+    rows; the CDF windows and the global rollup run on that frame, and
+    the 1-row global median broadcasts back. The mean-based sibling
+    (daily_value_drift) rides the minute census; quantiles need the
+    per-value histogram, which the census deliberately does not carry
+    (it would multiply census cardinality by the value domain)."""
+    e = load(spark, sf_dir, "events")
+    vc = (
+        e.select(
+            F.expr(f"unix_micros(ts) DIV {WEEK_US}").alias("week_idx"),
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        )
+        .groupBy("week_idx", "v_c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def cdf_quantiles(counts: DataFrame, keys: list[str]) -> DataFrame:
+        w = W.partitionBy(*keys) if keys else W.partitionBy(
+            F.expr("pmod(v_c, 1)")
+        )
+        cum = counts.select(
+            *keys,
+            "v_c",
+            F.sum("cnt").over(w.orderBy("v_c")).alias("cum_n"),
+            F.sum("cnt").over(w).alias("n"),
+        )
+        rank = lambda q: F.min(
+            F.when(F.lit(100) * F.col("cum_n") >= F.lit(q) * F.col("n"), F.col("v_c"))
+        )
+        return cum.groupBy(*keys).agg(
+            F.max("n").alias("n_events"),
+            rank(50).alias("p50_c"),
+            rank(90).alias("p90_c"),
+        )
+
+    wk = cdf_quantiles(vc, ["week_idx"])
+    g = (
+        cdf_quantiles(
+            vc.groupBy("v_c").agg(F.sum("cnt").alias("cnt")), []
+        )
+        .select(F.col("p50_c").alias("gp50_c"))
+    )
+    return (
+        wk.crossJoin(F.broadcast(g))
+        .select(
+            "week_idx",
+            "n_events",
+            "p50_c",
+            "p90_c",
+            "gp50_c",
+            F.when(
+                F.lit(5) * F.col("p50_c") > F.lit(6) * F.col("gp50_c"), "high"
+            )
+            .when(
+                F.lit(5) * F.col("p50_c") < F.lit(4) * F.col("gp50_c"), "low"
+            )
+            .otherwise("normal")
+            .alias("drift"),
+        )
+        .orderBy("week_idx")
+    )
