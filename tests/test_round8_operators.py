@@ -36,6 +36,7 @@ SF = "/root/testdata/sf0.001"
         "daily_autocovariance",
         "containment_pairs_capped",
         "weekly_value_quantile_drift",
+        "mips_topk",
     ],
 )
 def test_round8_queries_match_oracle(spark, name):

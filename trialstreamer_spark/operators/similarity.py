@@ -1744,3 +1744,48 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_embedded) DIV n_docs").alias("coverage_fp"),
         )
     )
+
+
+@query(
+    "mips_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS neighbor_id, e.label,
+           CAST({_DD_DOT_FP.format(a="e.embedding", b="q.qvec")} AS BIGINT)
+             AS dot_fp
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY dot_fp DESC, neighbor_id
+    LIMIT 10
+    """,
+)
+def mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-INNER-PRODUCT top-10 of vec_id=0 — the retrieval scoring
+    recommendation/reranking systems use, deliberately distinct from
+    cosine: MIPS favors long vectors (no norm division), so a popular/
+    high-magnitude item can outrank a better-aligned but shorter one.
+    Kept alongside ann_cosine_topk so both similarity contracts exist;
+    the classic MIPS→cosine reduction (augment each vector with
+    sqrt(M² − |v|²) so unit-norm search recovers inner-product order)
+    then makes every IVF/LSH index here serve MIPS unchanged.
+
+    Even stricter engine parity than cosine: the score is the exact
+    int64 fixed-point dot itself (per-term floor at 1e-7 resolution,
+    summed associatively) — no float division anywhere, so the ranking
+    AND the values are bit-identical. Same scale shape as the cosine
+    baseline: the query vector rides the Arrow-UDF closure (nothing
+    joined), one corpus scan, TakeOrderedAndProject."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+    s = scores_vs_query_udf(qv)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            s(F.col("embedding")).alias("s"),
+        )
+        .select("neighbor_id", "label", F.col("s.dot").alias("dot_fp"))
+        .orderBy(F.col("dot_fp").desc(), "neighbor_id")
+        .limit(10)
+    )
