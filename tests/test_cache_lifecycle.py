@@ -140,6 +140,14 @@ def test_warm_cache_respreads_unsplittable_row_groups(spark, monkeypatch):
     monkeypatch.setattr(io, "_WARM_ROWS_PER_PARTITION", 100)
     monkeypatch.setattr(io, "_WARM_ROWS_OVERRIDE", {})
     sf_dir = "/root/testdata/sf0.001"
+    # warm_cache silently skips tables already cached for this
+    # (session, sf_dir) — evict any entry an EARLIER test warmed, or
+    # the patched threshold never applies (order-dependent failure).
+    jvm = id(spark._jsparkSession)
+    for name in ("orders", "region"):
+        stale = io._TABLE_CACHE.pop((jvm, sf_dir, name), None)
+        if stale is not None:
+            stale.unpersist()
     try:
         io.warm_cache(spark, sf_dir, ("orders", "region"))
         orders = io.load(spark, sf_dir, "orders")

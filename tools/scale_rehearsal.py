@@ -99,6 +99,11 @@ def rehearse(spark, sf_dir: str, names=None, oracle_reuse: dict | None = None) -
             for k in ("duckdb_s", "duckdb_error"):
                 if k in reused:
                     row[k] = reused[k]
+            # Provenance: a carried-over oracle timing must stay
+            # distinguishable from a freshly measured one in the
+            # committed artifact (ADVICE r8) — ratios built on reuse
+            # are not one-session numbers.
+            row["duckdb_reused"] = True
         else:
             try:
                 row["duckdb_s"] = round(

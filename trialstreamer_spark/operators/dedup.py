@@ -2775,11 +2775,19 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical."""
     from pyspark.sql import Window as W
 
-    sh = shingle_postings(
+    sh_full = shingle_postings(
         load(spark, sf_dir, "documents"), cache_key=sf_dir
-    ).select("doc_id", "n_sh", "shingle")
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = sh.join(dfreq, "shingle").withColumn(
+    )
+    sh = sh_full.select("doc_id", "n_sh", "shingle")
+    if "df" in sh_full.columns:
+        # Materialized postings carry df (the same index-build statistic
+        # capped_doc_lists reuses): the rarity rank needs NO per-query
+        # re-aggregation — just the doc_id window over columns at hand.
+        with_df = sh_full.select("doc_id", "n_sh", "shingle", "df")
+    else:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        with_df = sh.join(dfreq, "shingle")
+    ranked = with_df.withColumn(
         "pos",
         F.row_number().over(
             W.partitionBy("doc_id").orderBy("df", "shingle")

@@ -2212,9 +2212,12 @@ def canonical_selection_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: 2^53 + 1 (prime-free but odd modulus > any driver float concern;
-#: chosen inside the exact-integer range of BOTH engines' BIGINT and of
-#: IEEE doubles, so the checksum survives any float round-trip too).
+#: 2^53 + 1: every REDUCED value lies in [0, 2^53], a range whose
+#: integers are all exactly representable in IEEE doubles (the modulus
+#: itself, 2^53+1, is the first integer a double CANNOT represent — but
+#: it never appears as a checksum value), so checksums survive any
+#: float round-trip; and the odd modulus stays inside both engines'
+#: BIGINT for the (sum + v) % m accumulation.
 CHECKSUM_MODULUS = 9007199254740993
 
 

@@ -2134,8 +2134,8 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnt GROUP BY source
     )
     SELECT source, n_tokens, n_types, sum_sq,
-           CAST(((n_tokens * n_tokens - sum_sq) * 1000000)
-                // (n_tokens * n_tokens) AS BIGINT) AS gini_fp
+           CAST(((CAST(n_tokens AS HUGEINT) * n_tokens - sum_sq) * 1000000)
+                // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS gini_fp
     FROM agg
     ORDER BY source
     """,
@@ -2151,10 +2151,12 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: reads ONLY the (source, tok, c) rollup sidecar
     (|vocab × sources| rows, built once per corpus version by
     prepare_curation); the query itself is one dimension-bounded
-    groupBy with map-side partials. At a 10¹²-token corpus the c² sums
-    need DECIMAL(38) before int64 overflows; the shape is unchanged."""
+    groupBy with map-side partials. The fixed-point step computes
+    n_tokens² × 10⁶ in DECIMAL(38,0) (HUGEINT on the DuckDB side) —
+    int64 would wrap silently in Spark's non-ANSI mode once a source
+    exceeds ~3.0M tokens (n²·10⁶ > 2⁶³); Σc² itself stays int64-safe
+    until ~3×10⁹ same-token occurrences per source."""
     c = source_token_counts(spark, sf_dir)
-    t2 = F.col("n_tokens") * F.col("n_tokens")
     return (
         c.groupBy("source")
         .agg(
@@ -2168,8 +2170,9 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types",
             "sum_sq",
             F.expr(
-                "((n_tokens * n_tokens - sum_sq) * 1000000)"
-                " DIV (n_tokens * n_tokens)"
+                "CAST(((CAST(n_tokens AS DECIMAL(38,0)) * n_tokens - sum_sq)"
+                " * 1000000)"
+                " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
             ).alias("gini_fp"),
         )
         .orderBy("source")
