@@ -16,6 +16,8 @@ These encode the 100 TB design decisions:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -99,12 +101,47 @@ def _unbounded_bnlj_builds(p: str) -> list[str]:
     return bad
 
 
+def _unbounded_single_partition_exchanges(p: str) -> list[str]:
+    """SinglePartition exchanges whose subtree has no bounded-
+    cardinality source — the plan shape of a GLOBAL window/sort over
+    corpus-sized rows (one task does all the work at 100 TB). A
+    legitimate one serializes only a rollup (an aggregate sits below)
+    or a literal/limited frame. Same subtree walk as the BNLJ check."""
+    BOUNDED = (
+        "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+        "LocalTableScan", "GlobalLimit", "CollectLimit",
+        "TakeOrderedAndProject", "ReusedExchange", "OneRowRelation",
+        "Range (0, 1,",
+    )
+    bad: list[str] = []
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        if "ReusedExchange" in line:
+            continue
+        col = _tree_marker_col(line)
+        subtree: list[str] = []
+        for nxt in lines[i + 1:]:
+            c = _tree_marker_col(nxt)
+            if 0 <= c <= col:
+                break
+            subtree.append(nxt)
+        body = "\n".join(subtree)
+        if not any(tok in body for tok in BOUNDED):
+            bad.append(line.strip())
+    return bad
+
+
 def test_no_cartesian_anywhere():
     """Candidate generation across the dedup/similarity family must be
     key-equi-joins; a cartesian in any registered plan is a scale bug.
     Likewise any BroadcastNestedLoopJoin must build from a bounded
     (aggregate/literal/limit) frame — a BNLJ over a real table is the
-    silent plan Catalyst falls back to when an equi-key is lost."""
+    silent plan Catalyst falls back to when an equi-key is lost. And no
+    plan may funnel non-rollup rows through a SinglePartition exchange
+    or a constant-key window partition (the pmod(x, 1) device) — the
+    global-window formulation that dies at 100 TB (VERDICT r8 #5)."""
     from trialstreamer_spark.session import get_spark
 
     spark = get_spark("plan-hygiene")
@@ -119,6 +156,9 @@ def test_no_cartesian_anywhere():
         assert "CartesianProduct" not in p, name
         unbounded = _unbounded_bnlj_builds(p)
         assert not unbounded, (name, unbounded)
+        single = _unbounded_single_partition_exchanges(p)
+        assert not single, (name, single)
+        assert not re.search(r"hashpartitioning\(pmod\([^,]+, 1\)", p), name
 
 
 def test_sf_dim_join_strategy_is_size_dependent(spark, sf_dir):

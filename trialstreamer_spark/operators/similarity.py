@@ -1611,14 +1611,15 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the embeddings table; the Arrow kernel remains the corpus-scan
     path.
 
-    Scale shape: ONE lazy plan — a single scan computes all three
-    truncation cosines column-wise, three rank windows run over the
-    |embeddings|-bounded frame, and both recall@10 overlaps fall out of
-    one conditional aggregate unpivoted with stack() (the previous
-    formulation ran a separate driver job per truncation level,
-    re-executing the full-dim top-k each time)."""
-    from pyspark.sql import Window as W
-
+    Scale shape: top-10 membership per metric comes from DISTRIBUTED
+    top-k (orderBy+limit → TakeOrderedAndProject: per-partition heads,
+    10·P rows merged), never a global rank window — the earlier
+    three-global-row_number formulation funneled the whole scored frame
+    through one SinglePartition exchange per metric (the shape the
+    plan-hygiene sweep now rejects registry-wide, VERDICT r8 #5) and
+    measured 5.7x DuckDB at sf1. The three 10-row heads union into one
+    membership rollup; both recall@10 overlaps fall out of one
+    aggregate unpivoted with stack()."""
     e = load(spark, sf_dir, "embeddings")
     qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
 
@@ -1644,18 +1645,27 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos_col(32).alias("c32"),
     )
 
-    def rk(c: str) -> Column:
-        return F.row_number().over(
-            W.orderBy(F.col(c).desc(), F.col("vec_id"))
+    def top10(c: str) -> DataFrame:
+        return (
+            scored.orderBy(F.col(c).desc(), "vec_id")
+            .select("vec_id")
+            .limit(10)
         )
 
-    ranked = scored.select(
-        rk("c64").alias("r64"), rk("c16").alias("r16"), rk("c32").alias("r32")
+    members = (
+        top10("c64").withColumn("m", F.lit(64))
+        .unionAll(top10("c16").withColumn("m", F.lit(16)))
+        .unionAll(top10("c32").withColumn("m", F.lit(32)))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("m") == 64, 1).otherwise(0)).alias("in64"),
+            F.max(F.when(F.col("m") == 16, 1).otherwise(0)).alias("in16"),
+            F.max(F.when(F.col("m") == 32, 1).otherwise(0)).alias("in32"),
+        )
     )
-    in10 = lambda a, b: (F.col(a) <= 10) & (F.col(b) <= 10)  # noqa: E731
-    agg = ranked.agg(
-        F.sum(F.when(in10("r16", "r64"), 1).otherwise(0)).alias("n16"),
-        F.sum(F.when(in10("r32", "r64"), 1).otherwise(0)).alias("n32"),
+    agg = members.agg(
+        F.sum(F.col("in64") * F.col("in16")).alias("n16"),
+        F.sum(F.col("in64") * F.col("in32")).alias("n32"),
     )
     return (
         agg.select(

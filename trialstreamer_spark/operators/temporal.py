@@ -1386,20 +1386,59 @@ def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
 
+    def rank(q: int):
+        return F.min(
+            F.when(
+                F.lit(100) * F.col("cum_n") >= F.lit(q) * F.col("n"),
+                F.col("v_c"),
+            )
+        )
+
     def cdf_quantiles(counts: DataFrame, keys: list[str]) -> DataFrame:
-        w = W.partitionBy(*keys) if keys else W.partitionBy(
-            F.expr("pmod(v_c, 1)")
+        if keys:
+            w = W.partitionBy(*keys)
+            cum = counts.select(
+                *keys,
+                "v_c",
+                F.sum("cnt").over(w.orderBy("v_c")).alias("cum_n"),
+                F.sum("cnt").over(w).alias("n"),
+            )
+            return cum.groupBy(*keys).agg(
+                F.max("n").alias("n_events"),
+                rank(50).alias("p50_c"),
+                rank(90).alias("p90_c"),
+            )
+        # Global leg: a two-level CDF, never a single-partition window
+        # over the whole (v_c, cnt) rollup (VERDICT r8 #5 — at 100 TB a
+        # cent-granular value domain is ~1e8 distinct values; one task
+        # sorting 1e8 rows). Level 1 buckets values by v_c DIV 1024 and
+        # cumulates BUCKET totals — a frame 1024x smaller than the
+        # domain, and the only single-partition window left (above a
+        # HashAggregate, like token_lorenz_curve's offset frame). Level
+        # 2 cumulates within buckets under a bucket-partitioned window —
+        # fully distributed — and adds the broadcast bucket offset.
+        bkt = counts.withColumn("bkt", F.expr("v_c DIV 1024"))
+        btot = bkt.groupBy("bkt").agg(F.sum("cnt").alias("bcnt"))
+        w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+        boff = btot.select(
+            "bkt",
+            F.coalesce(F.sum("bcnt").over(w_off), F.lit(0)).alias(
+                "below_b"
+            ),
         )
-        cum = counts.select(
-            *keys,
-            "v_c",
-            F.sum("cnt").over(w.orderBy("v_c")).alias("cum_n"),
-            F.sum("cnt").over(w).alias("n"),
+        w_in = W.partitionBy("bkt").orderBy("v_c")
+        n_tot = counts.agg(F.sum("cnt").alias("n"))
+        cum = (
+            bkt.join(F.broadcast(boff), "bkt")
+            .select(
+                "v_c",
+                (F.col("below_b") + F.sum("cnt").over(w_in)).alias(
+                    "cum_n"
+                ),
+            )
+            .crossJoin(F.broadcast(n_tot))
         )
-        rank = lambda q: F.min(
-            F.when(F.lit(100) * F.col("cum_n") >= F.lit(q) * F.col("n"), F.col("v_c"))
-        )
-        return cum.groupBy(*keys).agg(
+        return cum.agg(
             F.max("n").alias("n_events"),
             rank(50).alias("p50_c"),
             rank(90).alias("p90_c"),
