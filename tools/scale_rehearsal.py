@@ -12,6 +12,12 @@ summarized in SCALE.md.
 Usage: python tools/scale_rehearsal.py [out.json] [name_filter ...]
 (name filters restrict the set — for quick re-measures of named
 queries after a plan change)
+
+--sf-dirs d1,d2,...  measure these corpus dirs instead of the default
+                     sf0.1+sf1 pair (e.g. scale_data/sf10 for the
+                     round-9 third decade).
+--reuse-oracle f     copy DuckDB timings from a prior run's JSON
+                     (rows are stamped duckdb_reused for provenance).
 """
 
 from __future__ import annotations
@@ -129,6 +135,11 @@ def main() -> None:
         i = argv.index("--reuse-oracle")
         reuse_path = argv[i + 1]
         del argv[i : i + 2]
+    sf_dirs = None
+    if "--sf-dirs" in argv:
+        i = argv.index("--sf-dirs")
+        sf_dirs = [os.path.abspath(d) for d in argv[i + 1].split(",")]
+        del argv[i : i + 2]
     out_path = argv[0] if argv else "scale_rehearsal.json"
     unknown = [n for n in argv[1:] if n not in QUERIES]
     if unknown:
@@ -141,14 +152,15 @@ def main() -> None:
         for run in json.load(open(reuse_path)):
             reuse_by_dir[os.path.basename(run["sf_dir"])] = run["queries"]
     spark = get_spark("scale-rehearsal")
-    sf1_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "scale_data", "sf1")
+    if sf_dirs is None:
+        sf1_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scale_data", "sf1")
+        sf_dirs = ["/root/testdata/sf0.1", sf1_dir]
     results = [
-        rehearse(spark, "/root/testdata/sf0.1", names,
-                 oracle_reuse=reuse_by_dir.get("sf0.1")),
-        rehearse(spark, sf1_dir, names,
-                 oracle_reuse=reuse_by_dir.get("sf1")),
+        rehearse(spark, d, names,
+                 oracle_reuse=reuse_by_dir.get(os.path.basename(d)))
+        for d in sf_dirs
     ]
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

@@ -63,6 +63,18 @@ _WARM_ROWS_PER_PARTITION = 65536
 # numeric fact rows.
 _WARM_ROWS_OVERRIDE = {"documents": 1024}
 
+# Metadata projections cached SEPARATELY at the default (row-scaled)
+# fan-out: the text-CPU override above is right for tokenize/regex
+# consumers but taxes every metadata-only query with ~50 task
+# dispatches per stage for kilobytes of columns (measured round 9:
+# label_source_affinity's one-join-one-rollup plan dropped 0.46→0.19 s
+# at sf1 on this alone). On a real cluster this is simply columnar
+# projection — fewer bytes, fewer splits; the second cached relation is
+# the local-mode stand-in. Keyed as "<table>__meta" in _TABLE_CACHE.
+_META_COLS: dict[str, tuple[str, ...]] = {
+    "documents": ("doc_id", "lang", "source", "n_chars"),
+}
+
 
 def warm_cache(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
@@ -87,6 +99,33 @@ def warm_cache(
             df = raw.persist()
             df.count()
             _TABLE_CACHE[key] = df
+        if name in _META_COLS:
+            mkey = (key_session, sf_dir, f"{name}__meta")
+            if mkey not in _TABLE_CACHE:
+                narrow = load(spark, sf_dir, name).select(*_META_COLS[name])
+                n = narrow.count()
+                target = max(1, min(par, n // _WARM_ROWS_PER_PARTITION))
+                if target > 1:
+                    narrow = narrow.repartition(target)
+                mdf = narrow.persist()
+                mdf.count()
+                _TABLE_CACHE[mkey] = mdf
+
+
+def load_meta(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The narrow metadata projection of ``name`` (columns in
+    _META_COLS), served from its own cached relation with the DEFAULT
+    row-scaled partitioning — for consumers that never touch the
+    text/payload column and must not inherit the text-CPU fan-out.
+    Falls back to the projected full table when nothing is warmed (cold
+    path: the projection still prunes at the parquet scan)."""
+    cols = _META_COLS[name]
+    cached = _TABLE_CACHE.get(
+        (id(spark._jsparkSession), sf_dir, f"{name}__meta")
+    )
+    if cached is not None:
+        return cached
+    return load(spark, sf_dir, name).select(*cols)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -902,20 +902,24 @@ def label_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on source too (the reference's match-rate pivot is the same
     contingency shape over registries).
 
-    Scale shape: one doc-keyed join (at 100 TB both sides bucket by
-    doc_id; here the embedding projection is narrow), then THREE
-    rollups of the joined frame — (label, source), label, source — all
-    map-side-collapsing to dimension-sized results; the 1-row total and
-    the two margins broadcast back onto the |labels × sources| cells.
-    The lift arithmetic is exact int64: counts ≤ corpus size keep
-    1e6 · n_ls · n far below 2^63."""
+    Scale shape: ONE doc-keyed join (at 100 TB both sides bucket by
+    doc_id; here the embedding projection is narrow) feeding ONE
+    (label, source) rollup; both margins and the total are re-sums of
+    that |labels × sources|-bounded contingency frame, never re-joins
+    of the corpus (the round-8 formulation re-ran the join once per
+    margin — 4 corpus joins — and measured 53x DuckDB at sf1 on pure
+    fixed overhead). The 1-row total and the two margins broadcast back
+    onto the cells. The lift arithmetic is exact int64: counts ≤ corpus
+    size keep 1e6 · n_ls · n far below 2^63."""
+    from trialstreamer_spark.io import load_meta
+
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    d = load_meta(spark, sf_dir, "documents").select("doc_id", "source")
     j = e.join(d, e.vec_id == d.doc_id).select("label", "source")
     ls = j.groupBy("label", "source").agg(F.count("*").alias("n_ls"))
-    lm = j.groupBy("label").agg(F.count("*").alias("n_l"))
-    sm = j.groupBy("source").agg(F.count("*").alias("n_s"))
-    tot = j.agg(F.count("*").alias("n"))
+    lm = ls.groupBy("label").agg(F.sum("n_ls").alias("n_l"))
+    sm = ls.groupBy("source").agg(F.sum("n_ls").alias("n_s"))
+    tot = ls.agg(F.sum("n_ls").alias("n"))
     return (
         ls.join(F.broadcast(lm), "label")
         .join(F.broadcast(sm), "source")

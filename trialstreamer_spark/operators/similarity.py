@@ -1814,8 +1814,10 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(dc)/sum(ec)/sum(dc·ec) reproduce the oracle's subquery counts
     exactly for any key multiplicity. At 100 TB both tables bucket by
     doc_id so the join is co-located, and the output is one row."""
+    from trialstreamer_spark.io import load_meta
+
     d = (
-        load(spark, sf_dir, "documents")
+        load_meta(spark, sf_dir, "documents")
         .groupBy("doc_id")
         .agg(F.count("*").alias("dc"))
     )

@@ -815,10 +815,14 @@ def like_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (SURVEY U2 — mendeley.py:77-87 ``pmids_todo -
     pmids_done``): customers who never placed an order, as a left_anti
-    join on the key (EXCEPT ≡ distinct + anti-join here because
-    c_custkey is unique). The anti-join shuffles only the key column;
-    at 100 TB both sides bucket by the key and the anti-join
-    co-locates."""
+    join on the key. EXCEPT ≡ plain anti-join here because c_custkey is
+    UNIQUE (table primary key): the probe side is already distinct, so
+    the distinct-above-anti-join the round-6 verdict flagged was a pure
+    extra exchange+aggregate over the survivor set and is gone (the
+    round-8 rehearsal measured it at 5.8x DuckDB; EXCEPT's dedup
+    semantics are vacuous on unique keys). The anti-join shuffles only
+    the key column; at 100 TB both sides bucket by the key and the
+    anti-join co-locates."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return (
@@ -828,7 +832,6 @@ def set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "left_anti",
         )
-        .distinct()
         .orderBy("c_custkey")
     )
 

@@ -34,6 +34,16 @@ def get_spark(app_name: str = "trialstreamer-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at Spark's default
+        # (true). false — the docs' large-cluster recommendation — was
+        # tried in round 9 and measured as a TRADE, not a win: −30%
+        # total on the 36-query weak set at sf0.1 (KB-sized shuffles
+        # coalesce to one task) but +60% at sf1 (the 64 MB advisory
+        # target serializes medium shuffles exactly where parallel CPU
+        # pays: product_profit_by_nation 0.85→3.19 s, nation_market_
+        # share 1.01→2.88 s). Growing with scale is the wrong direction;
+        # on a real cluster the shuffles in question are GB-sized and
+        # the two settings converge.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Dims broadcast by SIZE, never by forced hint: SF-scaled dims
         # (customer/supplier/part) get a size-CONDITIONAL hint
@@ -56,6 +66,20 @@ def get_spark(app_name: str = "trialstreamer-spark") -> SparkSession:
         # byte-identical epoch values, so force the classic inference.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-JOB scheduler latency on this VM measured 50-90 ms (a
+        # single-task count of 1000 ints!), and AQE turns every exchange
+        # into a job — an N-exchange query floors at ~N×70 ms, which IS
+        # the sub-second weak tail vs in-process DuckDB. Two stable,
+        # deploy-safe cuts (measured ~2x together on the floor):
+        # locality.wait=0 — no delay scheduling; local mode has one
+        # locality domain, and at 100 TB against remote object storage
+        # there are no locality preferences to wait for anyway;
+        # heartbeat 60s — the 10s default's executor<->driver chatter
+        # contends with the scheduler event loop in single-JVM mode
+        # (network.timeout must stay above the heartbeat interval).
+        .config("spark.locality.wait", "0")
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
         .config("spark.ui.enabled", "false")
         # single-JVM local mode: the driver heap IS the executor heap for
         # all $SPARK_GRAFT_CPUS task threads — size it to the machine,
