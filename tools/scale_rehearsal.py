@@ -54,7 +54,8 @@ def best_of(f, n: int = 3) -> float:
     return best
 
 
-def rehearse(spark, sf_dir: str, names=None, oracle_reuse: dict | None = None) -> dict:
+def rehearse(spark, sf_dir: str, names=None, oracle_reuse: dict | None = None,
+             preps: set[str] | None = None) -> dict:
     from trialstreamer_spark.io import prepare_buckets, warm_cache
     from trialstreamer_spark.operators.clustering import prepare_pq, prepare_semdedup
     from trialstreamer_spark.operators.dedup import prepare_dedup
@@ -69,7 +70,14 @@ def rehearse(spark, sf_dir: str, names=None, oracle_reuse: dict | None = None) -
                  prepare_dedup, prepare_stats, prepare_curation,
                  prepare_pq, prepare_semdedup, prepare_temporal,
                  prepare_parity):
-        prep(spark, sf_dir)
+        # --preps restricts the offline builds (sf10: the dedup pair
+        # featurizations are structurally quadratic on the synthetic
+        # corpus's FIXED 30-word vocabulary — shingle df grows linearly
+        # with corpus size, a generator artifact real corpora don't
+        # have — and they filled this box's disk; skip them and measure
+        # the linear-path queries).
+        if preps is None or prep.__name__ in preps:
+            prep(spark, sf_dir)
     prep_s = time.perf_counter() - t0
 
     con = duckdb.connect()
@@ -140,6 +148,11 @@ def main() -> None:
         i = argv.index("--sf-dirs")
         sf_dirs = [os.path.abspath(d) for d in argv[i + 1].split(",")]
         del argv[i : i + 2]
+    preps = None
+    if "--preps" in argv:
+        i = argv.index("--preps")
+        preps = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     out_path = argv[0] if argv else "scale_rehearsal.json"
     unknown = [n for n in argv[1:] if n not in QUERIES]
     if unknown:
@@ -159,7 +172,8 @@ def main() -> None:
         sf_dirs = ["/root/testdata/sf0.1", sf1_dir]
     results = [
         rehearse(spark, d, names,
-                 oracle_reuse=reuse_by_dir.get(os.path.basename(d)))
+                 oracle_reuse=reuse_by_dir.get(os.path.basename(d)),
+                 preps=preps)
         for d in sf_dirs
     ]
     with open(out_path, "w") as f:
