@@ -40,6 +40,13 @@ HEADLINERS = [
         "PQ-codes sidecar; no join, no exchange, no Python above the cache",
     ),
     (
+        "mips_ivf_topk",
+        "MIPS via the augmented IVF index (MIPS->NNS reduction): cells "
+        "picked driver-side from broadcast-sized augmented statistics, "
+        "then the same no-join filter -> Arrow -> TakeOrderedAndProject "
+        "search plan as the cosine IVF",
+    ),
+    (
         "semantic_dedup",
         "SemDeDup: within-cluster equi-join only (never corpus x corpus), "
         "fused Arrow cosine verify",
