@@ -101,3 +101,31 @@ def test_mips_recall_curve_is_monotone_and_reaches_exact_at_full_probe(
         )
     )[:10]
     assert [vid for _neg, vid in full] == exact
+
+
+def test_rrf_fusion_combines_arm_ranks_exactly(spark, sf_dir):
+    """RRF invariants: every fused score equals the integer sum of its
+    arms' 1e6 DIV (60+rank) contributions recomputed from the emitted
+    ranks; a doc retrieved by BOTH arms must outscore any doc whose
+    single-arm rank equals either of its ranks; -1 marks absence and
+    contributes 0."""
+    rows = QUERIES["rrf_fusion_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+
+    def contrib(rank: int) -> int:
+        return 0 if rank == -1 else 1_000_000 // (60 + rank)
+
+    for r in rows:
+        assert r.rrf_fp == contrib(r.lex_rank) + contrib(r.sem_rank)
+        assert (r.lex_rank == -1) or (1 <= r.lex_rank <= 20)
+        assert (r.sem_rank == -1) or (1 <= r.sem_rank <= 20)
+    both = [r for r in rows if r.lex_rank != -1 and r.sem_rank != -1]
+    single = [r for r in rows if (r.lex_rank == -1) != (r.sem_rank == -1)]
+    for b in both:
+        for s in single:
+            only = s.lex_rank if s.lex_rank != -1 else s.sem_rank
+            if only >= min(b.lex_rank, b.sem_rank):
+                assert b.rrf_fp > s.rrf_fp
+    # descending, doc_id tie-break
+    keys = [(-r.rrf_fp, r.doc_id) for r in rows]
+    assert keys == sorted(keys)

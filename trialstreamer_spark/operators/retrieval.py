@@ -513,3 +513,162 @@ def postings_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     return d.join(hits, "doc_id", "left_semi").orderBy("doc_id")
+
+
+#: RRF constant (Cormack et al., SIGIR'09: 60 is the published default)
+#: and the per-arm candidate depth fused by rrf_fusion_topk.
+RRF_K = 60
+RRF_DEPTH = 20
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    g AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM dl),
+    posting AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM posting WHERE tok IN ('table', 'merge', 'spark')
+      GROUP BY 1, 2
+    ),
+    df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    bm25 AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(((g.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+                        * ((tf.tf * {K1 + 1.0}) /
+                           (tf.tf + {K1} * (({1.0 - B}) + {B} * (dl.dl / g.avgdl))))
+                        * {float(SCORE_SCALE)}) AS BIGINT)) AS BIGINT) AS score_fp
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df_t ON df_t.tok = tf.tok
+      CROSS JOIN g
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY score_fp DESC, doc_id) AS INTEGER) AS lex_rank
+      FROM bm25 ORDER BY score_fp DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qvec),
+                    p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                                    * 10000000) AS BIGINT)), 'sum') AS BIGINT)
+               / SQRT(CAST(CAST(list_aggregate(list_transform(list_zip(e.embedding, e.embedding),
+                    p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                                    * 10000000) AS BIGINT)), 'sum') AS BIGINT) AS DOUBLE)
+                      * CAST(CAST(list_aggregate(list_transform(list_zip(q.qvec, q.qvec),
+                    p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                                    * 10000000) AS BIGINT)), 'sum') AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY cosine DESC, doc_id) AS INTEGER) AS sem_rank
+      FROM cos ORDER BY cosine DESC, doc_id LIMIT {RRF_DEPTH}
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           COALESCE(lex.lex_rank, -1) AS lex_rank,
+           COALESCE(sem.sem_rank, -1) AS sem_rank,
+           CAST(COALESCE(1000000 // ({RRF_K} + lex.lex_rank), 0)
+                + COALESCE(1000000 // ({RRF_K} + sem.sem_rank), 0)
+                AS BIGINT) AS rrf_fp
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_fp DESC, doc_id
+    LIMIT 10
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval RECIPROCAL-RANK FUSION (Cormack et al.,
+    SIGIR'09): fuse the lexical BM25 ranking (fixed query terms, the
+    bm25_topk arm) with the semantic embedding ranking (cosine vs
+    vec_id 0, the ann_cosine_topk arm, doc_id ≡ vec_id) by
+    score(d) = Σ_arms 1e6 DIV (60 + rank_arm(d)) over each arm's top-20
+    — the standard RAG retriever combiner that needs no score
+    calibration between arms because only RANKS cross the boundary.
+    Emits the fused top-10 with each arm's rank (−1 = not retrieved by
+    that arm).
+
+    Engine parity: both arms' ranks come from orderings already proven
+    bit-identical (fixed-point BM25 from the shared scores sidecar; the
+    fixed-point cosine kernel), and the fusion itself is pure integer
+    arithmetic — 1e6 DIV (60+rank) — so the fused scores are exact
+    int64 on both engines.
+
+    Scale shape: each arm is distributed top-k (TakeOrderedAndProject —
+    per-partition heads, never a global sort); the rank row_numbers run
+    on 20-row frames (bounded by the limit, so the hygiene sweep's
+    SinglePartition rule is satisfied by construction), and the fusion
+    is a 20×20 full-outer join. At 100 TB the arms scale independently
+    (inverted index / ANN index) and the fusion cost is O(depth)."""
+    from pyspark.sql import Window as W
+
+    from trialstreamer_spark.operators.similarity import (
+        _query_vector,
+        fp_dot_vec,
+        scores_vs_query_udf,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lex20 = (
+        bm25_scores(d, QUERY_TERMS, cache_key=sf_dir)
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    lex = lex20.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_fp").desc(), "doc_id"))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+    qnsq = fp_dot_vec(qv, qv)
+    s = scores_vs_query_udf(qv)
+    sem20 = (
+        e.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), s(F.col("embedding")).alias("s"))
+        .select(
+            "doc_id",
+            (
+                F.col("s.dot")
+                / F.sqrt(F.col("s.nsq").cast("double") * F.lit(float(qnsq)))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    sem = sem20.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), "doc_id"))
+        .cast("int")
+        .alias("sem_rank"),
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"1000000 DIV ({RRF_K} + {c})"), F.lit(0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(-1)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(-1)).alias("sem_rank"),
+            (contrib("lex_rank") + contrib("sem_rank"))
+            .cast("long")
+            .alias("rrf_fp"),
+        )
+        .orderBy(F.col("rrf_fp").desc(), "doc_id")
+        .limit(10)
+    )
