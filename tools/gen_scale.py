@@ -11,7 +11,24 @@ lineitems/order, 20 doc sources, 5 langs, ~5% near-duplicate documents
 (shared prefix, mutated tail, 'dup' marker token), 10 Gaussian embedding
 clusters in 64-d.
 
-Usage: python tools/gen_scale.py <out_dir> [multiplier]   # of sf0.1
+Text modes (third CLI arg, default ``fixed``):
+
+- ``fixed`` — the original 30-word vocabulary. Fine for text-CPU and
+  retrieval shapes, but structurally WRONG for the dedup pair joins at
+  large SF: with |vocab| constant, every shingle's document frequency
+  grows linearly with the corpus, so candidate pair counts grow
+  quadratically — a blowup real corpora don't exhibit (r9 verdict: the
+  first sf10 dedup attempt filled the disk; the family was excluded
+  from the sf10 decade).
+- ``heaps`` — Heaps-law vocabulary: |vocab| = 2·n_doc^0.7 hash-suffixed
+  tokens drawn from a Zipf(1.07) rank distribution. Shingle DF then
+  scales like a real corpus (a few stopword-like shingles capped by the
+  df valve, a long unique tail), which is the regime the dedup
+  prefix-filter/LSH claims must be measured in. The original 30 words
+  occupy the top Zipf ranks so the retrieval/marker terms ('dup',
+  QUERY_TERMS) stay present and frequent.
+
+Usage: python tools/gen_scale.py <out_dir> [multiplier] [fixed|heaps]
 """
 
 from __future__ import annotations
@@ -53,7 +70,9 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(out_dir: str, mult: float = 10.0, seed: int = 7) -> None:
+def generate(
+    out_dir: str, mult: float = 10.0, seed: int = 7, text_mode: str = "fixed"
+) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     n_cust = int(15_000 * mult)
@@ -167,11 +186,29 @@ def generate(out_dir: str, mult: float = 10.0, seed: int = 7) -> None:
     # earlier doc's prefix + mutated tail + 'dup' marker
     lens = rng.integers(10, 110, n_doc)
     texts: list[str] = []
-    vocab = np.array(VOCAB)
+    if text_mode == "heaps":
+        n_voc = max(len(VOCAB), int(2.0 * n_doc**0.7))
+        vocab = np.array(
+            [
+                VOCAB[j]
+                if j < len(VOCAB)
+                else f"{VOCAB[j % len(VOCAB)]}{j // len(VOCAB):x}"
+                for j in range(n_voc)
+            ]
+        )
+        zipf_p = np.arange(1, n_voc + 1, dtype=np.float64) ** -1.07
+        zipf_p /= zipf_p.sum()
+        # one vectorized draw for every token of every doc (a per-doc
+        # choice(p=...) call rebuilds the CDF each time — O(n_doc·|V|))
+        flat = vocab[rng.choice(n_voc, int(lens.sum()), p=zipf_p)]
+    else:
+        vocab = np.array(VOCAB)
+        flat = vocab[rng.integers(0, len(vocab), int(lens.sum()))]
+    offs = np.concatenate(([0], np.cumsum(lens)))
     for i in range(n_doc):
-        words = vocab[rng.integers(0, len(vocab), lens[i])]
+        words = flat[offs[i] : offs[i + 1]]
         if i > 0 and rng.random() < 0.05:
-            base = texts[rng.integers(0, i)].split()
+            base = texts[int(rng.integers(0, i))].split()
             keep = max(3, int(len(base) * 0.8))
             words = np.array(
                 base[:keep]
@@ -202,4 +239,5 @@ def generate(out_dir: str, mult: float = 10.0, seed: int = 7) -> None:
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "scale_data/sf1"
     mult = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    generate(out, mult)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "fixed"
+    generate(out, mult, text_mode=mode)

@@ -25,6 +25,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+#: Pinned to the head of the list regardless of age (r9 VERDICT #4).
+#: Of the four r2/r3 driver reds the verdict names, three
+#: (latest_per_type, sessionize, recency_topk) already carry an r01
+#: GREEN so they are not in this never-green list at all;
+#: asof_join_last_click is the one whose driver record is red-only
+#: (sweep-green for seven rounds — a fresh sample closes it).
+#: rrf_fusion_topk entered the registry after r9's binding rehearsal.
+#: Names not in the never-green set are skipped automatically.
+NOMINATED: tuple[str, ...] = (
+    "asof_join_last_click",
+    "rrf_fusion_topk",
+)
+
 
 def never_driver_green() -> list[str]:
     from trialstreamer_spark.plans.all_queries import ORACLES, QUERIES
@@ -66,6 +79,9 @@ def main() -> None:
         ((first_commit_date(n), n) for n in names),
         key=lambda t: (t[0] == "?", t[0], t[1]),
     )
+    # nominations first (in NOMINATED order), then the rest oldest-first
+    nom = [t for n in NOMINATED for t in dated if t[1] == n]
+    dated = nom + [t for t in dated if t[1] not in NOMINATED]
     for date, name in dated[:top]:
         print(f"{date}  {name}")
     print(f"-- {len(names)} of registry never driver-sampled "

@@ -105,8 +105,13 @@ def warm_cache(
                 narrow = load(spark, sf_dir, name).select(*_META_COLS[name])
                 n = narrow.count()
                 target = max(1, min(par, n // _WARM_ROWS_PER_PARTITION))
-                if target > 1:
-                    narrow = narrow.repartition(target)
+                # Repartition even when target == 1: load() above serves
+                # the just-cached FULL table, so without this the narrow
+                # frame inherits its text-CPU fan-out (e.g. documents'
+                # 1024-rows/partition override) — exactly the per-task
+                # dispatch tax load_meta exists to avoid at small-corpus
+                # sizes (r9 ADVICE).
+                narrow = narrow.repartition(target)
                 mdf = narrow.persist()
                 mdf.count()
                 _TABLE_CACHE[mkey] = mdf

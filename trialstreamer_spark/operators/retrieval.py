@@ -41,6 +41,11 @@ K1 = 1.2
 B = 0.75
 SCORE_SCALE = 1_000_000
 QUERY_TERMS: tuple[str, ...] = ("table", "merge", "spark")
+# Single source of truth for the oracle IN-lists: both engines MUST share
+# one term definition or a QUERY_TERMS edit would silently desynchronize
+# the Spark and DuckDB arms (r9 ADVICE — the rrf/bm25 oracles used to
+# hardcode the literals).
+_QUERY_TERMS_IN = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
 
 _stats_cache: dict = {}
@@ -227,7 +232,7 @@ def bm25_scores(
     posting AS (SELECT doc_id, unnest(t) AS tok FROM toks),
     tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
-      FROM posting WHERE tok IN ('table', 'merge', 'spark')
+      FROM posting WHERE tok IN ({_QUERY_TERMS_IN})
       GROUP BY 1, 2
     ),
     df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
@@ -536,7 +541,7 @@ RRF_DEPTH = 20
     posting AS (SELECT doc_id, unnest(t) AS tok FROM toks),
     tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
-      FROM posting WHERE tok IN ('table', 'merge', 'spark')
+      FROM posting WHERE tok IN ({_QUERY_TERMS_IN})
       GROUP BY 1, 2
     ),
     df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),

@@ -57,6 +57,27 @@ def inline_rows(
 _PLAN_CACHE: dict[tuple, "DataFrame"] = {}
 
 
+def ordered_small(df, *cols):
+    """Deterministic total order for a DIMENSION-SIZED final frame
+    without a range exchange: coalesce to one partition (narrow — no
+    shuffle; with AQE the upstream rollup has usually already coalesced
+    its post-shuffle side to one partition anyway) and sort inside it.
+
+    A final ``orderBy`` costs a RangePartitioning exchange PLUS a
+    separate skew-sampling job — two scheduler round-trips (~70-85 ms
+    each on this VM, SCALE.md floor stamps) that dominate sub-second
+    queries and buy nothing when the output is at most a few thousand
+    rows (r9 VERDICT ask #5a). Output is a single fully-sorted
+    partition, so the user-visible contract (total order) is unchanged.
+
+    Use ONLY for dimension-bounded outputs: coalesce(1) collapses the
+    final stage (everything above the last shuffle boundary) into one
+    task, which is free for a ≤10^4-row rollup tail and catastrophic
+    for a corpus-sized sort — those keep orderBy, whose range exchange
+    is exactly what makes a big sort parallel."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def cached_plan(spark: SparkSession, key: tuple, builder):
     """Session-scoped persisted sidecar for a plan subtree referenced by
     multiple downstream branches (self-joins, census-join-back rollups).
