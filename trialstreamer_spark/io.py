@@ -241,7 +241,15 @@ BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
 #: Bucket count for the prepared layouts. Both sides of a co-located
 #: join must match (or divide); at 100 TB this is sized so one bucket is
 #: a few GB per executor core, here so local[32] still parallelizes.
-N_FACT_BUCKETS = 16
+# One bucket per core: bucketed scans cannot split a bucket, so a
+# bucket count below the executor-thread count leaves cores idle for
+# the whole fact-fact stage (sf10 measured: the TPC-H trio's fused
+# SMJ+probe+agg stage ran 16 tasks on 32 cores; 32 buckets cut
+# sole_late_supplier 6.5→4.3 s and product_profit 1.5→1.2 s). At
+# cluster scale the same rule holds: buckets ≈ target parallelism
+# (or an integer multiple — equal-width bucket joins need no exchange
+# either way).
+N_FACT_BUCKETS = 32
 
 
 def _bucket_table_name(sf_dir: str, variant: str) -> str:
@@ -298,12 +306,19 @@ def prepare_buckets(
                 .saveAsTable(name)
             )
         # base rides the key so a layout rebuilt under a different
-        # warehouse dir (tests) is re-persisted, not served stale
+        # warehouse dir (tests) is re-registered, not served stale.
+        # NOT persisted (round-10 change, measured): InMemoryRelation
+        # preserves the bucket HashPartitioning but DROPS the per-bucket
+        # sort order, so every merge join over the cached copy re-sorted
+        # both facts — strictly worse than the parquet bucket scan,
+        # whose FileScan reports the sort (one file per bucket +
+        # session's legacy.bucketedTableScan.outputOrdering). sf10:
+        # nation_market_share 4.2→2.7 s from un-persisting alone; even
+        # at sf0.1 the no-persist set measured faster (4.93→4.44 s over
+        # the 12 TPC-H analogs) — the OS page cache covers the re-read.
         ck = (key_session, sf_dir, os.path.abspath(base), variant)
         if ck not in _BUCKET_CACHE:
-            t = spark.table(name).persist()
-            t.count()
-            _BUCKET_CACHE[ck] = t
+            _BUCKET_CACHE[ck] = spark.table(name)
 
 
 def bucketed_table(
@@ -353,7 +368,13 @@ def write_bucketed(
     exchange is prepaid once at ingest. This is the co-located-join
     strategy for fact tables repeatedly joined on the same key at 100 TB
     (bucket counts should match or divide each other)."""
-    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    # one file per bucket (repartition INTO the buckets) so the scan can
+    # report the per-bucket sort order — see prepare_buckets
+    w = (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+    )
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)

@@ -35,9 +35,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from trialstreamer_spark import util
 from trialstreamer_spark.io import load
 from trialstreamer_spark.plans.registry import query
 
@@ -55,6 +58,25 @@ def _conf_bytes(v: str) -> int:
         if v.endswith(suf):
             return int(v[: -len(suf)]) * m
     return int(v)
+
+
+#: (session id, expr-id-normalized optimized plan) → measured leg rows.
+#: The expr-id strip makes the SAME leg built twice hash to one key, so
+#: the count job runs once per session per corpus version (the plan
+#: string embeds the parquet paths, versioning the entry for free).
+_DIM_LEG_ROWS: dict[tuple, int] = {}
+_EXPR_ID_RE = re.compile(r"#\d+L?")
+
+# a corpus-version bump under `token` must drop any measured leg count
+# whose plan scans that path (substring match: the key's second element
+# is a plan string, not a bare path)
+util.register_cache_evictor(
+    lambda token: [
+        _DIM_LEG_ROWS.pop(k)
+        for k in list(_DIM_LEG_ROWS)
+        if token.rstrip("/") in k[1]
+    ]
+)
 
 
 def _leaf_scan_bytes(df: DataFrame) -> int:
@@ -102,6 +124,39 @@ def _sf_dim(df: DataFrame) -> DataFrame:
         return df
     try:
         if _leaf_scan_bytes(df) <= cap:
+            return F.broadcast(df)
+        # Leaf bytes over the cap does NOT mean the LEG is: a selective
+        # categorical filter + narrow projection shrinks a dim far below
+        # its table (sf10 measured: part filtered to one of 6 p_types
+        # projects to 333k keys ≈ 5 MB from a >100 MB table). Without
+        # the hint the planner shuffled ALL 60M lineitem rows for the
+        # partkey join — the single cause of the TPC-H trio's sf10 gap
+        # (r9 VERDICT #1; stage profile in SCALE.md round 10). Spend ONE
+        # memoized count per (session, corpus, leg) — the dimension
+        # statistics a deployed engine maintains anyway (ANALYZE TABLE)
+        # — and hint by measured rows × estimated row width. Estimates
+        # stay size-conditional: at sf100+ the measured leg outgrows the
+        # cap and the hint correctly disappears.
+        key = (
+            id(spark._jsparkSession),
+            _EXPR_ID_RE.sub(
+                "", df._jdf.queryExecution().optimizedPlan().toString()
+            ),
+        )
+        rows = _DIM_LEG_ROWS.get(key)
+        if rows is None:
+            rows = df.count()
+            _DIM_LEG_ROWS[key] = rows
+        # Measured legs get 4× the session threshold: the 10 MB cap
+        # exists to stop the PLANNER's unreliable estimates from
+        # broadcasting fact projections, but a counted dim leg is a
+        # known quantity, and the alternative to a 15-40 MB broadcast
+        # build is shuffling the entire fact (sf10 measured:
+        # cross_region_volume's 14 MB customer-region leg vs a 24M-row
+        # fact exchange). At 1000 executors a 40 MB broadcast is 40 GB
+        # of fan-out — still far below re-shuffling a 100 TB fact, and
+        # the size-conditional check keeps OOM-sized builds impossible.
+        if rows * (8 + 8 * len(df.columns)) <= 4 * cap:
             return F.broadcast(df)
     except Exception:
         pass
@@ -2156,7 +2211,15 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey-bucketed layout the whole chain to the final |suppliers|
     rollup has no Exchange at all; on plain parquet one fact exchange is
     shared. The supplier dim broadcasts; top-k finishes with
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    Round-10 measured result (sf10): 7.5 -> ~4.3-5.0 s. The plan was
+    already exchange-free; the cost was the merge join re-SORTING both
+    facts (persisted bucket cache drops sort order) and the 16-bucket
+    layout idling half the cores — fixed by sorted bucket scans +
+    32 buckets. The remaining gap vs DuckDB (~1.6-1.9x) is the one
+    irreducible chain: SMJ + per-(order,supplier) hash agg + per-order
+    window over 60M rows, which DuckDB pipelines in-process."""
     from trialstreamer_spark.io import bucketed_table
 
     ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
@@ -2397,7 +2460,14 @@ def cross_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is equivalent to the two-pair disjunction. The lineitem⋈orders
     join keys on orderkey and rides the prepared bucket layout when
     present (zero fact exchange; the only hash exchange left is the
-    ≤|2×years| rollup). Revenue is exact int64 cents."""
+    ≤|2×years| rollup). Revenue is exact int64 cents.
+
+    Round-10 measured result (sf10): 3.5 -> 2.0 s. The customer-region
+    leg (600k rows ≈ 14 MB at sf10) sat between the 10 MB planner cap
+    and anything sane, so the fact shuffled 24M rows on custkey; the
+    measured-leg 4×cap rule in _sf_dim broadcasts it (r9 sf1
+    ratio-grower closed: the 'growth' was the leg crossing the
+    broadcast threshold between sf0.1 and sf1)."""
     from trialstreamer_spark.io import bucketed_table
 
     lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
@@ -2497,12 +2567,15 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year. The reference's match-rate pivots are the same
     share-of-flagged-rows statistic (dbutil.py conditional counts).
 
-    Round-9 measured result: the sf1 ratio (~9-10x, ~1.0 s absolute) is
-    this VM's ~70 ms/job scheduler floor times the plan's exchange
-    count, not a plan defect — bucket width 16 vs 32 and dropping the
-    merge hint were both A/B'd and are inside noise (SCALE.md round 9);
-    at sf10 the absolute grows only 5x for 10x data and the ratio
-    shrinks again (10.42x -> 9.34x).
+    Round-10 measured result (sf10, same-session A/Bs): 5.3 -> 1.7 s.
+    The r9 "job floor" diagnosis was wrong at this scale — the stage
+    profile showed the part/customer legs missing their broadcast (leaf
+    bytes over cap at sf10), which forced a full 60M-row shuffle of
+    lineitem and broke the bucket co-location; and the persisted bucket
+    cache dropped the per-bucket sort order, re-sorting both facts
+    under every merge join. Fixed by _sf_dim's measured-leg statistics,
+    un-persisting the bucket projections, and
+    legacy.bucketedTableScan.outputOrdering (see io.prepare_buckets).
 
     Scale shape: three broadcast dimension filters (part type, customer
     region via nation→region chain, supplier nation label) prune or
@@ -2614,10 +2687,11 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp.supplycost — the plan shape, a name-pattern dim filter
     fanned across a multi-dim rollup, is what Q9 exercises).
 
-    Round-9 measured result: same job-floor diagnosis as
-    nation_market_share (bucket width and merge hint A/B'd, both a
-    wash — SCALE.md round 9); sf10 absolute is 5.1 s for 10x sf1's
-    data (sub-linear) with the ratio shrinking 9.31x -> 6.98x.
+    Round-10 measured result (sf10, same-session A/Bs): 5.1 -> 1.5 s
+    (~1.7-2x the DuckDB oracle) — same three fixes as
+    nation_market_share: measured-leg broadcast for the '%widget%'
+    part leg, un-persisted bucket projections, and sorted bucket scans
+    (the cached copy was re-sorting both facts per merge join).
 
     Scale shape: the LIKE filter prunes the part dim BEFORE broadcast
     (pattern filters don't reach parquet row-groups, but the dim is

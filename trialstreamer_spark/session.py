@@ -77,10 +77,25 @@ def get_spark(app_name: str = "trialstreamer-spark") -> SparkSession:
         # heartbeat 60s — the 10s default's executor<->driver chatter
         # contends with the scheduler event loop in single-JVM mode
         # (network.timeout must stay above the heartbeat interval).
+        # Report the per-bucket sort order of bucketed tables written
+        # with exactly one file per bucket (io.prepare_buckets
+        # repartitions INTO the buckets, guaranteeing it). Spark 3.0
+        # turned this off by default (SPARK-28595) because multi-file
+        # buckets can't prove sortedness — with the flag on, Spark
+        # still inserts the Sort for any multi-file bucket, so this is
+        # safe globally. Without it every fact-fact merge join re-sorts
+        # BOTH facts (sf10 measured: sole_late_supplier 11.6→6.5 s,
+        # nation_market_share 4.2→1.7 s — SCALE.md round 10).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.locality.wait", "0")
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.network.timeout", "600s")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (its listener costs show up in sub-second
+        # benches); SPARK_GRAFT_UI=true flips it on for stage-level
+        # profiling runs (tools/job_count.py style REST pulls)
+        .config(
+            "spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false")
+        )
         # single-JVM local mode: the driver heap IS the executor heap for
         # all $SPARK_GRAFT_CPUS task threads — size it to the machine,
         # not to a driver-only footprint (GC pressure on a small heap
