@@ -930,5 +930,8 @@ def label_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ls",
             F.expr("(1000000 * n_ls * n) DIV (n_l * n_s)").alias("lift_fp"),
         )
-        .orderBy("label", "source")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("label", "source")
     )

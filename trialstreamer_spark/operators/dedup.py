@@ -2704,7 +2704,10 @@ def doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "head_dup_fp"
             ),
         )
-        .orderBy("source")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 

@@ -166,7 +166,9 @@ def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
         "modality",
         "n_bytes",
         F.col("feature")[0].alias("f0"),
-    ).orderBy("media_id")
+    ).orderBy("media_id")  # per-media output scales with the corpus; the
+    # Arrow decode has no shuffle below it, so a coalesce(1) would
+    # serialize the decode stage — keep the parallel range sort.
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -310,6 +312,9 @@ def multimodal_frame_features(spark, sf_dir: str) -> DataFrame:
 
     return (
         frames.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)
+        # per-frame output scales with the corpus and the frame
+        # featurizer has no shuffle below it — a coalesce(1) would
+        # run the whole Arrow stage in one task; keep the range sort.
         .orderBy("media_id", "frame_ts_ms")
     )
 

@@ -1423,7 +1423,10 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_norm_fp",
             "max_norm_fp",
         )
-        .orderBy("label")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("label")
     )
 
 

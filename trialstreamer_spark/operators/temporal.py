@@ -549,7 +549,10 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard_fp"
             ),
         )
-        .orderBy("type_a", "type_b")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("type_a", "type_b")
     )
 
 
@@ -624,7 +627,10 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conversion_fp"
             ),
         )
-        .orderBy("first_type")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("first_type")
     )
 
 
@@ -1539,5 +1545,8 @@ def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("normal")
             .alias("drift"),
         )
-        .orderBy("week_idx")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("week_idx")
     )

@@ -218,7 +218,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.sum(disc_pct) / 100.0) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -551,7 +554,10 @@ def anti_join_skiplist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
         )
-        .orderBy("event_type")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )
 
 
@@ -891,6 +897,10 @@ def set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "left_anti",
         )
+        # output is corpus-scaled (every order-less customer), and the
+        # anti-join is broadcast with NO shuffle below — a coalesce(1)
+        # here would serialize the probe scan, so keep the global sort
+        # (measured r10: the range exchange is the parallelism).
         .orderBy("c_custkey")
     )
 
@@ -1142,7 +1152,10 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week_us", "week_offset")
         .agg(F.count("*").alias("n_active"))
-        .orderBy("cohort_week_us", "week_offset")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("cohort_week_us", "week_offset")
     )
 
 
@@ -1206,7 +1219,10 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("revenue_cents"),
             F.count("*").alias("n_items"),
         )
-        .orderBy(F.col("revenue_cents").desc(), F.col("nation"))
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("revenue_cents").desc(), F.col("nation"))
     )
 
 
@@ -1393,7 +1409,10 @@ def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(cents).alias("total_cents"),
         )
-        .orderBy("user_id")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("user_id")
     )
 
 
@@ -1593,7 +1612,10 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").alias("revenue_cents"),
             F.count("*").alias("n_rows"),
         )
-        .orderBy("brand")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("brand")
     )
 
 
@@ -1733,7 +1755,10 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             F.sum("bal_c").alias("balance_cents"),
         )
-        .orderBy("nation")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("nation")
     )
 
 
@@ -1864,7 +1889,10 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.expr("(1000000 * n) DIV total").alias("frac_fp"),
         )
-        .orderBy("prev_type", "event_type")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("prev_type", "event_type")
     )
 
 
@@ -2082,7 +2110,10 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("supp_name"),
             "total_rev_c",
         )
-        .orderBy("suppkey")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("suppkey")
     )
 
 
@@ -2920,7 +2951,10 @@ def high_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
             F.expr("(1000000 * value_cents) DIV total_cents").alias("share_fp"),
         )
-        .orderBy(F.col("value_cents").desc(), "partkey")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("value_cents").desc(), "partkey")
     )
 
 
@@ -3114,7 +3148,10 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "yoy_fp"
             ),
         )
-        .orderBy("yr", "mon")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("yr", "mon")
     )
 
 
@@ -3200,7 +3237,10 @@ def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_y2",
             (F.col("rank_y1") - F.col("rank_y2")).alias("rank_gain"),
         )
-        .orderBy("rank_y2", "nation")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("rank_y2", "nation")
     )
 
 
@@ -3288,7 +3328,10 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("share_fp").alias("top_share_fp"),
             F.expr("SUM(share_fp * share_fp) DIV 1000000").alias("hhi_fp"),
         )
-        .orderBy("nation")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("nation")
     )
 
 
@@ -3387,7 +3430,10 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.sum("price_c").alias("revenue_cents"),
         )
-        .orderBy("nation")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("nation")
     )
 
 
@@ -3462,7 +3508,7 @@ def mktsegment_yearly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * seg_cents) DIV SUM(seg_cents)"
             " OVER (PARTITION BY yr)"
         ).alias("share_fp"),
-    ).orderBy("yr", "segment")
+    ).coalesce(1).sortWithinPartitions("yr", "segment")  # dim-sized tail (r9 #5a)
 
 
 @query(
@@ -3803,7 +3849,10 @@ def ship_latency_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_days",
             F.expr("(1000000 * n_slow) DIV n_items").alias("slow_share_fp"),
         )
-        .orderBy("nation")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("nation")
     )
 
 
@@ -4214,7 +4263,10 @@ def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "retained_fp"
             ),
         )
-        .orderBy("nation", "yr")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("nation", "yr")
     )
 
 
@@ -4303,7 +4355,7 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * volume_cents)"
             " DIV SUM(volume_cents) OVER (PARTITION BY supp_nation)"
         ).alias("export_share_fp"),
-    ).orderBy("supp_nation", "cust_nation")
+    ).coalesce(1).sortWithinPartitions("supp_nation", "cust_nation")  # dim-sized tail (r9 #5a)
 
 
 @query(
@@ -4350,7 +4402,10 @@ def revenue_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
             "revenue_cents",
         )
-        .orderBy("grouping_id", "returnflag", "linestatus")
+        # dimension-sized tail: single-partition sort, no range
+        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("grouping_id", "returnflag", "linestatus")
     )
 
 
