@@ -1,0 +1,110 @@
+"""Round-10 operator semantics: the exchange-budget rewrites must not
+just hash-match the (co-rewritten) oracles — the statistics they state
+must be non-degenerate.  whale_revenue_share is the motivating case:
+both engines previously took MIN over the qualifying suffix of the
+descending revenue cumulative, i.e. the GLOBAL minimum revenue, so the
+"top 1%" threshold admitted every customer (a shared-semantics bug the
+oracle hash gate cannot catch, found during the r10 rewrite).  These
+tests pin the intended boundary behavior independently of any SQL."""
+
+from __future__ import annotations
+
+import pytest
+
+from trialstreamer_spark.io import load
+from trialstreamer_spark.plans.all_queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def test_whale_threshold_is_top_percentile_not_global_min(spark, sf_dir):
+    row = QUERIES["whale_revenue_share"](spark, sf_dir).collect()[0]
+    n = row["n_customers"]
+    # the whale set is the smallest at-or-above-threshold population
+    # reaching 1% — tiny, never everyone (the old MIN-side bug made
+    # n_whales == n_customers and whale_share_fp == 1000000 exactly)
+    assert 0 < row["n_whales"] < n
+    assert row["n_whales"] <= max(1, n // 100) + 1  # ties may add rows
+    assert 0 < row["whale_share_fp"] < 1_000_000
+    # threshold sits strictly above the revenue floor: some customer
+    # must fall below it
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders")
+    floor_cents = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+        .agg(F.min("rev"))
+        .collect()[0][0]
+    )
+    assert row["threshold_cents"] > floor_cents
+
+
+def test_whale_counts_match_direct_recount(spark, sf_dir):
+    """n_whales/whale share recomputed directly from the per-customer
+    rollup at the reported threshold must equal the query's output."""
+    from pyspark.sql import functions as F
+
+    row = QUERIES["whale_revenue_share"](spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    got = cr.agg(
+        F.sum(F.when(F.col("rev") >= row["threshold_cents"], 1).otherwise(0)),
+        F.sum(F.when(F.col("rev") >= row["threshold_cents"], F.col("rev")).otherwise(0)),
+        F.sum("rev"),
+        F.count("*"),
+    ).collect()[0]
+    assert got[0] == row["n_whales"]
+    assert (1_000_000 * got[1]) // got[2] == row["whale_share_fp"]
+    assert got[3] == row["n_customers"]
+
+
+def test_repeat_rate_matches_naive_self_join(spark, sf_dir):
+    """The collect_set rewrite must agree row-for-row with the naive
+    distinct + self-join formulation it replaced."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["nation"], r["yr"]): (r["n_active"], r["n_retained"])
+        for r in QUERIES["customer_repeat_rate_yoy"](spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    cy = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_nationkey", "yr", "o_custkey")
+        .distinct()
+    )
+    nxt = cy.select(
+        F.col("c_nationkey").alias("nk"),
+        (F.col("yr") - 1).alias("py"),
+        F.col("o_custkey").alias("ck"),
+    )
+    maxyr = cy.agg(F.max("yr")).collect()[0][0]
+    ref = (
+        cy.join(
+            nxt,
+            (cy.c_nationkey == nxt.nk)
+            & (cy.o_custkey == nxt.ck)
+            & (cy.yr == nxt.py),
+            "left",
+        )
+        .where(F.col("yr") < maxyr)
+        .join(n, cy.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "yr")
+        .agg(
+            F.count("*").alias("a"),
+            F.sum(F.when(F.col("ck").isNotNull(), 1).otherwise(0)).alias("r"),
+        )
+        .collect()
+    )
+    want = {(r["n_name"], r["yr"]): (r["a"], r["r"]) for r in ref}
+    assert got == want

@@ -54,7 +54,17 @@ EVENT_TYPES = ["click", "signup", "purchase", "error", "view"]
 LANGS = ["en", "de", "zh", "fr", "es"]
 
 
+#: when set (CLI ``only=t1,t2``), tables NOT named are built but not
+#: written — the dedup decade needs only documents(+embeddings), and
+#: skipping the 60M-row lineitem/orders parquet writes at mult=100
+#: saves most of the generation wall-clock and disk.
+ONLY: set | None = None
+
+
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    if ONLY is not None and name not in ONLY:
+        print(f"  {name}: skipped (only={sorted(ONLY)})")
+        return
     # 64k-row row groups, NOT pyarrow's ~1M default: Spark cannot split
     # a row group, so a 1M-row group scans as one partition regardless
     # of spark.sql.files.maxPartitionBytes (measured in round 8: the
@@ -237,7 +247,12 @@ def generate(
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "scale_data/sf1"
-    mult = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    mode = sys.argv[3] if len(sys.argv) > 3 else "fixed"
+    argv = list(sys.argv[1:])
+    for a in list(argv):
+        if a.startswith("only="):
+            ONLY = set(a[len("only="):].split(","))
+            argv.remove(a)
+    out = argv[0] if len(argv) > 0 else "scale_data/sf1"
+    mult = float(argv[1]) if len(argv) > 1 else 10.0
+    mode = argv[2] if len(argv) > 2 else "fixed"
     generate(out, mult, text_mode=mode)

@@ -1210,18 +1210,27 @@ def session_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"))
     )
-    h = per.select(
-        F.least(F.col("n_sessions"), F.lit(10))
-        .cast("long")
-        .alias("sessions_bucket")
-    ).groupBy("sessions_bucket").agg(F.count("*").alias("n_users"))
+    h = (
+        per.select(
+            F.least(F.col("n_sessions"), F.lit(10))
+            .cast("long")
+            .alias("sessions_bucket")
+        )
+        .groupBy("sessions_bucket")
+        .agg(F.count("*").alias("n_users"))
+        # ≤11 buckets: single partition here makes the share window and
+        # the final sort exchange-free (r9 VERDICT #5 — the global
+        # window otherwise costs an Exchange(SinglePartition) job and
+        # the orderBy a sampling job + range exchange).
+        .coalesce(1)
+    )
     return h.select(
         "sessions_bucket",
         "n_users",
         F.expr("(1000000 * n_users) DIV SUM(n_users) OVER ()").alias(
             "share_fp"
         ),
-    ).orderBy("sessions_bucket")
+    ).sortWithinPartitions("sessions_bucket")
 
 
 @query(

@@ -1268,6 +1268,12 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
+        # bucket domain is bounded by the price range (~400 rows at any
+        # SF): collapse to one partition HERE so the cumulative window,
+        # the probe join, the per-p rollup, and the final sort all run
+        # exchange-free (SinglePartition satisfies every downstream
+        # required distribution) — one shuffle total (r9 VERDICT #5).
+        .coalesce(1)
     )
     cum = b.select(
         "bucket",
@@ -1276,11 +1282,10 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = inline_rows(spark, [(50,), (90,), (99,)], [("p", "int")])
     return (
-        F.broadcast(ps)
-        .join(cum, cum.cum_c * 100 >= ps.p.cast("long") * cum.total)
+        cum.join(F.broadcast(ps), cum.cum_c * 100 >= ps.p.cast("long") * cum.total)
         .groupBy("p")
         .agg(F.min(F.col("bucket") * 1000).alias("quantile_lower_bound"))
-        .orderBy("p")
+        .sortWithinPartitions("p")
     )
 
 
@@ -3114,8 +3119,9 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's year-counts dashboard (A1) is the annual version.
 
     Scale shape: the fact collapses to a |months|-row rollup first (one
-    map-side-combined exchange); the self-join and window-free YoY
-    arithmetic run on that tiny frame. Growth is an integer
+    map-side-combined exchange); the prev-year range window and the YoY
+    arithmetic run exchange-free on that tiny single-partition frame
+    (one fact pass). Growth is an integer
     floor-division at 1e-6; months with no prior-year row yield NULL on
     both engines (LEFT JOIN + DIV null-propagation)."""
     o = load(spark, sf_dir, "orders")
@@ -3132,12 +3138,15 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
-    prev = m.select(
-        (F.col("mkey") + 12).alias("mkey"),
-        F.col("revenue_cents").alias("prev_year_cents"),
-    )
+    # Prior-year lookup as a RANGE window at exactly -12 months over the
+    # single-partition month frame — sum of the (0 or 1)-row frame is the
+    # prev-year revenue, empty → NULL, matching the oracle's LEFT JOIN.
+    # The old broadcast self-join consumed the month rollup twice, which
+    # re-ran the whole fact aggregation per reference (r9 7.7× gap).
+    w_prev = W.orderBy("mkey").rangeBetween(-12, -12)
     return (
-        m.join(F.broadcast(prev), "mkey", "left")
+        m.coalesce(1)
+        .withColumn("prev_year_cents", F.sum("revenue_cents").over(w_prev))
         .select(
             "yr",
             "mon",
@@ -3148,9 +3157,6 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "yoy_fp"
             ),
         )
-        # dimension-sized tail: single-partition sort, no range
-        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
-        .coalesce(1)
         .sortWithinPartitions("yr", "mon")
     )
 
@@ -3199,8 +3205,10 @@ def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the year predicate prunes the fact scan before the custkey
     join (pushed to parquet); the nation dim broadcasts; the fact
     collapses to |nations × 2| rows in one map-side-combined rollup,
-    and both rank windows plus the pivot self-join run on that tiny
-    frame. Revenue stays in int64 cents end to end."""
+    and the rank window plus the conditional-aggregation year pivot
+    run exchange-free on that single-partition tiny frame (one fact
+    pass — the old self-join consumed the subtree twice). Revenue
+    stays in int64 cents end to end."""
     o = load(spark, sf_dir, "orders").where(
         F.year("o_orderdate").isin(*RANK_SHIFT_YEARS)
     )
@@ -3214,21 +3222,30 @@ def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("yr"),
         )
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"))
+        # |nations × 2| rows: single partition here makes the rank
+        # window, the year pivot, and the final sort exchange-free.
+        .coalesce(1)
     )
     w = W.partitionBy("yr").orderBy(F.col("rev_c").desc(), F.col("nation"))
     r = rev.withColumn("rnk", F.row_number().over(w).cast("long"))
-    a = r.where(F.col("yr") == RANK_SHIFT_YEARS[0]).select(
-        "nation",
-        F.col("rev_c").alias("rev_y1_cents"),
-        F.col("rnk").alias("rank_y1"),
-    )
-    b = r.where(F.col("yr") == RANK_SHIFT_YEARS[1]).select(
-        "nation",
-        F.col("rev_c").alias("rev_y2_cents"),
-        F.col("rnk").alias("rank_y2"),
-    )
+
+    # Year pivot via conditional aggregation, NOT a self-join: the old
+    # r⋈r consumed the rank subtree twice, and without runtime exchange
+    # reuse each reference re-ran the whole fact join + rollup (the
+    # r9 10.4× gap was mostly this second fact pass). Inner-join
+    # semantics (nation present in BOTH years) = both ranks non-null.
+    def at_year(yr: int, col: str):
+        return F.max(F.when(F.col("yr") == yr, F.col(col)))
+
     return (
-        a.join(b, "nation")
+        r.groupBy("nation")
+        .agg(
+            at_year(RANK_SHIFT_YEARS[0], "rev_c").alias("rev_y1_cents"),
+            at_year(RANK_SHIFT_YEARS[1], "rev_c").alias("rev_y2_cents"),
+            at_year(RANK_SHIFT_YEARS[0], "rnk").alias("rank_y1"),
+            at_year(RANK_SHIFT_YEARS[1], "rnk").alias("rank_y2"),
+        )
+        .where(F.col("rank_y1").isNotNull() & F.col("rank_y2").isNotNull())
         .select(
             "nation",
             "rev_y1_cents",
@@ -3237,9 +3254,6 @@ def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_y2",
             (F.col("rank_y1") - F.col("rank_y2")).alias("rank_gain"),
         )
-        # dimension-sized tail: single-partition sort, no range
-        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
-        .coalesce(1)
         .sortWithinPartitions("rank_y2", "nation")
     )
 
@@ -3499,6 +3513,11 @@ def mktsegment_yearly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
         )
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("seg_cents"))
+        # |years × segments| rows: one partition BEFORE the share
+        # window, so the window's hash exchange and the final sort both
+        # disappear (SinglePartition satisfies ClusteredDistribution(yr)
+        # and the sort's ordering requirement) — r9 VERDICT #5.
+        .coalesce(1)
     )
     return f.select(
         "yr",
@@ -3508,7 +3527,7 @@ def mktsegment_yearly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * seg_cents) DIV SUM(seg_cents)"
             " OVER (PARTITION BY yr)"
         ).alias("share_fp"),
-    ).coalesce(1).sortWithinPartitions("yr", "segment")  # dim-sized tail (r9 #5a)
+    ).sortWithinPartitions("yr", "segment")
 
 
 @query(
@@ -3910,7 +3929,10 @@ def reorder_interval_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("gap_d").isNotNull())
     )
-    vc = g.groupBy("gap_d").agg(F.count("*").alias("cnt"))
+    # |distinct gaps| is calendar-bounded (~2.4k rows): one partition
+    # NOW, so both windows and the final rollup skip their exchanges
+    # (the window's Exchange(SinglePartition) was a whole extra job).
+    vc = g.groupBy("gap_d").agg(F.count("*").alias("cnt")).coalesce(1)
     cum = vc.select(
         "gap_d",
         F.sum("cnt").over(W.orderBy("gap_d")).alias("cum_n"),
@@ -3942,23 +3964,19 @@ def reorder_interval_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum AS (
       SELECT rev_c, cnt,
              SUM(cnt) OVER (ORDER BY rev_c DESC) AS cum_n,
-             SUM(cnt) OVER () AS n
+             SUM(rev_c * cnt) OVER (ORDER BY rev_c DESC) AS cum_rev,
+             SUM(cnt) OVER () AS n,
+             SUM(rev_c * cnt) OVER () AS total_rev
       FROM vc
-    ),
-    thr AS (
-      SELECT MIN(CASE WHEN 100 * cum_n >= n THEN rev_c END) AS t,
-             MAX(n) AS n
-      FROM cum
     )
-    SELECT CAST(thr.n AS BIGINT) AS n_customers,
-           CAST(thr.t AS BIGINT) AS threshold_cents,
-           CAST(SUM(CASE WHEN cr.rev_c >= thr.t THEN 1 ELSE 0 END)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(CASE WHEN 100 * cum_n >= n THEN rev_c END)
+                AS BIGINT) AS threshold_cents,
+           CAST(MIN(CASE WHEN 100 * cum_n >= n THEN cum_n END)
                 AS BIGINT) AS n_whales,
-           CAST((1000000 * SUM(CASE WHEN cr.rev_c >= thr.t
-                                    THEN cr.rev_c ELSE 0 END))
-                // SUM(cr.rev_c) AS BIGINT) AS whale_share_fp
-    FROM cr CROSS JOIN thr
-    GROUP BY thr.n, thr.t
+           CAST((1000000 * MIN(CASE WHEN 100 * cum_n >= n THEN cum_rev END))
+                // MAX(total_rev) AS BIGINT) AS whale_share_fp
+    FROM cum
     """,
 )
 def whale_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3986,29 +4004,41 @@ def whale_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"))
     )
-    vc = cr.groupBy("rev_c").agg(F.count("*").alias("cnt"))
+    # Everything the old crossJoin-back-onto-cr computed is already a
+    # running statistic of the (rev_c, cnt) frame: at the threshold row
+    # (the FIRST descending row with 100·cum_n >= n) cum_n IS n_whales
+    # and the running revenue mass IS whale_cents — so carry both
+    # cumulatives in the window pass and finish with ONE 1-row rollup,
+    # dropping the broadcast-back join and the second cr scan (which
+    # recomputed the whole custkey rollup per reference). The frame is
+    # single-partition anyway for the global window; coalesce(1) gives
+    # that without an Exchange(SinglePartition) materialization.
+    vc = cr.groupBy("rev_c").agg(F.count("*").alias("cnt")).coalesce(1)
+    w_desc = W.orderBy(F.col("rev_c").desc())
     cum = vc.select(
         "rev_c",
-        F.sum("cnt").over(W.orderBy(F.col("rev_c").desc())).alias("cum_n"),
+        F.sum("cnt").over(w_desc).alias("cum_n"),
+        F.sum(F.col("rev_c") * F.col("cnt")).over(w_desc).alias("cum_rev"),
         F.sum("cnt").over(W.partitionBy()).alias("n"),
+        F.sum(F.col("rev_c") * F.col("cnt")).over(W.partitionBy()).alias("total_rev"),
     )
-    thr = cum.agg(
-        F.min(
-            F.when(100 * F.col("cum_n") >= F.col("n"), F.col("rev_c"))
-        ).alias("t"),
-        F.max("n").alias("n"),
-    )
+    at_thr = F.when(100 * F.col("cum_n") >= F.col("n"), F.col("rev_c"))
     return (
-        cr.crossJoin(F.broadcast(thr))
-        .groupBy(F.col("n").alias("n_customers"), F.col("t").alias("threshold_cents"))
-        .agg(
-            F.sum(F.when(F.col("rev_c") >= F.col("t"), 1).otherwise(0)).alias(
-                "n_whales"
-            ),
-            F.sum(
-                F.when(F.col("rev_c") >= F.col("t"), F.col("rev_c")).otherwise(0)
-            ).alias("whale_cents"),
-            F.sum("rev_c").alias("total_cents"),
+        cum.agg(
+            F.max("n").alias("n_customers"),
+            # the threshold ROW is the first (highest-revenue) one whose
+            # descending cumulative reaches 1% — MAX of the qualifying
+            # rev_c. (r10 fix: both engines previously took MIN, i.e.
+            # the global minimum revenue, silently making every customer
+            # a whale — a shared-semantics bug parity cannot catch.)
+            F.max(at_thr).alias("threshold_cents"),
+            # min over qualifying rows = the threshold row's value (the
+            # descending cumulative is monotone in both statistics)
+            F.min(F.when(100 * F.col("cum_n") >= F.col("n"), F.col("cum_n")))
+            .alias("n_whales"),
+            F.min(F.when(100 * F.col("cum_n") >= F.col("n"), F.col("cum_rev")))
+            .alias("whale_cents"),
+            F.max("total_rev").alias("total_cents"),
         )
         .select(
             "n_customers",
@@ -4196,14 +4226,13 @@ def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention_cohorts). The trailing year is excluded (no Y+1 to retain
     into); 1e-6 fixed-point shares of exact distinct-customer counts.
 
-    Scale shape: dedupe to (nation, year, customer) FIRST (the same
-    collapse-before-expensive-work discipline as rolling_active_users),
-    then ONE custkey-keyed self equi-join on (customer, year+1) — on
-    the custkey bucket layouts the customer join, the dedupe, AND the
-    self-join all ride HashPartitioning(custkey) (custkey is a subset
-    of every key set involved) with no exchange; no range join, no
-    per-year rescan — and a |nations × years| rollup; nation names
-    broadcast."""
+    Scale shape: ONE fact pass — collapse to a per-customer year SET
+    (the groupBy rides HashPartitioning(custkey) on the bucket layouts
+    with no exchange; set size ≤ |calendar years|), explode, and read
+    "retained at Y" off the same row as "Y+1 ∈ set". No self-join (the
+    old cy⋈cy consumed the distinct subtree twice = two fact scans),
+    no separate maxyr scan (max(yr) of the tiny rollup is the corpus
+    max year); the |nations × years| tail is single-partition."""
     from trialstreamer_spark.io import bucketed_table
 
     ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
@@ -4220,40 +4249,41 @@ def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = c.hint("shuffle_hash")
     else:
         c = _sf_dim(c)
-    cy = (
+    # Per-customer year SET in one pass (groupBy custkey rides the
+    # bucket layout exchange-free), then explode: "retained at Y" is
+    # simply "Y+1 in the same set". The old cy⋈cy self-join consumed
+    # the distinct subtree twice — two full fact scans + joins — and a
+    # THIRD orders pass computed maxyr; maxyr is just max(yr) of the
+    # rollup (every order year appears), free on the tiny frame.
+    yrs = (
         o.join(c, o.o_custkey == c.c_custkey)
-        .select("c_nationkey", "yr", "o_custkey")
-        .distinct()
-    )
-    nxt = cy.select(
-        F.col("c_nationkey").alias("nk"),
-        (F.col("yr") - 1).alias("prev_yr"),
-        F.col("o_custkey").alias("ck"),
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.collect_set("yr").alias("yrs"))
     )
     j = (
-        cy.join(
-            nxt,
-            (cy.c_nationkey == nxt.nk)
-            & (cy.o_custkey == nxt.ck)
-            & (cy.yr == nxt.prev_yr),
-            "left",
+        yrs.select(
+            "c_nationkey",
+            F.explode("yrs").alias("yr"),
+            F.col("yrs").alias("all_yrs"),
         )
         .groupBy("c_nationkey", "yr")
         .agg(
             F.count("*").alias("n_active"),
-            F.sum(F.when(F.col("ck").isNotNull(), 1).otherwise(0)).alias(
-                "n_retained"
-            ),
+            F.sum(
+                F.when(
+                    F.array_contains(F.col("all_yrs"), F.col("yr") + 1), 1
+                ).otherwise(0)
+            ).alias("n_retained"),
         )
-    )
-    maxyr = load(spark, sf_dir, "orders").agg(
-        F.max(F.year("o_orderdate").cast("long")).alias("maxyr")
+        # |nations × years| rows: windows/join/sort below run
+        # exchange-free on one partition (r9 VERDICT #5).
+        .coalesce(1)
     )
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        j.join(F.broadcast(n), j.c_nationkey == n.n_nationkey)
-        .crossJoin(F.broadcast(maxyr))
+        j.withColumn("maxyr", F.max("yr").over(W.partitionBy()))
         .where(F.col("yr") < F.col("maxyr"))
+        .join(F.broadcast(n), j.c_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
             "yr",
@@ -4263,9 +4293,6 @@ def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "retained_fp"
             ),
         )
-        # dimension-sized tail: single-partition sort, no range
-        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
-        .coalesce(1)
         .sortWithinPartitions("nation", "yr")
     )
 
@@ -4345,6 +4372,9 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("volume_cents"),
             F.count("*").alias("n_items"),
         )
+        # ≤|nations|² rows: one partition BEFORE the exporter-share
+        # window so it and the final sort run exchange-free (r9 #5).
+        .coalesce(1)
     )
     return f.select(
         "supp_nation",
@@ -4355,7 +4385,7 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * volume_cents)"
             " DIV SUM(volume_cents) OVER (PARTITION BY supp_nation)"
         ).alias("export_share_fp"),
-    ).coalesce(1).sortWithinPartitions("supp_nation", "cust_nation")  # dim-sized tail (r9 #5a)
+    ).sortWithinPartitions("supp_nation", "cust_nation")
 
 
 @query(
