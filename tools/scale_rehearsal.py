@@ -170,12 +170,24 @@ def main() -> None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "scale_data", "sf1")
         sf_dirs = ["/root/testdata/sf0.1", sf1_dir]
-    results = [
-        rehearse(spark, d, names,
-                 oracle_reuse=reuse_by_dir.get(os.path.basename(d)),
-                 preps=preps)
-        for d in sf_dirs
-    ]
+    results = []
+    for d in sf_dirs:
+        results.append(
+            rehearse(spark, d, names,
+                     oracle_reuse=reuse_by_dir.get(os.path.basename(d)),
+                     preps=preps)
+        )
+        # Release THIS corpus's pinned caches before the next dir: with
+        # two corpora warmed simultaneously the 24g single-JVM heap
+        # carries both cache sets plus execution memory, and the r10
+        # weak-tail rehearsal measured late-session queries 2-4x their
+        # clean-session wall (sole_late_supplier 2.9 s vs 1.1 s warm in
+        # a fresh session) — GC/storage pressure, not plan cost. One
+        # corpus resident at a time keeps every row one-session honest
+        # AND representative.
+        from trialstreamer_spark import util as _util
+        _util.evict_caches(d)
+        spark.catalog.clearCache()
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out_path)

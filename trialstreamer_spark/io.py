@@ -88,6 +88,10 @@ def warm_cache(
     key_session = id(spark._jsparkSession)
     par = spark.sparkContext.defaultParallelism
     for name in tables:
+        # partial corpora (e.g. the documents-only heaps decade dirs
+        # from tools/gen_scale.py only=...) warm what exists
+        if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            continue
         key = (key_session, sf_dir, name)
         if key not in _TABLE_CACHE:
             raw = load(spark, sf_dir, name)

@@ -908,30 +908,42 @@ def label_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     that |labels × sources|-bounded contingency frame, never re-joins
     of the corpus (the round-8 formulation re-ran the join once per
     margin — 4 corpus joins — and measured 53x DuckDB at sf1 on pure
-    fixed overhead). The 1-row total and the two margins broadcast back
-    onto the cells. The lift arithmetic is exact int64: counts ≤ corpus
-    size keep 1e6 · n_ls · n far below 2^63."""
+    fixed overhead; round 10 folded the remaining three broadcast-back
+    legs into windows on the single-partition frame). The lift
+    arithmetic is exact int64: counts ≤ corpus size keep
+    1e6 · n_ls · n far below 2^63."""
     from trialstreamer_spark.io import load_meta
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
     d = load_meta(spark, sf_dir, "documents").select("doc_id", "source")
     j = e.join(d, e.vec_id == d.doc_id).select("label", "source")
-    ls = j.groupBy("label", "source").agg(F.count("*").alias("n_ls"))
-    lm = ls.groupBy("label").agg(F.sum("n_ls").alias("n_l"))
-    sm = ls.groupBy("source").agg(F.sum("n_ls").alias("n_s"))
-    tot = ls.agg(F.sum("n_ls").alias("n"))
+    # Margins and total as WINDOWS over the single-partition contingency
+    # frame (≤|labels × sources| rows), not as three aggregate legs
+    # broadcast-joined back: each broadcast build was its own job (plus
+    # a re-read of the ls exchange), so the plan paid ~5 scheduler
+    # round-trips for a 200-row frame. One corpus shuffle, zero
+    # broadcasts, every downstream op on SinglePartition (r9 VERDICT #5).
+    from pyspark.sql import Window as W
+
+    ls = (
+        j.groupBy("label", "source")
+        .agg(F.count("*").alias("n_ls"))
+        .coalesce(1)
+    )
     return (
-        ls.join(F.broadcast(lm), "label")
-        .join(F.broadcast(sm), "source")
-        .crossJoin(F.broadcast(tot))
+        ls.select(
+            "label",
+            "source",
+            "n_ls",
+            F.sum("n_ls").over(W.partitionBy("label")).alias("n_l"),
+            F.sum("n_ls").over(W.partitionBy("source")).alias("n_s"),
+            F.sum("n_ls").over(W.partitionBy()).alias("n"),
+        )
         .select(
             "label",
             "source",
             "n_ls",
             F.expr("(1000000 * n_ls * n) DIV (n_l * n_s)").alias("lift_fp"),
         )
-        # dimension-sized tail: single-partition sort, no range
-        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
-        .coalesce(1)
         .sortWithinPartitions("label", "source")
     )

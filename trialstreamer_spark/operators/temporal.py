@@ -525,7 +525,15 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact counts — the inclusion-exclusion denominator never goes
     through a float."""
     ut = user_type_pairs(spark, sf_dir)
-    n = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    # Both rollups are ≤|types|(²) rows: coalesce each to ONE partition
+    # so the two margin joins run as in-partition merges with NO
+    # broadcast builds (SinglePartition satisfies both sides' clustered
+    # requirement) — each broadcast was its own scheduler job (r9 #5).
+    n = (
+        ut.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .coalesce(1)
+    )
     a = ut.select("user_id", F.col("event_type").alias("ta"))
     b = ut.select("user_id", F.col("event_type").alias("tb"))
     pair = (
@@ -533,12 +541,13 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("nboth"))
+        .coalesce(1)
     )
     na = n.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
     nb = n.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
     return (
-        pair.join(F.broadcast(na), "ta")
-        .join(F.broadcast(nb), "tb")
+        pair.join(na, "ta")
+        .join(nb, "tb")
         .select(
             F.col("ta").alias("type_a"),
             F.col("tb").alias("type_b"),

@@ -885,22 +885,32 @@ def set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key column; at 100 TB both sides bucket by the key and the
     anti-join co-locates.
 
-    Round-9 measured result: post-fix the plan is scan → anti-join →
-    sort (three jobs); the residual ~0.38 s at sf1 is the per-job
-    scheduler floor (SCALE.md round 9), flat in data size."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    Round-10: on the custkey bucket layouts the anti-join is a
+    CO-LOCATED sort-merge anti (zero exchange, zero build) — the plain
+    path previously BROADCAST the orders-side key projection, i.e. a
+    fact-derived build side that grows with the corpus (1.5M keys /
+    tens of MB at sf1; lethal at 100 TB). Fallback keeps the plain
+    anti-join but the bucket path is the deployed one."""
+    from trialstreamer_spark.io import bucketed_table
+
+    cb = bucketed_table(spark, sf_dir, "customer_by_custkey")
+    ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
+    c = cb if cb is not None else load(spark, sf_dir, "customer")
+    o = ob if ob is not None else load(spark, sf_dir, "orders")
+    probe = o.select(F.col("o_custkey").alias("c_custkey"))
+    if cb is not None and ob is not None:
+        probe = probe.hint("merge")
     return (
         c.select("c_custkey")
         .join(
-            o.select(F.col("o_custkey").alias("c_custkey")),
+            probe,
             "c_custkey",
             "left_anti",
         )
-        # output is corpus-scaled (every order-less customer), and the
-        # anti-join is broadcast with NO shuffle below — a coalesce(1)
-        # here would serialize the probe scan, so keep the global sort
-        # (measured r10: the range exchange is the parallelism).
+        # output is corpus-scaled (every order-less customer) and there
+        # is no shuffle below the sort on the bucket path — a
+        # coalesce(1) would serialize the merge-anti stage, so keep the
+        # parallel range sort.
         .orderBy("c_custkey")
     )
 
@@ -1131,23 +1141,28 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic on epoch micros of week-truncated
     timestamps (no float date math to drift across engines).
 
-    Scale shape: both arms aggregate on user_id (shared exchange), the
-    join is co-partitioned on it, and the final rollup's key space is
-    (weeks x offsets) — tiny regardless of event volume; map-side
-    partial aggregation bounds the last shuffle accordingly."""
+    Scale shape: ONE user_id rollup carrying both statistics — min(ts)
+    AND the distinct-week set (calendar-bounded per user, so collect_set
+    is ≤ |weeks| elements regardless of event volume) — then explode +
+    a (weeks × offsets)-sized rollup on one partition. The r9 shape ran
+    the two arms as separate aggregates joined on user_id, which
+    scanned and shuffled the fact twice."""
     e = load(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("wks"),
     )
-    activity = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
-    ).distinct()
     return (
-        first.join(activity, "user_id")
+        per.select(
+            F.unix_micros(F.date_trunc("week", F.col("first_ts"))).alias(
+                "cohort_week_us"
+            ),
+            F.explode("wks").alias("wk"),
+        )
         .select(
-            F.unix_micros("cohort").alias("cohort_week_us"),
+            "cohort_week_us",
             F.expr(
-                "(unix_micros(wk) - unix_micros(cohort)) div 604800000000"
+                "(unix_micros(wk) - cohort_week_us) div 604800000000"
             ).alias("week_offset"),
         )
         .groupBy("cohort_week_us", "week_offset")
