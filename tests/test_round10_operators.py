@@ -108,3 +108,25 @@ def test_repeat_rate_matches_naive_self_join(spark, sf_dir):
     )
     want = {(r["n_name"], r["yr"]): (r["a"], r["r"]) for r in ref}
     assert got == want
+
+
+def test_parity_doc_not_stale():
+    """PLANS/PARITY are generated artifacts; the r9 verdict caught them
+    regenerated two commits behind HEAD. This pins the cheap invariant:
+    the registry roll-call inside PARITY.md must state the CURRENT
+    registry size, so adding/removing a query without re-running
+    tools/gen_plans.py fails CI instead of shipping a stale doc."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "PARITY.md")).read()
+    m = re.search(r"(\d+) registered queries, (\d+) with DuckDB", text)
+    assert m, "PARITY.md generated registry block missing"
+    from trialstreamer_spark.plans.all_queries import ORACLES, QUERIES
+
+    assert int(m.group(1)) == len(QUERIES), (
+        f"PARITY.md says {m.group(1)} queries, registry has "
+        f"{len(QUERIES)} — rerun tools/gen_plans.py"
+    )
+    assert int(m.group(2)) == len(ORACLES)
