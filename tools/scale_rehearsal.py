@@ -55,7 +55,7 @@ def best_of(f, n: int = 3) -> float:
 
 
 def rehearse(spark, sf_dir: str, names=None, oracle_reuse: dict | None = None,
-             preps: set[str] | None = None) -> dict:
+             preps: set[str] | None = None, no_oracle: bool = False) -> dict:
     from trialstreamer_spark.io import prepare_buckets, warm_cache
     from trialstreamer_spark.operators.clustering import prepare_pq, prepare_semdedup
     from trialstreamer_spark.operators.dedup import prepare_dedup
@@ -118,6 +118,13 @@ def rehearse(spark, sf_dir: str, names=None, oracle_reuse: dict | None = None,
             # committed artifact (ADVICE r8) — ratios built on reuse
             # are not one-session numbers.
             row["duckdb_reused"] = True
+        elif no_oracle:
+            # --no-oracle: Spark-side scaling decade only. Used where the
+            # oracle is already RECORDED as unable to run the family at a
+            # smaller scale (heaps_sf1: minhash_band_tuning spill-cap
+            # FAIL, prefix pairs 404 s) — re-proving that at 10x costs
+            # an hour per query and adds nothing.
+            row["duckdb_skipped"] = True
         else:
             try:
                 row["duckdb_s"] = round(
@@ -148,6 +155,9 @@ def main() -> None:
         i = argv.index("--sf-dirs")
         sf_dirs = [os.path.abspath(d) for d in argv[i + 1].split(",")]
         del argv[i : i + 2]
+    no_oracle = "--no-oracle" in argv
+    if no_oracle:
+        argv.remove("--no-oracle")
     preps = None
     if "--preps" in argv:
         i = argv.index("--preps")
@@ -175,7 +185,7 @@ def main() -> None:
         results.append(
             rehearse(spark, d, names,
                      oracle_reuse=reuse_by_dir.get(os.path.basename(d)),
-                     preps=preps)
+                     preps=preps, no_oracle=no_oracle)
         )
         # Release THIS corpus's pinned caches before the next dir: with
         # two corpora warmed simultaneously the 24g single-JVM heap
