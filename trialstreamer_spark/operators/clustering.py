@@ -784,7 +784,10 @@ def kmeans_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "max_dist_fp",
         )
-        .orderBy("cluster")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("cluster")
     )
 
 
@@ -868,7 +871,10 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("majority_n"),
             F.expr("(1000000 * n) DIV n_vecs").alias("purity_fp"),
         )
-        .orderBy("cluster")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("cluster")
     )
 
 

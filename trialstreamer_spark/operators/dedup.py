@@ -1649,7 +1649,10 @@ def bloom_decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.count("*") - F.sum("true_member"))
             ).alias("fp_rate"),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -1856,7 +1859,10 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_clusters"),
             F.sum("cluster_size").alias("n_docs"),
         )
-        .orderBy("cluster_size")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("cluster_size")
     )
 
 
@@ -2018,7 +2024,10 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(removed_tokens) * F.lit(1.0) / F.sum("n_tokens")
             ).alias("removed_frac"),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -2169,7 +2178,10 @@ def dup_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("degree").alias("n_endpoints"),
         )
-        .orderBy("degree_bucket")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("degree_bucket")
     )
 
 
@@ -2354,7 +2366,10 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
-        .orderBy("hamming")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("hamming")
     )
 
 

@@ -614,5 +614,8 @@ def multimodal_aspect_buckets(spark, sf_dir: str) -> DataFrame:
             F.min("height").alias("min_h"),
             F.max("height").alias("max_h"),
         )
-        .orderBy("bucket")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("bucket")
     )

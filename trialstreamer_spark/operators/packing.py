@@ -291,7 +291,10 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(1000000 * n_tokens * n_shards) DIV total_tokens"
             ).alias("balance_fp"),
         )
-        .orderBy("shard")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("shard")
     )
 
 
@@ -367,7 +370,10 @@ def context_length_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV padded_tokens"
             ).alias("waste_fp"),
         )
-        .orderBy("ctx_len")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("ctx_len")
     )
 
 

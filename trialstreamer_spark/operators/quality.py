@@ -432,7 +432,10 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_canonical"),
             F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("n_sampled"),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -498,7 +501,10 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("keep").alias("n_sampled"),
             (F.sum("keep") / F.count("*")).alias("sampled_frac"),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -636,7 +642,10 @@ def pii_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_emails").alias("n_emails"),
             F.sum("scrubbed_len").alias("scrubbed_chars"),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -1527,7 +1536,10 @@ def quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokens_kept"
             ),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -1695,7 +1707,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_shared") * F.lit(1.0) / F.least(spans_a, spans_b)
             ).alias("overlap_coef"),
         )
-        .orderBy("source_a", "source_b")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source_a", "source_b")
     )
 
 
@@ -1762,7 +1777,10 @@ def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
-        .orderBy("source", "split")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source", "split")
     )
 
 
@@ -1954,7 +1972,10 @@ def dup_rate_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_dup").alias("n_dup_docs"),
             (F.sum("is_dup") * F.lit(1.0) / F.count("*")).alias("dup_frac"),
         )
-        .orderBy("n_flags")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("n_flags")
     )
 
 
@@ -2115,7 +2136,10 @@ def pii_idlike_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_idnum").alias("n_idnum"),
             F.sum("scrubbed_len").alias("scrubbed_chars"),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -2280,5 +2304,8 @@ def corpus_checksum_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("h").alias("min_hash"),
             F.max("h").alias("max_hash"),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )

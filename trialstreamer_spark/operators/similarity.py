@@ -784,7 +784,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_overlap",
             (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
         )
-        .orderBy("query_id")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("query_id")
     )
 
 
@@ -927,7 +930,10 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "idx")
         .agg((F.sum("v_fp") / 1_000_000.0 / F.count("*")).alias("centroid"))
-        .orderBy("label", "idx")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("label", "idx")
     )
 
 
@@ -1200,7 +1206,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("f") * F.col("f")).alias("sumsq_fp"),
             (F.sum("f") / 1_000_000.0 / F.count("*")).alias("mean"),
         )
-        .orderBy("dim")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("dim")
     )
 
 
@@ -1289,7 +1298,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err).alias("sum_abs_err_fp"),
             F.max(err).alias("max_err_fp"),
         )
-        .orderBy("dim")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("dim")
     )
 
 
@@ -1343,7 +1355,10 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "consistency_frac"
             ),
         )
-        .orderBy("label")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("label")
     )
 
 
@@ -1577,7 +1592,10 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_overlap").cast("long").alias("n_overlap"),
             (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
         )
-        .orderBy("nprobe", "query_id")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("nprobe", "query_id")
     )
 
 
@@ -2154,5 +2172,8 @@ def mips_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_overlap").cast("long").alias("n_overlap"),
             (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
         )
-        .orderBy("nprobe", "query_id")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("nprobe", "query_id")
     )

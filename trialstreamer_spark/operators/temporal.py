@@ -331,7 +331,10 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(cents).alias("value_cents"),
         )
-        .orderBy("band")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("band")
     )
 
 
@@ -391,7 +394,10 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.join(F.broadcast(observed), "window_end_us")
         .groupBy("window_end_us")
         .agg(F.countDistinct("user_id").alias("n_active_7d"))
-        .orderBy("window_end_us")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("window_end_us")
     )
 
 
@@ -480,7 +486,10 @@ def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             drift.alias("drift"),
         )
-        .orderBy("day_us")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("day_us")
     )
 
 
@@ -713,7 +722,10 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau",
             F.expr("(1000000 * dau) DIV wau").alias("stickiness_fp"),
         )
-        .orderBy("day_us")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("day_us")
     )
 
 
@@ -781,7 +793,10 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_burst, 1).otherwise(0)).alias("n_burst_minutes"),
             F.max("x").alias("max_per_minute"),
         )
-        .orderBy("event_type")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )
 
 
@@ -1097,7 +1112,10 @@ def hour_of_week_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_n",
             F.expr("(1000000 * pk.n) DIV total_n").alias("peak_share_fp"),
         )
-        .orderBy("event_type")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )
 
 

@@ -277,7 +277,10 @@ def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("na").alias("alpha_tokens"),
             F.count("*").alias("n_docs"),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -712,7 +715,10 @@ def linear_probe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occupied",
             F.lit(LC_M).cast("long").alias("m"),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -868,7 +874,10 @@ def sketch_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("occ_shard1"),
             F.countDistinct("bucket").alias("occ_merged"),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -1047,7 +1056,10 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.expr("(1000000 * n) DIV total").alias("frac_fp"),
         )
-        .orderBy("lang", "lang_pred")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang", "lang_pred")
     )
 
 
@@ -1096,7 +1108,10 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens_total"),
         )
-        .orderBy("bucket_lo")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("bucket_lo")
     )
 
 
@@ -1236,7 +1251,10 @@ def token_tv_distance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             (F.col("tv_num") / (2.0 * F.col("n_a") * F.col("n_b"))).alias("tv"),
         )
-        .orderBy("source_a", "source_b")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source_a", "source_b")
     )
 
 
@@ -1306,7 +1324,10 @@ def type_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_types) DIV n_tokens").alias("ttr_fp"),
             F.expr("(1000000 * n_hapax) DIV n_types").alias("hapax_fp"),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -1465,7 +1486,10 @@ def tokenizer_fertility_stats(spark, sf_dir: str) -> DataFrame:
                 "chars_per_tok_fp"
             ),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -1622,7 +1646,10 @@ def stopword_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("coverage_fp"),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -1803,7 +1830,10 @@ def nonascii_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("nonascii_fp"),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -1927,7 +1957,10 @@ def hapax_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hapax_mass_fp"
             ),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -2019,7 +2052,10 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("nonascii_fp"),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -2118,7 +2154,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_low"
             ),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -2183,5 +2222,8 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
             ).alias("gini_fp"),
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )

@@ -265,7 +265,10 @@ def year_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
             (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_value"),
         )
-        .orderBy("year")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("year")
     )
 
 
@@ -418,7 +421,10 @@ def latest_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts")).alias("last_ts_us"),
             F.count("*").alias("n"),
         )
-        .orderBy("event_type")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )
 
 
@@ -646,7 +652,10 @@ def event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(value_c) / 100.0).alias("total_value"),
             ((F.sum(value_c) / 100.0) / F.count("*")).alias("avg_value"),
         )
-        .orderBy("window_start", "event_type")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("window_start", "event_type")
     )
 
 
@@ -777,7 +786,10 @@ def match_rate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hit, 1).otherwise(0)).alias("n_with_digit"),
             F.sum(F.when(hit, 0).otherwise(1)).alias("n_without_digit"),
         )
-        .orderBy("lang")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -813,7 +825,10 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("p90_cents"),
         )
-        .orderBy("o_orderpriority")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderpriority")
     )
 
 
@@ -834,7 +849,10 @@ def langs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs")
         )
-        .orderBy("source")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -1022,7 +1040,10 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )
 
 
@@ -1111,7 +1132,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_users"),
         )
-        .orderBy("stage_idx")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("stage_idx")
     )
 
 
@@ -1543,7 +1567,10 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(gap).alias("max_gap_us"),
             (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
         )
-        .orderBy("event_type")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )
 
 
@@ -1845,7 +1872,10 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, cond, "left_semi")
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(F.count("*").alias("n_late_orders"))
-        .orderBy("priority")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("priority")
     )
 
 
@@ -2409,7 +2439,10 @@ def scd2_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_run_len",
             F.expr("(1000000 * n_events) DIV n_runs").alias("mean_run_fp"),
         )
-        .orderBy("event_type")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
     )
 
 
@@ -2570,7 +2603,10 @@ def cross_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rc).alias("revenue_cents"),
             F.count("*").alias("n_items"),
         )
-        .orderBy("supp_region", "cust_region", "yr")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("supp_region", "cust_region", "yr")
     )
 
 
@@ -2701,7 +2737,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
             F.expr("(1000000 * target_cents) DIV total_cents").alias("share_fp"),
         )
-        .orderBy("yr")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("yr")
     )
 
 
@@ -2807,7 +2846,10 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(profit).alias("profit_fp"),
             F.count("*").alias("n_items"),
         )
-        .orderBy("supp_nation", "yr")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("supp_nation", "yr")
     )
 
 
@@ -3627,7 +3669,10 @@ def median_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median_cents_x2"),
             F.max("n").alias("n_orders"),
         )
-        .orderBy("nation")
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("nation")
     )
 
 
