@@ -964,7 +964,10 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("n"), F.sum(cents).alias("value_cents"))
-        .orderBy(
+        # |priorities × statuses| + subtotal rows: bounded tail, no
+        # range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions(
             F.asc_nulls_first("o_orderpriority"),
             F.asc_nulls_first("o_orderstatus"),
         )
@@ -3847,7 +3850,7 @@ def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("gini_fp"),
-    ).orderBy("nation")
+    ).coalesce(1).sortWithinPartitions("nation")  # |nations| rows (r10 sweep)
 
 
 @query(
