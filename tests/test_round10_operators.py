@@ -130,3 +130,48 @@ def test_parity_doc_not_stale():
         f"{len(QUERIES)} — rerun tools/gen_plans.py"
     )
     assert int(m.group(2)) == len(ORACLES)
+
+
+def test_crosslingual_pairs_are_cross_language_and_normalized(spark, sf_dir):
+    """L170: every reported language pair is unordered (lo < hi — a
+    same-language pair can never appear), counts match a brute-force
+    recount over the SAME LSH candidate set, and max_cosine clears the
+    mining threshold."""
+    from pyspark.sql import functions as F
+
+    from trialstreamer_spark.io import load, load_meta
+    from trialstreamer_spark.operators.similarity import (
+        XLING_TAU,
+        lsh_candidate_pairs,
+    )
+
+    rows = QUERIES["crosslingual_pair_mining"](spark, sf_dir).collect()
+    assert rows, "synthetic corpus should yield cross-lingual candidates"
+    for r in rows:
+        assert r["lang_lo"] < r["lang_hi"]
+        assert r["max_cosine"] >= XLING_TAU
+        assert r["n_pairs"] >= 1
+    # brute recount: same buckets, langs joined back by id instead of
+    # carried through the bucket join
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = load_meta(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    pairs = lsh_candidate_pairs(e).filter(F.col("cosine") >= XLING_TAU)
+    la = d.select(F.col("vec_id").alias("vec_a"), F.col("lang").alias("la"))
+    lb = d.select(F.col("vec_id").alias("vec_b"), F.col("lang").alias("lb"))
+    ref = {
+        (r["lo"], r["hi"]): r["n"]
+        for r in (
+            pairs.join(la, "vec_a")
+            .join(lb, "vec_b")
+            .where(F.col("la") != F.col("lb"))
+            .groupBy(
+                F.least("la", "lb").alias("lo"),
+                F.greatest("la", "lb").alias("hi"),
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    assert {(r["lang_lo"], r["lang_hi"]): r["n_pairs"] for r in rows} == ref

@@ -284,16 +284,25 @@ def lsh_candidate_pairs(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bucketed candidate pairs + exact cosine rerank. The equi-join on
     the bucket key shuffles only (bucket, id, vec); md5-uniform buckets
     at scale; AQE splits residual skew. The verify is ONE fused Arrow
     pass over the candidate pairs (see cosine_pairs_pd for why norms are
-    fused rather than precomputed here)."""
+    fused rather than precomputed here).
+
+    ``carry`` names extra columns of ``vectors`` to ride the bucketed
+    frame and come out as ``<col>_a``/``<col>_b`` — attributes a caller
+    filters or groups pairs by (language, source, split). Carrying them
+    through the bucket join costs one narrow column per side; joining
+    them back onto the PAIR frame afterwards would need two more
+    id-keyed joins against a corpus-sized table."""
     b = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        *[F.col(c) for c in carry],
     )
     l, r = b.alias("l"), b.alias("r")
     return (
@@ -307,6 +316,8 @@ def lsh_candidate_pairs(
             F.col("r.vec_id").alias("vec_b"),
             F.col("l.bucket").alias("bucket"),
             cosine_pairs_pd(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+            *[F.col(f"l.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"r.{c}").alias(f"{c}_b") for c in carry],
         )
     )
 
@@ -2176,4 +2187,87 @@ def mips_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no range exchange / sampling job (r10 registry-wide sweep)
         .coalesce(1)
         .sortWithinPartitions("nprobe", "query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual candidate-pair mining (SURVEY L170)
+# ---------------------------------------------------------------------------
+
+#: minimum exact cosine for a cross-lingual candidate pair — the bitext
+#: aggressiveness knob (0.2 keeps the synthetic fixture, whose clusters
+#: are language-independent, producing non-trivial counts on every pair)
+XLING_TAU = 0.2
+
+
+@query(
+    "crosslingual_pair_mining",
+    oracle=f"""
+    WITH m AS (
+      SELECT e.vec_id, e.embedding, d.lang
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    b AS (SELECT vec_id, lang, embedding, {_DD_BUCKET} AS bucket FROM m),
+    pairs AS (
+      SELECT LEAST(a.lang, c.lang) AS lang_lo,
+             GREATEST(a.lang, c.lang) AS lang_hi,
+             CAST({_DD_DOT_FP.format(a="a.embedding", b="c.embedding")} AS BIGINT)
+               / SQRT(CAST(CAST({_DD_DOT_FP.format(a="a.embedding", b="a.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_DD_DOT_FP.format(a="c.embedding", b="c.embedding")} AS BIGINT) AS DOUBLE))
+               AS cosine
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id AND a.lang <> c.lang
+    )
+    SELECT lang_lo, lang_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MAX(cosine) AS max_cosine
+    FROM pairs
+    WHERE cosine >= {XLING_TAU}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def crosslingual_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining: cross-LANGUAGE near-duplicate pairs in
+    the shared embedding space, rolled up per language pair — the
+    parallel-corpus discovery stage of a multilingual training pipeline
+    (mine candidates cheaply at corpus scale, hand the per-pair budget
+    to an aligner). The same sign-LSH bucket → exact fixed-point cosine
+    machinery as dedup_embedding_cosine, with the language attribute
+    CARRIED THROUGH the bucket join (one narrow column per side) so the
+    lang_a ≠ lang_b constraint sits IN the join condition — same-language
+    pairs are dropped before the Arrow cosine kernel ever sees them,
+    and no id-keyed join back onto a corpus-sized table is needed.
+
+    Scale shape: identical to the cosine dedup path (bucketed candidate
+    join, never corpus × corpus); the rollup key space is ≤|langs|²;
+    max_cosine is order-independent and bit-identical across engines
+    (both sides divide the same int64 fixed-point dot by the same
+    norms). Languages normalize to an unordered (lang_lo, lang_hi) pair
+    so both directions of a pair accumulate together."""
+    from trialstreamer_spark.io import load_meta
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = load_meta(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    pairs = lsh_candidate_pairs(e.join(d, "vec_id"), carry=("lang",))
+    return (
+        pairs.filter(
+            (F.col("lang_a") != F.col("lang_b"))
+            & (F.col("cosine") >= XLING_TAU)
+        )
+        .select(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+            "cosine",
+        )
+        .groupBy("lang_lo", "lang_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        # ≤|langs|² rows: single-partition tail (r10 sweep)
+        .coalesce(1)
+        .sortWithinPartitions("lang_lo", "lang_hi")
     )
