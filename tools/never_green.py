@@ -36,6 +36,9 @@ sys.path.insert(0, REPO)
 NOMINATED: tuple[str, ...] = (
     "asof_join_last_click",
     "rrf_fusion_topk",
+    # entered the registry in round 10 — never driver-sampled by
+    # construction; scale-measured (sf1 0.51x) and sweep-covered.
+    "crosslingual_pair_mining",
 )
 
 
