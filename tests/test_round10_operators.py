@@ -175,3 +175,64 @@ def test_crosslingual_pairs_are_cross_language_and_normalized(spark, sf_dir):
         )
     }
     assert {(r["lang_lo"], r["lang_hi"]): r["n_pairs"] for r in rows} == ref
+
+
+def test_xling_margin_matches_pandas_recount(spark):
+    """L171: margins recomputed in pandas from the raw candidate pool
+    (same buckets, same fixed-point floors) must reproduce the query's
+    top-20 exactly — including the hub normalization."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trialstreamer_spark.io import load, load_meta
+    from trialstreamer_spark.operators.similarity import (
+        XLING_MARGIN_K,
+        lsh_candidate_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["xling_margin_topk"](spark, sf).toPandas()
+    assert len(got) == 20
+    assert (got["lang_a"] != got["lang_b"]).all()
+
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    d = load_meta(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    p = (
+        lsh_candidate_pairs(e.join(d, "vec_id"), carry=("lang",))
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .toPandas()
+    )
+    p["cos_fp"] = p["cosine"].map(lambda c: math.floor(c * 10_000_000))
+    directed = pd.concat(
+        [
+            p.rename(columns={"vec_a": "id", "lang_b": "olang", "vec_b": "nb"})[
+                ["id", "olang", "cos_fp", "nb"]
+            ],
+            p.rename(columns={"vec_b": "id", "lang_a": "olang", "vec_a": "nb"})[
+                ["id", "olang", "cos_fp", "nb"]
+            ],
+        ]
+    )
+    knn = (
+        directed.sort_values(["cos_fp", "nb"], ascending=[False, True])
+        .groupby(["id", "olang"])
+        .head(XLING_MARGIN_K)
+        .groupby(["id", "olang"])["cos_fp"]
+        .agg(lambda s: int(sum(s)) // len(s))
+        .to_dict()
+    )
+    p["margin_fp"] = [
+        (2_000_000 * r.cos_fp)
+        // (knn[(r.vec_a, r.lang_b)] + knn[(r.vec_b, r.lang_a)])
+        for r in p.itertuples()
+    ]
+    want = p.sort_values(
+        ["margin_fp", "vec_a", "vec_b"], ascending=[False, True, True]
+    ).head(20)
+    assert list(got["vec_a"]) == list(want["vec_a"])
+    assert list(got["vec_b"]) == list(want["vec_b"])
+    assert list(got["margin_fp"]) == list(want["margin_fp"])

@@ -2271,3 +2271,158 @@ def crosslingual_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("lang_lo", "lang_hi")
     )
+
+
+#: neighbors per (vector, other-language) used in the margin denominator
+XLING_MARGIN_K = 3
+#: pairs reported by the margin filter
+XLING_MARGIN_TOPK = 20
+
+
+def _xling_pairs_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cross-lingual candidate frame with the cosine in 1e7
+    fixed point — persisted once per (session, corpus) because the
+    margin computation references it three times (two directed k-NN
+    views + the final scoring join); without the cache each reference
+    re-runs the LSH join and the Arrow cosine kernel."""
+    from trialstreamer_spark.io import load_meta
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        d = load_meta(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("vec_id"), "lang"
+        )
+        return (
+            lsh_candidate_pairs(e.join(d, "vec_id"), carry=("lang",))
+            .filter(F.col("lang_a") != F.col("lang_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                "lang_a",
+                "lang_b",
+                F.floor(F.col("cosine") * SCALE).cast("long").alias("cos_fp"),
+            )
+        )
+
+    return util.cached_plan(spark, ("xling_pairs_fp", sf_dir), build)
+
+
+_XL_DOT = _DD_DOT_FP  # same fixed-point dot macro, documents-joined frame
+
+
+@query(
+    "xling_margin_topk",
+    oracle=f"""
+    WITH m AS (
+      SELECT e.vec_id, e.embedding, d.lang
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    b AS (SELECT vec_id, lang, embedding, {_DD_BUCKET} AS bucket FROM m),
+    p AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             a.lang AS lang_a, c.lang AS lang_b,
+             CAST(FLOOR(
+               CAST({_XL_DOT.format(a="a.embedding", b="c.embedding")} AS BIGINT)
+               / SQRT(CAST(CAST({_XL_DOT.format(a="a.embedding", b="a.embedding")} AS BIGINT) AS DOUBLE)
+                      * CAST(CAST({_XL_DOT.format(a="c.embedding", b="c.embedding")} AS BIGINT) AS DOUBLE))
+               * 10000000) AS BIGINT) AS cos_fp
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id AND a.lang <> c.lang
+    ),
+    d AS (
+      SELECT vec_a AS id, lang_b AS olang, cos_fp, vec_b AS nb FROM p
+      UNION ALL
+      SELECT vec_b AS id, lang_a AS olang, cos_fp, vec_a AS nb FROM p
+    ),
+    knn AS (
+      SELECT id, olang,
+             CAST(SUM(cos_fp) // COUNT(*) AS BIGINT) AS knn_fp
+      FROM (
+        SELECT id, olang, cos_fp,
+               row_number() OVER (PARTITION BY id, olang
+                                  ORDER BY cos_fp DESC, nb) AS rn
+        FROM d
+      )
+      WHERE rn <= {XLING_MARGIN_K}
+      GROUP BY 1, 2
+    )
+    SELECT p.vec_a, p.vec_b, p.lang_a, p.lang_b, p.cos_fp,
+           CAST((2000000 * p.cos_fp) // (ka.knn_fp + kb.knn_fp) AS BIGINT)
+             AS margin_fp
+    FROM p
+    JOIN knn ka ON ka.id = p.vec_a AND ka.olang = p.lang_b
+    JOIN knn kb ON kb.id = p.vec_b AND kb.olang = p.lang_a
+    ORDER BY margin_fp DESC, p.vec_a, p.vec_b
+    LIMIT {XLING_MARGIN_TOPK}
+    """,
+)
+def xling_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext filtering (Artetxe & Schwenk ACL'19, the
+    CCMatrix mining criterion), computed over the candidate pool: a
+    pair's raw cosine is normalized by the mean cosine of each side's
+    top-k cross-lingual neighbors, so a vector that is "close to
+    everything" (a hub) stops winning on raw similarity — margin =
+    2·cos(x,y) / (knn̄(x) + knn̄(y)), reported for the top-20 pairs.
+
+    Engine-exact arithmetic: cosines enter 1e7 fixed point BEFORE any
+    aggregation, the k-NN mean is an integer floor-division, and the
+    margin is one more integer division at 1e6 — no float sum whose
+    accumulation order could differ across engines. k-NN ties break by
+    neighbor id.
+
+    Scale shape: every step after the (bucketed, never corpus×corpus)
+    candidate join is bounded by the PAIR frame: the two directed
+    views are a union of projections, the per-(vector, other-lang)
+    top-k is a window on (id, olang), and the final scoring joins key
+    on pair-frame columns. The shared pair subtree is persisted once
+    per corpus version (util.cached_plan) because three branches
+    reference it; top-k finishes as TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    p = _xling_pairs_fp(spark, sf_dir)
+    d = p.select(
+        F.col("vec_a").alias("id"),
+        F.col("lang_b").alias("olang"),
+        "cos_fp",
+        F.col("vec_b").alias("nb"),
+    ).unionAll(
+        p.select(
+            F.col("vec_b").alias("id"),
+            F.col("lang_a").alias("olang"),
+            "cos_fp",
+            F.col("vec_a").alias("nb"),
+        )
+    )
+    w = W.partitionBy("id", "olang").orderBy(F.col("cos_fp").desc(), "nb")
+    knn = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= XLING_MARGIN_K)
+        .groupBy("id", "olang")
+        .agg(F.expr("SUM(cos_fp) DIV COUNT(*)").alias("knn_fp"))
+    )
+    ka = knn.select(
+        F.col("id").alias("vec_a"),
+        F.col("olang").alias("lang_b"),
+        F.col("knn_fp").alias("knn_a_fp"),
+    )
+    kb = knn.select(
+        F.col("id").alias("vec_b"),
+        F.col("olang").alias("lang_a"),
+        F.col("knn_fp").alias("knn_b_fp"),
+    )
+    return (
+        p.join(ka, ["vec_a", "lang_b"])
+        .join(kb, ["vec_b", "lang_a"])
+        .select(
+            "vec_a",
+            "vec_b",
+            "lang_a",
+            "lang_b",
+            "cos_fp",
+            F.expr("(2000000 * cos_fp) DIV (knn_a_fp + knn_b_fp)").alias(
+                "margin_fp"
+            ),
+        )
+        .orderBy(F.col("margin_fp").desc(), "vec_a", "vec_b")
+        .limit(XLING_MARGIN_TOPK)
+    )
