@@ -2297,13 +2297,14 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared. The supplier dim broadcasts; top-k finishes with
     TakeOrderedAndProject.
 
-    Round-10 measured result (sf10): 7.5 -> ~4.3-5.0 s. The plan was
-    already exchange-free; the cost was the merge join re-SORTING both
-    facts (persisted bucket cache drops sort order) and the 16-bucket
-    layout idling half the cores — fixed by sorted bucket scans +
-    32 buckets. The remaining gap vs DuckDB (~1.6-1.9x) is the one
-    irreducible chain: SMJ + per-(order,supplier) hash agg + per-order
-    window over 60M rows, which DuckDB pipelines in-process."""
+    Round-10 measured results: first 7.5 -> ~4.5 s at sf10 (sorted
+    bucket scans + 32 buckets removed the merge join's re-sort of both
+    facts), then the per-order WINDOW — whose per-partition sort over
+    the 60M-row pair frame was the remaining dominant stage — was
+    folded into a second hash aggregate on the same orderkey
+    partitioning (when n_late==1 the blamed supplier IS
+    max(suppkey | late)), leaving a fully sort-free plan:
+    sf1 2.9 -> 0.93 s = 1.59x DuckDB in the one-session re-measure."""
     from trialstreamer_spark.io import bucketed_table
 
     ob = bucketed_table(spark, sf_dir, "orders_by_orderkey")
@@ -2332,15 +2333,22 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
     )
-    w_ord = W.partitionBy("l_orderkey")
+    # The exactly-one-late-supplier test folds into a SECOND hash
+    # aggregate on the same HashPartitioning(orderkey) — when n_late==1
+    # the blamed supplier IS max(suppkey | late) — so the per-order
+    # window (and its 60M-row per-partition SORT, the dominant stage of
+    # the r9 sf10 profile) disappears entirely; the chain to here is
+    # sort-free hash aggregation, exchange-free on the bucket layout.
     flagged = (
-        pers.withColumn("n_supp", F.count("*").over(w_ord))
-        .withColumn("n_late", F.sum("late").over(w_ord))
-        .where(
-            (F.col("late") == 1)
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late") == 1)
+        pers.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("late").alias("n_late"),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+                "l_suppkey"
+            ),
         )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
