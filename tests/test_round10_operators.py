@@ -27,19 +27,24 @@ def test_whale_threshold_is_top_percentile_not_global_min(spark, sf_dir):
     # reaching 1% — tiny, never everyone (the old MIN-side bug made
     # n_whales == n_customers and whale_share_fp == 1000000 exactly)
     assert 0 < row["n_whales"] < n
-    assert row["n_whales"] <= max(1, n // 100) + 1  # ties may add rows
-    assert 0 < row["whale_share_fp"] < 1_000_000
-    # threshold sits strictly above the revenue floor: some customer
-    # must fall below it
+    # ties at the threshold revenue can overshoot the 1% count by up to
+    # (count at threshold_cents - 1) rows (r10 ADVICE: a fixed +1 bound
+    # is fragile on fixtures with repeated per-customer totals), so
+    # bound the overshoot by the actual tie count at the threshold
     from pyspark.sql import functions as F
 
     o = load(spark, sf_dir, "orders")
-    floor_cents = (
-        o.groupBy("o_custkey")
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
-        .agg(F.min("rev"))
-        .collect()[0][0]
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
     )
+    ties_at_threshold = cr.where(
+        F.col("rev") == row["threshold_cents"]
+    ).count()
+    assert row["n_whales"] <= max(1, n // 100) + max(0, ties_at_threshold - 1)
+    assert 0 < row["whale_share_fp"] < 1_000_000
+    # threshold sits strictly above the revenue floor: some customer
+    # must fall below it
+    floor_cents = cr.agg(F.min("rev")).collect()[0][0]
     assert row["threshold_cents"] > floor_cents
 
 

@@ -10,6 +10,7 @@ storage layer can be swapped without touching query plans.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,10 +88,14 @@ def warm_cache(
     _WARM_ROWS_PER_PARTITION)."""
     key_session = id(spark._jsparkSession)
     par = spark.sparkContext.defaultParallelism
+    skipped = []
     for name in tables:
         # partial corpora (e.g. the documents-only heaps decade dirs
-        # from tools/gen_scale.py only=...) warm what exists
+        # from tools/gen_scale.py only=...) warm what exists — but
+        # loudly, so a typo'd sf_dir doesn't warm nothing in silence
+        # (r10 ADVICE)
         if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            skipped.append(name)
             continue
         key = (key_session, sf_dir, name)
         if key not in _TABLE_CACHE:
@@ -119,6 +124,17 @@ def warm_cache(
                 mdf = narrow.persist()
                 mdf.count()
                 _TABLE_CACHE[mkey] = mdf
+    if skipped:
+        if len(skipped) == len(tables):
+            raise FileNotFoundError(
+                f"warm_cache: none of {tables} found under {sf_dir!r} — "
+                "wrong sf_dir or unbuilt corpus"
+            )
+        warnings.warn(
+            f"warm_cache: skipped missing tables {skipped} in {sf_dir!r} "
+            "(partial corpus)",
+            stacklevel=2,
+        )
 
 
 def load_meta(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

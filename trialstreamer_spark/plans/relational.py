@@ -1456,10 +1456,12 @@ def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(cents).alias("total_cents"),
         )
-        # dimension-sized tail: single-partition sort, no range
-        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
-        .coalesce(1)
-        .sortWithinPartitions("user_id")
+        # output is one row per ACTIVE USER — customer-table-scaled, not
+        # dimension-sized (io.py's bucket note: customer is NOT
+        # broadcastable at 100 TB), so a coalesce(1) here would funnel a
+        # corpus-sized result through one task (r10 ADVICE). Keep the
+        # parallel range sort, matching set_difference's treatment.
+        .orderBy("user_id")
     )
 
 
@@ -3024,10 +3026,12 @@ def high_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
             F.expr("(1000000 * value_cents) DIV total_cents").alias("share_fp"),
         )
-        # dimension-sized tail: single-partition sort, no range
-        # exchange / sampling job (r9 VERDICT #5a; util.ordered_small)
-        .coalesce(1)
-        .sortWithinPartitions(F.col("value_cents").desc(), "partkey")
+        # the relative 1.5x-mean threshold keeps the qualifying FRACTION
+        # constant, so output rows scale with |parts| — part-table-scaled,
+        # not dimension-sized (r10 ADVICE). A coalesce(1) would funnel a
+        # corpus-sized result through one task; keep the parallel range
+        # sort, matching set_difference's treatment.
+        .orderBy(F.col("value_cents").desc(), "partkey")
     )
 
 
@@ -4307,7 +4311,15 @@ def customer_repeat_rate_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured trade: at sf0.1 the collect_set buffer costs more than the
     extra scans it saves (bench 0.46→~0.7 s) but wins at sf1
     (0.82→0.65 s) and the gap grows with scale — one fact pass is the
-    100 TB-correct shape, so the toy-scale cost is accepted."""
+    100 TB-correct shape, so the toy-scale cost is accepted.
+
+    FK assumption (r10 ADVICE): maxyr is the window max of the
+    CUSTOMER-JOINED rollup, so an order whose custkey is absent from
+    customer cannot cap the output year. Identical to a raw-scan max
+    only under orders.o_custkey ⊆ customer.c_custkey — a stated corpus
+    invariant (TPC-H referential integrity; tools/gen_scale.py draws
+    custkeys from the customer keyspace). On a corpus with orphan
+    orders, derive maxyr from the raw orders scan instead."""
     from trialstreamer_spark.io import bucketed_table
 
     ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
