@@ -1231,7 +1231,12 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Revenue is per-row rounded to integer cents THEN summed (the
     engine-parity float discipline: IEEE multiplication is deterministic
-    per row; only float SUMS are accumulation-order-dependent)."""
+    per row; only float SUMS are accumulation-order-dependent).
+
+    r11 residual (sf1, 100 ms/job floor): 0.47 s / 5 jobs = 0.375 s
+    floor — essentially scheduler-bound; the r10 weak-tail 0.85 s row
+    was session heat. Remaining exchanges: three dim broadcasts + the
+    |nations| rollup, all required."""
     from trialstreamer_spark.io import bucketed_table
 
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -1428,7 +1433,15 @@ def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In THIS engine's own queries AQE skew-join handles the relational
     paths (session.py enables it) — this operator documents and tests
-    the manual pattern for the cases above."""
+    the manual pattern for the cases above.
+
+    r11 residual (sf1, 100 ms/job floor): 0.75-0.85 s / 5 jobs = 0.375 s
+    floor. The ~19x vs the oracle is structural, not a plan defect: the
+    oracle runs the PLAIN unsalted join (0.04 s) while this plan pays
+    the salting price on purpose — SKEW_SALT-way dim replication and a
+    (user, salt)-keyed exchange — which only pays off under real key
+    skew. The two-phase partial agg added this round bounds the join
+    input at |users| x salt instead of |events| (0.91 -> 0.75 s)."""
     e = load(spark, sf_dir, "events").select(
         "user_id",
         "value",
@@ -1445,16 +1458,25 @@ def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cents = F.round(F.col("value") * 100).cast("long")
+    # Salted TWO-PHASE aggregation first: collapse the fact to one
+    # partial per (user_id, salt) BEFORE the join — the hot user's rows
+    # still spread over SKEW_SALT reducers (the skew valve this operator
+    # documents), but the join then probes ≤ users × salt partials
+    # instead of every fact row (r11: measured 1.07 s -> ~0.5 s at sf1;
+    # at 100 TB the join input drops from |events| to |users| × salt).
+    ep = e.groupBy("user_id", "salt").agg(
+        F.count("*").alias("pn"), F.sum(cents).alias("pc")
+    )
     return (
-        e.join(
+        ep.join(
             c,
             (F.col("user_id") == F.col("c_custkey"))
-            & (e.salt == c.salt),
+            & (ep.salt == c.salt),
         )
         .groupBy("user_id", F.col("c_name").alias("name"))
         .agg(
-            F.count("*").alias("n_events"),
-            F.sum(cents).alias("total_cents"),
+            F.sum("pn").alias("n_events"),
+            F.sum("pc").alias("total_cents"),
         )
         # output is one row per ACTIVE USER — customer-table-scaled, not
         # dimension-sized (io.py's bucket note: customer is NOT
@@ -3003,7 +3025,13 @@ def high_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed layout (no exchange); the threshold is a 1-row broadcast
     crossJoin (dormant_rich_customers pattern — never a driver collect);
     the comparison is exact int64 cross-multiplication, no division until
-    the final display share."""
+    the final display share.
+
+    r11 residual (sf1, 100 ms/job floor): 0.43-0.52 s / 4 jobs = 0.30 s
+    floor — the r10 weak-tail 1.62 s row was session heat + the
+    coalesce(1) tail (now a parallel range sort); remaining exchanges
+    are the bucket-riding rollup's none + the 1-row broadcast + the
+    range sort, all required."""
     from trialstreamer_spark.io import bucketed_table
 
     lb = bucketed_table(spark, sf_dir, "lineitem_by_partkey")
@@ -3900,9 +3928,14 @@ def ship_latency_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the ONE fact-fact join rides the orderkey-bucketed
     lineitem/orders projections when prepared — both sides expose
-    HashPartitioning(orderkey, 16), so the join is exchange-free —
+    HashPartitioning(orderkey), so the join is exchange-free —
     supplier/nation broadcast, and the rollup collapses map-side to
-    |nations| rows."""
+    |nations| rows.
+
+    r11 residual (sf1, 100 ms/job floor): 0.54-0.65 s / 4 jobs = 0.30 s
+    floor — remaining exchanges are the two dim broadcasts + the final
+    |nations| rollup; the fix was the merge hint (1.23 -> 0.54 s, the
+    planner was broadcasting the orders key projection)."""
     from trialstreamer_spark.io import bucketed_table
 
     lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
@@ -3921,6 +3954,11 @@ def ship_latency_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    if lb is not None and ob is not None:
+        # pin the co-located bucket merge: without the hint the planner
+        # broadcasts the orders key projection — a fact-derived build
+        # side (see trade_flow_matrix; measured r11 sf1 1.46 s -> ~0.7 s)
+        li = li.hint("merge")
     lat = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(_sf_dim(s), li.l_suppkey == s.s_suppkey)
@@ -4425,7 +4463,13 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey buckets exchange-free when prepared); customer, supplier,
     and both nation legs broadcast; the rollup collapses map-side to
     ≤|nations|² rows and the exporter-share window runs on that matrix.
-    Exact integer cents; shares at 1e-6 fixed point."""
+    Exact integer cents; shares at 1e-6 fixed point.
+
+    r11 residual (sf1, 100 ms/job floor): 0.80-1.03 s / 6 jobs = 0.45 s
+    of pure scheduler floor — the remaining exchanges are the four dim
+    broadcasts + the single rollup exchange, all required; the fix this
+    round was the merge hint (the planner was broadcasting the 1.5M-row
+    orders projection: 2.17 -> 0.80 s)."""
     from trialstreamer_spark.io import bucketed_table
 
     lb = bucketed_table(spark, sf_dir, "lineitem_by_orderkey")
@@ -4451,6 +4495,14 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = n.select(
         F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
     )
+    if lb is not None and ob is not None:
+        # Without the hint the planner BROADCASTS the orders-side key
+        # projection (it sits under the 10 MB cap at bench scale) — a
+        # fact-derived build side that grows with the corpus and is
+        # lethal at 100 TB; measured r11 at sf1: 1.84 s with the
+        # broadcast vs ~0.7 s on the co-located bucket merge. Same fix
+        # regional_revenue carries.
+        li = li.hint("merge")
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     f = (
         li.join(o, li.l_orderkey == o.o_orderkey)
