@@ -10,6 +10,7 @@ from __future__ import annotations
 import io
 import os
 import re
+import subprocess
 import sys
 from contextlib import redirect_stdout
 
@@ -244,9 +245,18 @@ def main() -> None:
     from trialstreamer_spark.session import get_spark
 
     spark = get_spark("plan-audit")
-    out = ["""# PLANS — physical-plan audit of headline queries
+    try:
+        gen_sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+    except Exception:
+        gen_sha = "unknown"
+    out = [f"""# PLANS — physical-plan audit of headline queries
 
-Generated by `tools/gen_plans.py` (`.explain("formatted")` at sf0.01).
+Generated at commit {gen_sha} by `tools/gen_plans.py`
+(`.explain("formatted")` at sf0.01).
 Each section states the scale claim the plan is expected to exhibit;
 grep for `PushedFilters`, `ReadSchema`, `BroadcastHashJoin`,
 `TakeOrderedAndProject`, and `WholeStageCodegen` spans. Sidecar caches
