@@ -39,7 +39,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from trialstreamer_spark import util
 from trialstreamer_spark.io import load
@@ -1737,71 +1743,123 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every rank list uses the shared fixed-point kernel on
     SLICED arrays (floor-to-int64 per element, exact integer sums), so
     both engines rank identical integers; ties break on vec_id. The
-    Spark side evaluates the sliced dot entirely in the expression
-    engine (aggregate ∘ zip_with ∘ slice) — fine for rank work bounded
-    by the embeddings table; the Arrow kernel remains the corpus-scan
-    path.
+    sliced dots share prefix structure — dot@16/32/64 are prefix sums
+    of ONE per-element floored-term matrix — so a single Arrow pass
+    computes all six integers (three query dots + three self norms) per
+    vector. The earlier aggregate∘zip_with∘slice expression tree
+    evaluated 224 interpreted lambda element-ops per row (higher-order
+    functions never enter codegen) and measured 8.1x DuckDB at sf1 with
+    ~0.58 s of pure scoring compute (job-count profile r11); the
+    vectorized kernel removes that entire term.
 
-    Scale shape: top-10 membership per metric comes from DISTRIBUTED
-    top-k (orderBy+limit → TakeOrderedAndProject: per-partition heads,
-    10·P rows merged), never a global rank window — the earlier
-    three-global-row_number formulation funneled the whole scored frame
-    through one SinglePartition exchange per metric (the shape the
-    plan-hygiene sweep now rejects registry-wide, VERDICT r8 #5) and
-    measured 5.7x DuckDB at sf1. The three 10-row heads union into one
-    membership rollup; both recall@10 overlaps fall out of one
-    aggregate unpivoted with stack()."""
+    Scale shape: ONE corpus scan. The mapInPandas kernel folds every
+    Arrow batch of its partition into a running top-10 PER truncation
+    level and emits at most 30 (m, vec_id, cosine) rows per partition —
+    the per-partition-heads half of TakeOrderedAndProject, but for all
+    three rank metrics in the same pass (the previous shape ran one
+    TakeOrdered per metric, each recomputing the scoring scan). The
+    10·P-row head frame then merges per metric in one two-phase hash
+    aggregate (sorted-struct slice — no SinglePartition exchange over
+    anything corpus-sized, the shape the plan-hygiene sweep rejects,
+    VERDICT r8 #5), and both recall@10 overlaps fall out of a single
+    1-row array_intersect unpivoted with stack()."""
     e = load(spark, sf_dir, "embeddings")
     qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
 
-    def dot_expr(dims: int, against_self: bool) -> str:
-        lits = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in qv[:dims])
-        b = f"slice(embedding, 1, {dims})" if against_self else f"array({lits})"
-        return (
-            f"aggregate(zip_with(slice(embedding, 1, {dims}), {b}, "
-            "(x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
-            " * 10000000) AS BIGINT)), 0L, (a, b) -> a + b)"
-        )
+    q64 = np.asarray(qv, dtype=np.float64)
+    scale = float(SCALE)
+    dims = (16, 32, 64)
+    qn = {d: float(fp_dot_vec(qv[:d], qv[:d])) for d in dims}
 
-    def cos_col(dims: int) -> Column:
-        qn = float(fp_dot_vec(qv[:dims], qv[:dims]))
-        return F.expr(dot_expr(dims, False)) / F.sqrt(
-            F.expr(dot_expr(dims, True)).cast("double") * F.lit(qn)
-        )
+    def partition_heads(batches):
+        import numpy as np
+        import pandas as pd
 
-    scored = e.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        cos_col(64).alias("c64"),
-        cos_col(16).alias("c16"),
-        cos_col(32).alias("c32"),
+        tops = {
+            d: (np.empty(0, np.int64), np.empty(0, np.float64))
+            for d in (16, 32, 64)
+        }
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            tq = np.floor(m * q64[None, :] * scale).astype(np.int64)
+            ts = np.floor(m * m * scale).astype(np.int64)
+            for d in (16, 32, 64):
+                dot = tq[:, :d].sum(axis=1)
+                nsq = ts[:, :d].sum(axis=1).astype(np.float64)
+                c = dot / np.sqrt(nsq * qn[d])
+                ai = np.concatenate([tops[d][0], ids])
+                ac = np.concatenate([tops[d][1], c])
+                keep = np.lexsort((ai, -ac))[:10]
+                tops[d] = (ai[keep], ac[keep])
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "m": np.repeat(
+                        np.array([16, 32, 64], np.int32),
+                        [len(tops[d][0]) for d in (16, 32, 64)],
+                    ),
+                    "vec_id": np.concatenate(
+                        [tops[d][0] for d in (16, 32, 64)]
+                    ),
+                    "c": np.concatenate([tops[d][1] for d in (16, 32, 64)]),
+                }
+            )
+
+    heads = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            partition_heads,
+            StructType(
+                [
+                    StructField("m", IntegerType()),
+                    StructField("vec_id", LongType()),
+                    StructField("c", DoubleType()),
+                ]
+            ),
+        )
     )
-
-    def top10(c: str) -> DataFrame:
-        return (
-            scored.orderBy(F.col(c).desc(), "vec_id")
-            .select("vec_id")
-            .limit(10)
-        )
-
-    members = (
-        top10("c64").withColumn("m", F.lit(64))
-        .unionAll(top10("c16").withColumn("m", F.lit(16)))
-        .unionAll(top10("c32").withColumn("m", F.lit(32)))
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.when(F.col("m") == 64, 1).otherwise(0)).alias("in64"),
-            F.max(F.when(F.col("m") == 16, 1).otherwise(0)).alias("in16"),
-            F.max(F.when(F.col("m") == 32, 1).otherwise(0)).alias("in32"),
-        )
-    )
-    agg = members.agg(
-        F.sum(F.col("in64") * F.col("in16")).alias("n16"),
-        F.sum(F.col("in64") * F.col("in32")).alias("n32"),
+    # (c DESC, vec_id ASC) == ascending lexicographic on (-c, vec_id):
+    # struct sort is field-wise, so one array_sort over the collected
+    # per-partition heads yields the global rank list per metric — and
+    # because collect_list drops the nulls a non-matching when() leaves,
+    # all three metrics merge in ONE aggregation (no groupBy(m) +
+    # re-aggregate round trip; one exchange over ≤30·P tiny rows).
+    one = heads.agg(
+        *[
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("m") == d,
+                                F.struct(
+                                    (-F.col("c")).alias("nc"),
+                                    F.col("vec_id"),
+                                ),
+                            )
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                lambda s: s["vec_id"],
+            ).alias(f"t{d}")
+            for d in dims
+        ]
     )
     return (
-        agg.select(
+        one.select(
             F.expr(
-                "stack(2, 16L, n16, 32L, n32) AS (trunc_dims, n_overlap)"
+                "stack(2,"
+                " 16L, CAST(size(array_intersect(t64, t16)) AS BIGINT),"
+                " 32L, CAST(size(array_intersect(t64, t32)) AS BIGINT)"
+                ") AS (trunc_dims, n_overlap)"
             )
         )
         .select(
