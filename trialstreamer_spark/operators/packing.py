@@ -486,3 +486,88 @@ def token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+#: training_shard_manifest — deterministic shard fan-out for the final
+#: training-data write (tfrecord/webdataset-style shard files).
+MANIFEST_SHARDS = 16
+SHARD_CHECKSUM_MOD = 9007199254740993  # 2^53 + 1, exact in every engine
+
+
+@query(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT doc_id,
+             CAST(CAST(from_hex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIT) AS BIGINT) % {MANIFEST_SHARDS} AS shard,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(CAST(from_hex(substr(md5(concat_ws(chr(31), doc_id, lang,
+                                                     text)), 1, 12))
+                       AS BIT) AS BIGINT) AS v
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(SUM(v) % {SHARD_CHECKSUM_MOD} AS BIGINT) AS checksum
+    FROM rows_
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard manifest for the training-data write: every
+    document is assigned to one of MANIFEST_SHARDS shard files by a pure
+    function of md5(doc_id) — the same coordination-free mechanism as
+    stratified_eval_split's hash-range splits, so assignment is stable
+    under re-runs, re-partitions and incremental appends, and 1000
+    executors can each write their shard subset with no shuffle of
+    ownership. Per shard: doc count, token mass (the balance check a
+    loader's round-robin assumes), doc_id key range, and the same
+    48-bit-prefix content checksum discipline as
+    corpus_checksum_by_source — the manifest a training launch records
+    to pin EXACTLY which bytes went into which shard file.
+
+    Scale shape: shard id and row hash are scan-side expressions; the
+    single exchange is a map-side-combinable aggregate on a key space
+    of exactly MANIFEST_SHARDS. The checksum accumulates in DECIMAL(38)
+    (an int64 SUM of 48-bit chunks overflows at ~32k rows) and reduces
+    mod 2^53+1. The tail is shard-count-bounded → single-partition
+    sort, no range exchange."""
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % MANIFEST_SHARDS
+    )
+    rowhash = F.md5(
+        F.concat_ws("\x1f", F.col("doc_id"), F.col("lang"), F.col("text"))
+    )
+    return (
+        d.select(
+            shard.alias("shard"),
+            F.col("doc_id"),
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+            F.conv(F.substring(rowhash, 1, 12), 16, 10)
+            .cast("decimal(38,0)")
+            .alias("v"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.expr(f"CAST(SUM(v) % {SHARD_CHECKSUM_MOD} AS BIGINT)").alias(
+                "checksum"
+            ),
+        )
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("shard")
+    )

@@ -2484,3 +2484,234 @@ def xling_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin_fp").desc(), "vec_a", "vec_b")
         .limit(XLING_MARGIN_TOPK)
     )
+
+
+#: ann_two_stage_rerank — Matryoshka serving: cheap truncated first
+#: stage over RERANK_DIMS dims, exact full-dim rerank of the shortlist.
+RERANK_DIMS = 16
+RERANK_POOL = 100
+RERANK_K = 10
+
+
+def _sliced_cos_sql(dims: int) -> str:
+    """DuckDB: exact fixed-point cosine of e.embedding vs q.qvec on the
+    first ``dims`` dimensions (same kernel as _trunc_rank_sql)."""
+    dot = _DD_DOT_FP.format(
+        a=f"list_slice(e.embedding, 1, {dims})",
+        b=f"list_slice(q.qvec, 1, {dims})",
+    )
+    na = _DD_DOT_FP.format(
+        a=f"list_slice(e.embedding, 1, {dims})",
+        b=f"list_slice(e.embedding, 1, {dims})",
+    )
+    nb = _DD_DOT_FP.format(
+        a=f"list_slice(q.qvec, 1, {dims})",
+        b=f"list_slice(q.qvec, 1, {dims})",
+    )
+    return (
+        f"CAST({dot} AS BIGINT)"
+        f" / SQRT(CAST(CAST({na} AS BIGINT) AS DOUBLE)"
+        f"        * CAST(CAST({nb} AS BIGINT) AS DOUBLE))"
+    )
+
+
+@query(
+    "ann_two_stage_rerank",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             {_sliced_cos_sql(RERANK_DIMS)} AS c_lo,
+             {_sliced_cos_sql(64)} AS c_hi
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, c_hi FROM scored
+      ORDER BY c_lo DESC, vec_id LIMIT {RERANK_POOL}
+    ),
+    exact AS (
+      SELECT vec_id FROM scored ORDER BY c_hi DESC, vec_id LIMIT {RERANK_K}
+    ),
+    rer AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c_hi DESC, vec_id) AS rank,
+             vec_id, c_hi
+      FROM cand
+      ORDER BY c_hi DESC, vec_id LIMIT {RERANK_K}
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           vec_id AS neighbor_id,
+           c_hi AS cosine,
+           CAST(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk
+    FROM rer
+    ORDER BY rank
+    """,
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka serving audit (Kusupati et al., MRL): a
+    cheap first stage ranks by cosine on the first RERANK_DIMS=16
+    dimensions and shortlists RERANK_POOL=100 candidates; the exact
+    full-dim (64) cosine reranks the shortlist to top-RERANK_K. Output:
+    the served top-10 with its rank, exact cosine, and a flag marking
+    whether the row is also in the EXACT full-dim top-10 — the
+    per-neighbor view of the aggregate recall embedding_truncation_recall
+    reports, and the query a serving team runs before cutting index
+    memory 4x by storing truncated vectors.
+
+    Scale shape: ONE corpus scan. The same prefix-sum trick as
+    embedding_truncation_recall (the sliced fixed-point dots at 16/64
+    share one per-element floored-term matrix) computes both cosines in
+    a single Arrow pass; the mapInPandas kernel folds each partition
+    into a running first-stage top-100 AND exact top-10, emitting ≤110
+    rows per partition. Because every global top-100/top-10 member must
+    be in its partition's head, merging the heads is exact. Both merges
+    and the rerank happen in ONE hash aggregation over the tiny head
+    frame (sorted-struct slices; the rerank is an array_sort of the
+    100-element candidate list by its carried exact cosine — no second
+    scan, no join back). posexplode of the 10-element result is the
+    whole tail."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+
+    q64 = np.asarray(qv, dtype=np.float64)
+    scale = float(SCALE)
+    d_lo, pool, k = RERANK_DIMS, RERANK_POOL, RERANK_K
+    qn_lo = float(fp_dot_vec(qv[:d_lo], qv[:d_lo]))
+    qn_hi = float(fp_dot_vec(qv, qv))
+
+    def partition_heads(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids0 = np.empty(0, np.int64)
+        lo0 = np.empty(0, np.float64)
+        hi0 = np.empty(0, np.float64)
+        cand = (ids0, lo0, hi0)
+        exact = (ids0, hi0)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            tq = np.floor(m * q64[None, :] * scale).astype(np.int64)
+            ts = np.floor(m * m * scale).astype(np.int64)
+            c_lo = tq[:, :d_lo].sum(axis=1) / np.sqrt(
+                ts[:, :d_lo].sum(axis=1).astype(np.float64) * qn_lo
+            )
+            c_hi = tq.sum(axis=1) / np.sqrt(
+                ts.sum(axis=1).astype(np.float64) * qn_hi
+            )
+            ai = np.concatenate([cand[0], ids])
+            al = np.concatenate([cand[1], c_lo])
+            ah = np.concatenate([cand[2], c_hi])
+            keep = np.lexsort((ai, -al))[:pool]
+            cand = (ai[keep], al[keep], ah[keep])
+            xi = np.concatenate([exact[0], ids])
+            xh = np.concatenate([exact[1], c_hi])
+            keep = np.lexsort((xi, -xh))[:k]
+            exact = (xi[keep], xh[keep])
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "st": np.concatenate(
+                        [
+                            np.full(len(cand[0]), 0, np.int32),
+                            np.full(len(exact[0]), 1, np.int32),
+                        ]
+                    ),
+                    "vec_id": np.concatenate([cand[0], exact[0]]),
+                    "c_lo": np.concatenate(
+                        [cand[1], np.zeros(len(exact[0]))]
+                    ),
+                    "c_hi": np.concatenate([cand[2], exact[1]]),
+                }
+            )
+
+    heads = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            partition_heads,
+            StructType(
+                [
+                    StructField("st", IntegerType()),
+                    StructField("vec_id", LongType()),
+                    StructField("c_lo", DoubleType()),
+                    StructField("c_hi", DoubleType()),
+                ]
+            ),
+        )
+    )
+    # One aggregation: global candidate pool (c_lo order), reranked in
+    # place by the carried exact cosine; global exact top-k for flags.
+    one = heads.agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("st") == 0,
+                        F.struct(
+                            (-F.col("c_lo")).alias("nl"),
+                            F.col("vec_id"),
+                            F.col("c_hi"),
+                        ),
+                    )
+                )
+            ),
+            1,
+            pool,
+        ).alias("cand"),
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("st") == 1,
+                            F.struct(
+                                (-F.col("c_hi")).alias("nh"),
+                                F.col("vec_id"),
+                            ),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ),
+            lambda s: s["vec_id"],
+        ).alias("exact_ids"),
+    ).select(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("cand"),
+                    lambda s: F.struct(
+                        (-s["c_hi"]).alias("nh"),
+                        s["vec_id"].alias("vec_id"),
+                        s["c_hi"].alias("c_hi"),
+                    ),
+                )
+            ),
+            1,
+            k,
+        ).alias("rer"),
+        "exact_ids",
+    )
+    return (
+        one.select(
+            F.posexplode("rer").alias("pos", "s"), F.col("exact_ids")
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("s.vec_id").alias("neighbor_id"),
+            F.col("s.c_hi").alias("cosine"),
+            F.array_contains(F.col("exact_ids"), F.col("s.vec_id"))
+            .cast("long")
+            .alias("in_exact_topk"),
+        )
+        # k-bounded tail: single-partition sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("rank")
+    )

@@ -2227,3 +2227,113 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("source")
     )
+
+
+#: span_corruption_plan — T5-style denoising accounting (Raffel et al.
+#: JMLR'20 §3.1.4): noise density 15%, mean span length 3.
+SPAN_NOISE_PCT = 15
+SPAN_MEAN_LEN = 3
+SPAN_BUCKET = 64
+
+
+@query(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len({_DD_TOKS}) AS BIGINT) AS n FROM documents
+    ),
+    plan AS (
+      SELECT n,
+             GREATEST(1, (n * {SPAN_NOISE_PCT}) // 100) AS num_noise,
+             GREATEST(1, GREATEST(1, (n * {SPAN_NOISE_PCT}) // 100)
+                         // {SPAN_MEAN_LEN}) AS num_spans
+      FROM t WHERE n >= 1
+    ),
+    lens AS (
+      SELECT n - num_noise + num_spans AS input_len,
+             num_noise + num_spans + 1 AS target_len,
+             num_spans
+      FROM plan
+    )
+    SELECT CAST((input_len // {SPAN_BUCKET}) * {SPAN_BUCKET} AS BIGINT)
+             AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(input_len) AS BIGINT) AS input_tokens,
+           CAST(SUM(target_len) AS BIGINT) AS target_tokens,
+           CAST(SUM(num_spans) AS BIGINT) AS n_spans,
+           CAST((1000000 * SUM(target_len)) // SUM(input_len) AS BIGINT)
+             AS expansion_fp
+    FROM lens
+    GROUP BY 1
+    ORDER BY bucket_lo
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption (T5 denoising) length accounting: for every doc,
+    the deterministic noise plan — num_noise = max(1, 15% of tokens),
+    num_spans = max(1, num_noise/3), encoder input length
+    n - num_noise + num_spans (each span collapses to one sentinel) and
+    decoder target length num_noise + num_spans + 1 — rolled up into
+    SPAN_BUCKET-token input-length buckets with the target/input
+    expansion ratio. This is the table that sizes encoder/decoder
+    max lengths and predicts step cost before a seq2seq pretraining run
+    commits to a batch geometry; integer floor arithmetic throughout so
+    both engines bucket identically (no float noise-density math).
+
+    Scale shape: the whole plan is a scan-side integer projection; the
+    only exchange is a map-side-combinable aggregation on the bucket
+    key (a few hundred distinct values at any corpus size). The tail is
+    dimension-bounded → single-partition sort, no range exchange."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(tokens_col(F.col("text"))).cast("long")
+    base = d.select(n.alias("n")).where(F.col("n") >= 1)
+    planned = base.select(
+        "n",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(n * {SPAN_NOISE_PCT}) DIV 100"),
+        ).alias("num_noise"),
+    ).select(
+        "n",
+        "num_noise",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"num_noise DIV {SPAN_MEAN_LEN}"),
+        ).alias("num_spans"),
+    )
+    lens = planned.select(
+        (F.col("n") - F.col("num_noise") + F.col("num_spans")).alias(
+            "input_len"
+        ),
+        (F.col("num_noise") + F.col("num_spans") + F.lit(1)).alias(
+            "target_len"
+        ),
+        "num_spans",
+    )
+    return (
+        lens.groupBy(
+            F.expr(
+                f"(input_len DIV {SPAN_BUCKET}) * {SPAN_BUCKET}"
+            ).alias("bucket_lo")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("input_len").alias("input_tokens"),
+            F.sum("target_len").alias("target_tokens"),
+            F.sum("num_spans").alias("n_spans"),
+        )
+        .select(
+            "bucket_lo",
+            "n_docs",
+            "input_tokens",
+            "target_tokens",
+            "n_spans",
+            F.expr("(1000000 * target_tokens) DIV input_tokens").alias(
+                "expansion_fp"
+            ),
+        )
+        # dimension/calendar-bounded tail: single-partition sort,
+        # no range exchange / sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions("bucket_lo")
+    )
