@@ -242,10 +242,17 @@ BUCKET_SPECS: dict[str, tuple[str, str, tuple[str, ...]]] = {
     # orders_above_customer_avg and the account-rollup family) — the
     # groupBy(o_custkey) and the self-join both ride this layout's
     # HashPartitioning with no Exchange
+    # per-bucket sort carries o_orderdate BEHIND the key: merge
+    # joins/groupBys on custkey read the same prefix ordering they
+    # always did, and customer-cadence windows (partitionBy custkey,
+    # orderBy orderdate) become sort-free on the scan (r11:
+    # reorder_interval_percentiles' dominant cost was re-sorting every
+    # bucket by date).
     "orders_by_custkey": (
         "orders",
         "o_custkey",
         ("o_custkey", "o_orderdate", "o_totalprice"),
+        ("o_custkey", "o_orderdate"),
     ),
     # the matching customer side: at 100 TB customer is NOT broadcastable
     # (SF-scaled), so account-level joins ride this co-located layout —
@@ -313,7 +320,9 @@ def prepare_buckets(
     )
     key_session = id(spark._jsparkSession)
     for variant in variants or tuple(BUCKET_SPECS):
-        src, key, cols = BUCKET_SPECS[variant]
+        spec = BUCKET_SPECS[variant]
+        src, key, cols = spec[0], spec[1], spec[2]
+        sort_cols = spec[3] if len(spec) > 3 else (key,)
         name = _bucket_table_name(sf_dir, variant)
         if not spark.catalog.tableExists(name):
             df = load(spark, sf_dir, src).select(*cols)
@@ -321,7 +330,7 @@ def prepare_buckets(
                 df.repartition(N_FACT_BUCKETS, F.col(key))
                 .write.mode("overwrite")
                 .bucketBy(N_FACT_BUCKETS, key)
-                .sortBy(key)
+                .sortBy(*sort_cols)
                 .option("path", os.path.join(base, name))
                 .saveAsTable(name)
             )

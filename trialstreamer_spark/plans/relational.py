@@ -3496,53 +3496,63 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``2 * price_c * cnt > 3 * sum_c`` in int64 cents — no float
     average crosses the comparison.
 
-    Scale shape: the correlated subquery decorrelates into ONE per-cust
-    aggregate over the same scan, joined back on custkey — on the
-    custkey-bucketed orders layout (io.BUCKET_SPECS orders_by_custkey)
-    BOTH the rollup and the join-back ride HashPartitioning(o_custkey)
-    with no Exchange, exactly like the orderkey buckets the Q4/Q17/Q18
-    analogs ride; on plain parquet the one custkey exchange is shared.
-    Customer and nation broadcast; the final rollup is |nations| rows."""
+    Scale shape (bucketed): the correlated aggregate is ONE unbounded
+    window over the custkey-bucketed, (custkey, orderdate)-sorted
+    orders layout — WindowExec's only requirements are clustering and
+    grouping on custkey, both read straight off the scan, so the
+    per-customer sum/count and the comparison happen in a single
+    linear pass with ZERO exchange and ZERO sort (r11: replaces the
+    groupBy + shuffle_hash self-join-back, which built a per-customer
+    hash table per partition — one less pass over the fact). On plain
+    parquet (no prepared layout) the decorrelated aggregate + join-back
+    shape remains: one shared custkey exchange beats a full fact sort.
+    Customer rides its co-located bucket leg; nation broadcasts; the
+    final rollup is |nations| rows."""
     from trialstreamer_spark.io import bucketed_table
 
     ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
     cb = bucketed_table(spark, sf_dir, "customer_by_custkey")
-    o_src = (
-        ob
-        if ob is not None
-        else load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    )
-    oc = o_src.select(
-        "o_custkey", _cents(F.col("o_totalprice")).alias("price_c")
-    )
-    ca = oc.groupBy("o_custkey").agg(
-        F.sum("price_c").alias("sum_c"), F.count("*").alias("cnt")
-    )
     c = (
         cb.select("c_custkey", "c_nationkey")
         if cb is not None
         else load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     )
-    ca2 = ca.withColumnRenamed("o_custkey", "ck")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     if ob is not None:
-        # Both self-join legs already ride the bucket layout's
-        # HashPartitioning(custkey); a shuffled-hash hint makes the join
-        # exchange-free AND sort-free, building only the per-partition
-        # slice of the per-customer aggregate. Without the hint the
-        # planner may invert to broadcasting the FACT projection (it
-        # sits under the size threshold at bench scale — measured 4x
-        # slower at sf1), and a merge hint pays two sorts.
-        ca2 = ca2.hint("shuffle_hash")
+        wc = W.partitionBy("o_custkey")
+        flagged = (
+            ob.select(
+                "o_custkey", _cents(F.col("o_totalprice")).alias("price_c")
+            )
+            .select(
+                "o_custkey",
+                "price_c",
+                F.sum("price_c").over(wc).alias("sum_c"),
+                F.count("*").over(wc).alias("cnt"),
+            )
+            .where(2 * F.col("price_c") * F.col("cnt") > 3 * F.col("sum_c"))
+        )
         if cb is not None:
             c = c.hint("shuffle_hash")
-    elif cb is None:
-        c = _sf_dim(c)  # un-bucketed fallback: size-conditional broadcast
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        joined = flagged.join(c, flagged.o_custkey == c.c_custkey)
+    else:
+        oc = load(spark, sf_dir, "orders").select(
+            "o_custkey", _cents(F.col("o_totalprice")).alias("price_c")
+        )
+        ca2 = (
+            oc.groupBy("o_custkey")
+            .agg(F.sum("price_c").alias("sum_c"), F.count("*").alias("cnt"))
+            .withColumnRenamed("o_custkey", "ck")
+        )
+        if cb is None:
+            c = _sf_dim(c)  # size-conditional broadcast fallback
+        joined = (
+            oc.join(ca2, oc.o_custkey == F.col("ck"))
+            .where(2 * F.col("price_c") * F.col("cnt") > 3 * F.col("sum_c"))
+            .join(c, oc.o_custkey == c.c_custkey)
+        )
     return (
-        oc.join(ca2, oc.o_custkey == F.col("ck"))
-        .where(2 * F.col("price_c") * F.col("cnt") > 3 * F.col("sum_c"))
-        .join(c, oc.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        joined.join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_orders"),
@@ -4031,13 +4041,24 @@ def reorder_interval_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose cumulative count reaches ceil(p·n/100), stated in integers
     as ``100·cum_n >= p·n``.
 
-    Scale shape: one custkey-partitioned lag window (no global sort of
-    the fact), collapse to (gap, count) — the global cumulative window
+    Scale shape: the lag window rides the orders_by_custkey bucket
+    layout — its HashPartitioning(custkey) satisfies the window's
+    partitionBy, so the fact-wide exchange (the dominant cost of the
+    pre-r11 plan: shuffle + sort of every order row) disappears and
+    only the per-bucket sort on (custkey, orderdate) remains. The
+    orderkey tiebreak the plain-scan plan carried is deliberately
+    dropped: consecutive differences of a sorted date multiset are
+    invariant to tie order, so the gap MULTISET — all the aggregate
+    sees — is unchanged (and the bucket projection need not carry
+    orderkey). Collapse to (gap, count) — the global cumulative window
     then runs over |distinct gaps| ≤ the corpus date span in days
     (~2.4k rows regardless of order count), so its single partition is
     bounded by the CALENDAR, not the data; one final 1-row rollup."""
-    o = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    from trialstreamer_spark.io import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders_by_custkey")
+    o = ob if ob is not None else load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate")
     g = (
         o.select(
             F.datediff(
