@@ -220,3 +220,48 @@ def test_two_stage_rerank_matches_numpy(spark):
     ]
     # the served list is a subset of the stage-1 pool by construction
     assert set(out["neighbor_id"]).issubset(set(ids[pool].tolist()))
+
+
+# ---------------------------------------------------------------------------
+# dedup_novelty_by_arrival — hand-built arrival pattern
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_by_arrival_first_principles(spark, tmp_path):
+    # 20 docs, ids 0..19 -> max id 19, decile = (10*id) DIV 20: two ids
+    # per decile. Duplicate structure (after lowercase/punct-strip
+    # normalization):
+    #   id 0  "alpha beta"      novel
+    #   id 1  "gamma"           novel
+    #   id 10 "Alpha, BETA!"    dup of 0 (normalization-aware)
+    #   id 11 "gamma"           dup of 1
+    #   id 18 "alpha beta"      dup of 0
+    #   id 19 "omega"           novel
+    # everything else unique -> novel.
+    texts = {i: f"unique text {i}" for i in range(20)}
+    texts[0] = "alpha beta"
+    texts[1] = "gamma"
+    texts[10] = "Alpha, BETA!"
+    texts[11] = "gamma"
+    texts[18] = "alpha beta"
+    texts[19] = "omega"
+    _docs([(i, texts[i]) for i in range(20)]).to_parquet(
+        str(tmp_path / "documents.parquet"), index=False
+    )
+    out = (
+        QUERIES["dedup_novelty_by_arrival"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("decile")
+    )
+    assert int(out["n_docs"].sum()) == 20
+    assert (out["n_docs"] == 2).all()
+    # decile 5 holds ids 10, 11 — both dups
+    assert out.loc[5, "n_novel"] == 0
+    assert out.loc[5, "dup_rate_fp"] == 1_000_000
+    # decile 9 holds ids 18 (dup), 19 (novel)
+    assert out.loc[9, "n_novel"] == 1
+    assert out.loc[9, "dup_rate_fp"] == 500_000
+    # every other decile is fully novel
+    for d in (0, 1, 2, 3, 4, 6, 7, 8):
+        assert out.loc[d, "n_novel"] == 2
+        assert out.loc[d, "dup_rate_fp"] == 0

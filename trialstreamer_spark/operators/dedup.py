@@ -2997,3 +2997,97 @@ def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("inner_doc", "outer_doc")
     )
+
+
+#: dedup_novelty_by_arrival — novelty decay across ingestion order.
+ARRIVAL_DECILES = 10
+
+
+@query(
+    "dedup_novelty_by_arrival",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    mx AS (SELECT MAX(doc_id) AS mxid FROM documents),
+    firsts AS (
+      SELECT MIN(doc_id) AS first_id FROM fp GROUP BY fingerprint
+    ),
+    per_decile AS (
+      SELECT LEAST({ARRIVAL_DECILES - 1},
+                   ({ARRIVAL_DECILES} * doc_id) // (mxid + 1)) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM fp, mx GROUP BY 1
+    ),
+    novel_decile AS (
+      SELECT LEAST({ARRIVAL_DECILES - 1},
+                   ({ARRIVAL_DECILES} * first_id) // (mxid + 1)) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM firsts, mx GROUP BY 1
+    )
+    SELECT CAST(p.decile AS BIGINT) AS decile,
+           p.n_docs,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST((1000000 * (p.n_docs - COALESCE(n.n_novel, 0))) // p.n_docs
+                AS BIGINT) AS dup_rate_fp
+    FROM per_decile p LEFT JOIN novel_decile n ON n.decile = p.decile
+    ORDER BY decile
+    """,
+)
+def dedup_novelty_by_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty decay across ingestion order: split the corpus into ten
+    arrival deciles (doc_id is the ingest sequence — the corpus carries
+    no timestamp, so arrival order IS the id order) and report how the
+    exact-duplicate rate climbs as the crawl progresses — early deciles
+    are nearly all novel, late deciles increasingly re-fetch what's
+    already stored. This is the curve that forecasts marginal dedup
+    savings of continuing a crawl (the decision input behind "is the
+    next 10 TB worth fetching"), and the arrival-ordered view of the
+    census dedup_exact reports corpus-wide.
+
+    A document is novel iff it is its fingerprint's canonical
+    (minimum-doc_id) member, so per-decile novel counts are just the
+    canonical ids bucketed by decile — no join back to the corpus.
+
+    Scale shape: rides the exact_fp_census sidecar (the corpus is
+    hashed once per corpus version, shared with the whole exact-dup
+    family); both legs collapse to ARRIVAL_DECILES-key map-combinable
+    aggregates, joined at 10 rows; max(doc_id) is a 1-row broadcast.
+    The tail is decile-bounded → single-partition sort, no range
+    exchange."""
+    census = exact_fp_census(spark, sf_dir)
+    mx = census.agg(F.max("doc_id").alias("mxid"))
+    dec = F.least(
+        F.lit(ARRIVAL_DECILES - 1),
+        F.expr(f"({ARRIVAL_DECILES} * doc_id) DIV (mxid + 1)"),
+    )
+    per_decile = (
+        census.select("doc_id")
+        .crossJoin(F.broadcast(mx))
+        .groupBy(dec.alias("decile"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    novel_decile = (
+        census.where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+        .crossJoin(F.broadcast(mx))
+        .groupBy(dec.alias("decile"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        per_decile.join(novel_decile, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.expr(
+                "(1000000 * (n_docs - COALESCE(n_novel, 0))) DIV n_docs"
+            ).alias("dup_rate_fp"),
+        )
+        # decile-bounded tail: single-partition sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("decile")
+    )
