@@ -265,3 +265,97 @@ def test_novelty_by_arrival_first_principles(spark, tmp_path):
     for d in (0, 1, 2, 3, 4, 6, 7, 8):
         assert out.loc[d, "n_novel"] == 2
         assert out.loc[d, "dup_rate_fp"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_cross_shard_pairs — hand-built dup groups with known shards
+# ---------------------------------------------------------------------------
+
+
+def test_cross_shard_pairs_first_principles(spark, tmp_path):
+    # Build a dup group of 4 copies and one of 2 copies; recompute the
+    # within/cross split from the REAL md5 shard assignment in python.
+    group_a = [1, 2, 3, 4]       # 4 copies of "alpha" -> 6 pairs
+    group_b = [10, 11]           # 2 copies of "beta"  -> 1 pair
+    uniques = [20, 21, 22]
+    rows = (
+        [(i, "alpha") for i in group_a]
+        + [(i, "beta") for i in group_b]
+        + [(i, f"unique {i}") for i in uniques]
+    )
+    _docs(rows).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    def shard_of(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 16
+
+    def pairs(ids: list[int]) -> tuple[int, int]:
+        total = len(ids) * (len(ids) - 1) // 2
+        by_shard: dict[int, int] = {}
+        for i in ids:
+            by_shard[shard_of(i)] = by_shard.get(shard_of(i), 0) + 1
+        within = sum(c * (c - 1) // 2 for c in by_shard.values())
+        return total, within
+
+    ta, wa = pairs(group_a)
+    tb, wb = pairs(group_b)
+    total, within = ta + tb, wa + wb
+
+    out = QUERIES["dedup_cross_shard_pairs"](spark, str(tmp_path)).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_dup_groups"] == 2
+    assert r["total_pairs"] == total == 7
+    assert r["within_pairs"] == within
+    assert r["cross_pairs"] == total - within
+    assert r["cross_share_fp"] == (1_000_000 * (total - within)) // total
+
+
+def test_cross_shard_pairs_no_dups_is_zero(spark, tmp_path):
+    _docs([(i, f"unique {i}") for i in range(5)]).to_parquet(
+        str(tmp_path / "documents.parquet"), index=False
+    )
+    r = QUERIES["dedup_cross_shard_pairs"](spark, str(tmp_path)).toPandas().iloc[0]
+    assert r["n_dup_groups"] == 0
+    assert r["total_pairs"] == 0
+    assert r["cross_share_fp"] == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal_storage_budget — hand-built sizes; metadata-only plan
+# ---------------------------------------------------------------------------
+
+
+def test_storage_budget_first_principles(spark, tmp_path):
+    # doc_id % 3 fixes modality: 0,3 -> image; 1,4 -> audio; 2 -> video.
+    # ASCII text -> content bytes == len(text).
+    rows = [
+        (0, "a" * 10),     # image, 10 B
+        (3, "b" * 30),     # image, 30 B
+        (6, "c" * 30),     # image, 30 B
+        (1, "d" * 100),    # audio, 100 B
+        (2, "e" * 7),      # video, 7 B
+    ]
+    _docs(rows).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    out = (
+        QUERIES["multimodal_storage_budget"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("modality")
+    )
+    img = out.loc["image"]
+    assert img["n_items"] == 3 and img["total_bytes"] == 70
+    # CDF: 10 (cum 1), 30 (cum 3); n=3 -> p50 first cum*100 >= 150 -> 30
+    assert img["p50_bytes"] == 30 and img["p90_bytes"] == 30
+    assert img["n_shards"] == 1  # ceil(70 / 1 MiB)
+    assert out.loc["audio", "p50_bytes"] == 100
+    assert out.loc["video", "n_items"] == 1
+    assert int(out["n_items"].sum()) == 5
+
+
+def test_storage_budget_plan_ships_no_bytes_to_python(spark):
+    # The prune-before-decode contract: the whole plan is JVM-side —
+    # no Python/Arrow evaluation node anywhere (octet_length runs in
+    # Catalyst; the binary content never crosses to a worker process).
+    df = QUERIES["multimodal_storage_budget"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -3091,3 +3091,101 @@ def dedup_novelty_by_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("decile")
     )
+
+
+@query(
+    "dedup_cross_shard_pairs",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fingerprint,
+             CAST(CAST(from_hex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIT) AS BIGINT) % 16 AS shard
+      FROM documents
+    ),
+    per_fp AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY 1
+    ),
+    per_fp_shard AS (
+      SELECT fingerprint, shard, CAST(COUNT(*) AS BIGINT) AS c
+      FROM fp GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS total_pairs,
+             CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT) AS n_dup_groups
+      FROM per_fp
+    ),
+    within AS (
+      SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS within_pairs
+      FROM per_fp_shard
+    )
+    SELECT t.n_dup_groups,
+           t.total_pairs,
+           w.within_pairs,
+           CAST(t.total_pairs - w.within_pairs AS BIGINT) AS cross_pairs,
+           CAST(CASE WHEN t.total_pairs = 0 THEN 0
+                ELSE (1000000 * (t.total_pairs - w.within_pairs))
+                     // t.total_pairs END AS BIGINT) AS cross_share_fp
+    FROM tot t, within w
+    """,
+)
+def dedup_cross_shard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much exact duplication CROSSES training-shard boundaries:
+    total dup pairs vs pairs whose two members land in the same
+    md5(doc_id) shard (training_shard_manifest's assignment). A
+    shard-local dedup pass — the cheap strategy where each of N workers
+    dedups only its own shard file — removes exactly the within-shard
+    pairs; cross_share_fp is the fraction it would MISS and therefore
+    the measured argument for global (fingerprint-keyed) dedup. Under a
+    content-independent hash assignment this share concentrates near
+    1 - 1/N_shards; a content-CORRELATED sharding (by source, by crawl
+    seed) would drive it down — the query is the audit that tells you
+    which regime your layout is in.
+
+    Pair counting never enumerates pairs: per-fingerprint sizes n give
+    Σ n·(n-1)/2 total and per-(fingerprint, shard) sizes give the
+    within-shard term — both integer aggregates over census-bounded
+    frames (the shard id is a scan-side md5 expression riding the same
+    pass that fingerprints the text; the corpus is scanned once).
+
+    Scale shape: two map-side-combinable aggregates keyed by
+    fingerprint (16 B) and (fingerprint, shard); their 1-row totals
+    cross-join. No join back to the corpus, no pair explosion — the
+    dup-group census IS the answer."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        normalized_fp(F.col("text")).alias("fingerprint"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        ).alias("shard"),
+    )
+    per_fp_shard = base.groupBy("fingerprint", "shard").agg(
+        F.count("*").alias("c")
+    )
+    per_fp = per_fp_shard.groupBy("fingerprint").agg(
+        F.sum("c").alias("n")
+    )
+    tot = per_fp.agg(
+        F.sum(F.expr("n * (n - 1) DIV 2")).alias("total_pairs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+    within = per_fp_shard.agg(
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("within_pairs")
+    )
+    return tot.crossJoin(F.broadcast(within)).select(
+        "n_dup_groups",
+        "total_pairs",
+        "within_pairs",
+        (F.col("total_pairs") - F.col("within_pairs")).alias("cross_pairs"),
+        F.expr(
+            "CASE WHEN total_pairs = 0 THEN 0L"
+            " ELSE (1000000 * (total_pairs - within_pairs)) DIV total_pairs"
+            " END"
+        ).alias("cross_share_fp"),
+    )

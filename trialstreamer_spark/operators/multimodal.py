@@ -619,3 +619,116 @@ def multimodal_aspect_buckets(spark, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("bucket")
     )
+
+
+#: multimodal_storage_budget — target media-shard file size. Scaled to
+#: the synthetic corpus (production would use GiB-scale shards); the
+#: ceiling arithmetic is size-independent.
+MEDIA_SHARD_BYTES = 1 << 20
+
+
+@query(
+    "multimodal_storage_budget",
+    oracle=f"""
+    WITH media AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    census AS (
+      SELECT modality, n_bytes, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM media GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT modality, n_bytes, cnt,
+             SUM(cnt) OVER (PARTITION BY modality ORDER BY n_bytes) AS cum_n,
+             SUM(cnt) OVER (PARTITION BY modality) AS n,
+             SUM(n_bytes * cnt) OVER (PARTITION BY modality) AS total_bytes
+      FROM census
+    )
+    SELECT modality,
+           CAST(MAX(n) AS BIGINT) AS n_items,
+           CAST(MAX(total_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 50 * n THEN n_bytes END)
+                AS BIGINT) AS p50_bytes,
+           CAST(MIN(CASE WHEN 100 * cum_n >= 90 * n THEN n_bytes END)
+                AS BIGINT) AS p90_bytes,
+           CAST((MAX(total_bytes) + {MEDIA_SHARD_BYTES} - 1)
+                // {MEDIA_SHARD_BYTES} AS BIGINT) AS n_shards
+    FROM cum
+    GROUP BY modality
+    ORDER BY modality
+    """,
+)
+def multimodal_storage_budget(spark, sf_dir: str) -> DataFrame:
+    """Per-modality storage budget for the media shard write: item
+    count, total payload bytes, exact p50/p90 item sizes, and the
+    projected shard-file count at MEDIA_SHARD_BYTES per shard — the
+    table that sizes a webdataset-style media export (how many shard
+    files, how skewed the item sizes, whether one modality needs its
+    own shard budget) BEFORE any bytes move.
+
+    METADATA-ONLY planning, the module's prune-before-decode contract:
+    the payload size is octet_length of the content column — Catalyst
+    evaluates it JVM-side without shipping a single binary byte to
+    Python, and no decode runs. Exact quantiles use the same
+    value-census CDF discipline as weekly_value_quantile_drift: the
+    shuffle carries (modality, size, count) rows bounded by the size
+    domain, never corpus rows; the per-modality window partitions on
+    modality (3 groups, census-bounded frames)."""
+    from trialstreamer_spark.io import load
+    from pyspark.sql import Window as W
+
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    census = (
+        media.select(
+            "modality", F.octet_length("content").cast("long").alias("n_bytes")
+        )
+        .groupBy("modality", "n_bytes")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wm = W.partitionBy("modality")
+    cum = census.select(
+        "modality",
+        "n_bytes",
+        F.sum("cnt").over(wm.orderBy("n_bytes")).alias("cum_n"),
+        F.sum("cnt").over(wm).alias("n"),
+        F.sum(F.col("n_bytes") * F.col("cnt")).over(wm).alias("total_bytes"),
+    )
+
+    def pctl(p: int, name: str):
+        return (
+            F.min(
+                F.when(
+                    100 * F.col("cum_n") >= p * F.col("n"), F.col("n_bytes")
+                )
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    return (
+        cum.groupBy("modality")
+        .agg(
+            F.max("n").alias("n_items"),
+            F.max("total_bytes").alias("total_bytes"),
+            pctl(50, "p50_bytes"),
+            pctl(90, "p90_bytes"),
+        )
+        .select(
+            "modality",
+            "n_items",
+            "total_bytes",
+            "p50_bytes",
+            "p90_bytes",
+            F.expr(
+                f"(total_bytes + {MEDIA_SHARD_BYTES} - 1)"
+                f" DIV {MEDIA_SHARD_BYTES}"
+            ).alias("n_shards"),
+        )
+        # modality-bounded tail: single-partition sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("modality")
+    )
