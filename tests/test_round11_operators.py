@@ -359,3 +359,64 @@ def test_storage_budget_plan_ships_no_bytes_to_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------------------
+# ann_rerank_pool_curve — numpy recompute + cross-query consistency
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_pool_curve_matches_numpy(spark):
+    import glob
+    import os
+
+    out = (
+        QUERIES["ann_rerank_pool_curve"](spark, SF_DIR)
+        .toPandas()
+        .set_index("pool_size")
+    )
+    emb = pd.read_parquet(
+        glob.glob(os.path.join(SF_DIR, "embeddings.parquet"))[0]
+    )
+    q = np.asarray(
+        emb.loc[emb["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64
+    )
+    rest = emb[emb["vec_id"] != 0]
+    m = np.stack(rest["embedding"].to_numpy()).astype(np.float64)
+    ids = rest["vec_id"].to_numpy().astype(np.int64)
+    scale = 10_000_000.0
+    tq = np.floor(m * q[None, :] * scale).astype(np.int64)
+    ts = np.floor(m * m * scale).astype(np.int64)
+    qn_lo = np.floor(q[:16] * q[:16] * scale).astype(np.int64).sum()
+    qn_hi = np.floor(q * q * scale).astype(np.int64).sum()
+    c_lo = tq[:, :16].sum(axis=1) / np.sqrt(
+        ts[:, :16].sum(axis=1).astype(np.float64) * float(qn_lo)
+    )
+    c_hi = tq.sum(axis=1) / np.sqrt(
+        ts.sum(axis=1).astype(np.float64) * float(qn_hi)
+    )
+    order_lo = np.lexsort((ids, -c_lo))
+    exact_ids = set(ids[np.lexsort((ids, -c_hi))[:10]].tolist())
+    prev = -1
+    for p in (10, 25, 50, 100):
+        pool = order_lo[:p]
+        rer = pool[np.lexsort((ids[pool], -c_hi[pool]))][:10]
+        n = len(exact_ids & set(ids[rer].tolist()))
+        assert int(out.loc[p, "n_overlap"]) == n
+        assert int(out.loc[p, "recall_fp"]) == (1_000_000 * n) // 10
+        # a larger pool can only improve the exact-rerank overlap
+        assert n >= prev
+        prev = n
+
+
+def test_rerank_pool_curve_consistent_with_two_stage(spark):
+    # The pool=100 curve point counts exactly the flagged rows of
+    # ann_two_stage_rerank (same kernel, same semantics, independent
+    # plans).
+    curve = (
+        QUERIES["ann_rerank_pool_curve"](spark, SF_DIR)
+        .toPandas()
+        .set_index("pool_size")
+    )
+    rer = QUERIES["ann_two_stage_rerank"](spark, SF_DIR).toPandas()
+    assert int(curve.loc[100, "n_overlap"]) == int(rer["in_exact_topk"].sum())

@@ -2715,3 +2715,216 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("rank")
     )
+
+
+#: ann_rerank_pool_curve — recall of the two-stage rerank as the
+#: first-stage shortlist grows; pool sizes must be ≤ RERANK_POOL so one
+#: per-partition head serves every curve point.
+RERANK_POOLS = (10, 25, 50, 100)
+
+
+@query(
+    "ann_rerank_pool_curve",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             {_sliced_cos_sql(RERANK_DIMS)} AS c_lo,
+             {_sliced_cos_sql(64)} AS c_hi
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    ),
+    exact AS (
+      SELECT vec_id FROM scored ORDER BY c_hi DESC, vec_id LIMIT {RERANK_K}
+    ),
+    lv AS (
+      {" UNION ALL ".join(
+        f'''SELECT CAST({p} AS BIGINT) AS pool_size,
+                   CAST((SELECT COUNT(*) FROM (
+                     SELECT vec_id FROM (
+                       SELECT vec_id, c_hi FROM scored
+                       ORDER BY c_lo DESC, vec_id LIMIT {p}
+                     ) ORDER BY c_hi DESC, vec_id LIMIT {RERANK_K}
+                   ) r JOIN exact x ON x.vec_id = r.vec_id) AS BIGINT)
+                   AS n_overlap'''
+        for p in RERANK_POOLS
+      )}
+    )
+    SELECT pool_size, n_overlap,
+           CAST((1000000 * n_overlap) // {RERANK_K} AS BIGINT) AS recall_fp
+    FROM lv
+    ORDER BY pool_size
+    """,
+)
+def ann_rerank_pool_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pool-size tuning curve for two-stage Matryoshka serving:
+    recall@10 of the exact-rerank result vs the EXACT full-dim top-10,
+    for first-stage shortlists of 10/25/50/100 candidates — the
+    measurement that picks the smallest (cheapest) pool meeting a
+    recall target before committing a serving config
+    (ann_two_stage_rerank is the per-neighbor view at pool=100;
+    ann_nprobe_recall_curve is the same curve for the IVF index).
+
+    Scale shape: identical ONE-scan kernel as ann_two_stage_rerank —
+    per-partition first-stage top-100 and exact top-10 heads (any
+    global top-p≤100 member is in its partition's top-100, so ONE head
+    size serves every curve point); the single merge aggregation sorts
+    the candidate list once by c_lo, and each curve point is an
+    array-slice + in-place rerank of that sorted list (slice → sort by
+    carried c_hi → slice k → intersect with the exact ids) — four
+    integer-count rows from one row of arrays, unpivoted with stack."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = _query_vector(e, 0, "vec_id", "embedding", cache_key=sf_dir)
+
+    q64 = np.asarray(qv, dtype=np.float64)
+    scale = float(SCALE)
+    d_lo, pool, k = RERANK_DIMS, RERANK_POOL, RERANK_K
+    qn_lo = float(fp_dot_vec(qv[:d_lo], qv[:d_lo]))
+    qn_hi = float(fp_dot_vec(qv, qv))
+
+    def partition_heads(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids0 = np.empty(0, np.int64)
+        f0 = np.empty(0, np.float64)
+        cand = (ids0, f0, f0)
+        exact = (ids0, f0)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            tq = np.floor(m * q64[None, :] * scale).astype(np.int64)
+            ts = np.floor(m * m * scale).astype(np.int64)
+            c_lo = tq[:, :d_lo].sum(axis=1) / np.sqrt(
+                ts[:, :d_lo].sum(axis=1).astype(np.float64) * qn_lo
+            )
+            c_hi = tq.sum(axis=1) / np.sqrt(
+                ts.sum(axis=1).astype(np.float64) * qn_hi
+            )
+            ai = np.concatenate([cand[0], ids])
+            al = np.concatenate([cand[1], c_lo])
+            ah = np.concatenate([cand[2], c_hi])
+            keep = np.lexsort((ai, -al))[:pool]
+            cand = (ai[keep], al[keep], ah[keep])
+            xi = np.concatenate([exact[0], ids])
+            xh = np.concatenate([exact[1], c_hi])
+            keep = np.lexsort((xi, -xh))[:k]
+            exact = (xi[keep], xh[keep])
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "st": np.concatenate(
+                        [
+                            np.full(len(cand[0]), 0, np.int32),
+                            np.full(len(exact[0]), 1, np.int32),
+                        ]
+                    ),
+                    "vec_id": np.concatenate([cand[0], exact[0]]),
+                    "c_lo": np.concatenate(
+                        [cand[1], np.zeros(len(exact[0]))]
+                    ),
+                    "c_hi": np.concatenate([cand[2], exact[1]]),
+                }
+            )
+
+    heads = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            partition_heads,
+            StructType(
+                [
+                    StructField("st", IntegerType()),
+                    StructField("vec_id", LongType()),
+                    StructField("c_lo", DoubleType()),
+                    StructField("c_hi", DoubleType()),
+                ]
+            ),
+        )
+    )
+    one = heads.agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("st") == 0,
+                        F.struct(
+                            (-F.col("c_lo")).alias("nl"),
+                            F.col("vec_id"),
+                            F.col("c_hi"),
+                        ),
+                    )
+                )
+            ),
+            1,
+            pool,
+        ).alias("cand"),
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("st") == 1,
+                            F.struct(
+                                (-F.col("c_hi")).alias("nh"),
+                                F.col("vec_id"),
+                            ),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ),
+            lambda s: s["vec_id"],
+        ).alias("exact_ids"),
+    )
+
+    def overlap_at(p: int) -> Column:
+        reranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.slice(F.col("cand"), 1, p),
+                    lambda s: F.struct(
+                        (-s["c_hi"]).alias("nh"),
+                        s["vec_id"].alias("vec_id"),
+                    ),
+                )
+            ),
+            1,
+            k,
+        )
+        return F.size(
+            F.array_intersect(
+                F.transform(reranked, lambda s: s["vec_id"]),
+                F.col("exact_ids"),
+            )
+        ).cast("long")
+
+    stacked = ", ".join(
+        f"{p}L, ov_{p}" for p in RERANK_POOLS
+    )
+    return (
+        one.select(
+            *[overlap_at(p).alias(f"ov_{p}") for p in RERANK_POOLS],
+        )
+        .select(
+            F.expr(
+                f"stack({len(RERANK_POOLS)}, {stacked})"
+                " AS (pool_size, n_overlap)"
+            )
+        )
+        .select(
+            "pool_size",
+            "n_overlap",
+            F.expr(f"(1000000 * n_overlap) DIV {RERANK_K}").alias(
+                "recall_fp"
+            ),
+        )
+        # curve-point-bounded tail: single-partition sort
+        .coalesce(1)
+        .sortWithinPartitions("pool_size")
+    )
