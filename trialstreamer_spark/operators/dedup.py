@@ -2272,19 +2272,22 @@ def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
+    # n_edges rides the degree rollup (Σdegree = 2·|edges| exactly) —
+    # r11: the separate COUNT(*) leg over the pair table and its
+    # broadcast were two more scheduler jobs for a value the wedge
+    # aggregate already holds.
     wed = (
         ends.groupBy("doc_id")
         .agg(F.count("*").alias("degree"))
         .agg(
             F.sum(
                 F.expr("degree * (degree - 1) DIV 2")
-            ).alias("n_wedges")
+            ).alias("n_wedges"),
+            F.expr("sum(degree) DIV 2").alias("n_edges"),
         )
     )
-    edges = pairs.agg(F.count("*").alias("n_edges"))
     return (
-        edges.crossJoin(F.broadcast(tri))
-        .crossJoin(F.broadcast(wed))
+        wed.crossJoin(F.broadcast(tri))
         .select(
             "n_edges",
             "n_triangles",
@@ -2600,50 +2603,78 @@ def dup_pair_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: all three inputs are prepare-time sidecars (pair
     table, signature table, shingle postings); pairs DRIVE every join —
-    signatures attach by two doc-keyed lookups, the exact intersection
-    re-joins postings restricted to candidate docs (never all-pairs —
-    the minhash_band_tuning discipline), and the result collapses to a
-    ≤9×11 matrix map-side."""
+    the per-doc shingle count attaches to the signature table ONCE
+    (doc-keyed, so it rides the same two pair lookups as the signature
+    slots instead of two extra pair-keyed joins — r11: 12→~7 scheduler
+    jobs), the exact intersection re-joins postings restricted to
+    candidate docs (never all-pairs — the minhash_band_tuning
+    discipline), and the result collapses to a ≤9×11 matrix map-side;
+    the bounded tail sorts in one partition (util.ordered_small)."""
     d = load(spark, sf_dir, "documents")
     pairs = minhash_candidates(d, cache_key=sf_dir)
     sig = minhash_signatures(d, cache_key=sf_dir)
+    posting = shingle_postings(d, cache_key=sf_dir)
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sigz = sig.join(sizes, "doc_id")
     eq_col = sum(
         F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
     ).cast("long")
-    eq = (
-        pairs.join(sig.alias("sa"), pairs.doc_a == F.col("sa.doc_id"))
-        .join(sig.alias("sb"), pairs.doc_b == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", eq_col.alias("est_slots"))
+    eqz = (
+        pairs.join(sigz.alias("sa"), pairs.doc_a == F.col("sa.doc_id"))
+        .join(sigz.alias("sb"), pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            eq_col.alias("est_slots"),
+            F.col("sa.n_sh").alias("sa_n"),
+            F.col("sb.n_sh").alias("sb_n"),
+        )
     )
-    posting = shingle_postings(d, cache_key=sf_dir)
-    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
     pb = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
+    inter = (
         pairs.join(pa, "doc_a")
         .join(pb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.lit(None).cast("long").alias("est_slots"),
+            F.lit(None).cast("long").alias("sa_n"),
+            F.lit(None).cast("long").alias("sb_n"),
+            F.lit(1).cast("long").alias("n_common"),
+        )
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa_n"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb_n"))
+    # Tagged union instead of eqz LEFT JOIN common: both legs are
+    # pair-keyed, so one groupBy folds them in a single exchange with
+    # map-side partial aggregation per leg (the embedding_coverage_audit
+    # trick) — the old shape paid two pair-keyed exchanges plus a
+    # sort-merge for the outer join. Every pair has exactly ONE eqz row
+    # (candidates are distinct), so max() recovers its attributes; a
+    # pair sharing no shingle simply sums n_common to 0.
     scored = (
-        eq.join(common, ["doc_a", "doc_b"], "left")
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
+        eqz.withColumn("n_common", F.lit(0).cast("long"))
+        .unionByName(inter)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("est_slots").alias("est_slots"),
+            F.max("sa_n").alias("sa_n"),
+            F.max("sb_n").alias("sb_n"),
+            F.sum("n_common").alias("n_common"),
+        )
         .select(
             "est_slots",
             F.expr(
-                "(10 * coalesce(n_common, 0))"
-                " DIV (sa_n + sb_n - coalesce(n_common, 0))"
+                "(10 * n_common) DIV (sa_n + sb_n - n_common)"
             ).alias("exact_decile"),
         )
     )
-    return (
-        scored.groupBy("est_slots", "exact_decile")
-        .agg(F.count("*").alias("n_pairs"))
-        .orderBy("est_slots", "exact_decile")
+    return util.ordered_small(
+        scored.groupBy("est_slots", "exact_decile").agg(
+            F.count("*").alias("n_pairs")
+        ),
+        "est_slots",
+        "exact_decile",
     )
 
 

@@ -423,18 +423,22 @@ def token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     training tokens") read before choosing length caps or sampling
     temperature for a mix.
 
-    The global rank is built WITHOUT a single-partition global window
-    (the formulation that dies at 100 TB): rank = (docs with a smaller
-    token count) + (row_number among ties). The tie window partitions
-    by n_tokens — fully distributed; the cumulative-offset window runs
-    on the (n_tokens, count) rollup, whose size is |distinct token
-    counts| — bounded by the length cap, not the corpus. Decile
-    assignment and the cumulative share are exact integer divisions, so
+    The global rank is never materialized per document (the r11
+    optimization): docs in the tie group (n_tokens, cnt) occupy the
+    contiguous global ranks below+1 .. below+cnt (ties broken by
+    doc_id, but every tie carries the SAME n_tokens, so which doc gets
+    which rank cannot change any aggregate), and the per-decile overlap
+    of that rank interval has a closed form — so the whole decile split
+    runs on the (n_tokens, count) rollup, whose size is |distinct token
+    counts| — bounded by the length cap, not the corpus. The old shape
+    joined the rollup back to the corpus and ranked every doc through a
+    per-n_tokens window (one corpus-wide exchange + sort); the interval
+    arithmetic removes that exchange outright (guide §2.4). Decile
+    boundaries and the cumulative share are exact integer divisions, so
     both engines cut every boundary identically (NTILE is avoided on
     purpose: its tie placement is engine-defined)."""
     d = load(spark, sf_dir, "documents")
     dt = d.where(F.col("text").isNotNull()).select(
-        "doc_id",
         F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
     )
     vc = dt.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
@@ -442,38 +446,59 @@ def token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Corpus totals ride the SAME single-partition rollup window as the
+    # cumulative offset (unbounded frame) — no separate corpus agg, no
+    # broadcast-crossJoin attach (each was its own scheduler job).
+    w_all = (
+        Window.orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     off = vc.select(
         "n_tokens",
+        "cnt",
         F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("below"),
+        F.sum("cnt").over(w_all).alias("n_docs_total"),
+        F.sum(F.col("cnt") * F.col("n_tokens")).over(w_all).alias("tok_total"),
     )
-    tot = dt.agg(
-        F.count("*").alias("n_docs_total"),
-        F.sum("n_tokens").alias("tok_total"),
-    )
-    w_tie = Window.partitionBy("n_tokens").orderBy("doc_id")
-    rk = (
-        dt.join(F.broadcast(off), "n_tokens")
-        .select(
-            "n_tokens",
-            (F.col("below") + F.row_number().over(w_tie)).alias("rnk"),
-        )
-    )
+    # Group docs hold 0-indexed ranks x in [below, below+cnt-1]; doc at
+    # rank x lands in decile (x*10) DIV N. Decile dd covers x in
+    # [ceil(dd*N/10), ceil((dd+1)*N/10)-1]; the group's doc count in dd
+    # is the interval overlap — exact int64 throughout.
     per = (
-        rk.crossJoin(F.broadcast(tot))
+        off
         .select(
-            F.expr("CAST(((rnk - 1) * 10) DIV n_docs_total AS INT)").alias(
-                "decile"
-            ),
             "n_tokens",
+            "cnt",
+            "below",
+            "n_docs_total",
+            "tok_total",
+            F.explode(
+                F.sequence(
+                    F.expr("(below * 10) DIV n_docs_total"),
+                    F.expr("((below + cnt - 1) * 10) DIV n_docs_total"),
+                )
+            ).alias("decile_l"),
+        )
+        .select(
+            F.col("decile_l").cast("int").alias("decile"),
+            F.expr(
+                "least(below + cnt - 1,"
+                "      ((decile_l + 1) * n_docs_total + 9) DIV 10 - 1)"
+                " - greatest(below, (decile_l * n_docs_total + 9) DIV 10)"
+                " + 1"
+            ).alias("k"),
+            "n_tokens",
+            "tok_total",
         )
         .groupBy("decile")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("decile_tokens"),
+            F.sum("k").alias("n_docs"),
+            F.sum(F.col("k") * F.col("n_tokens")).alias("decile_tokens"),
+            F.max("tok_total").alias("tok_total"),
         )
     )
     return (
-        per.crossJoin(F.broadcast(tot))
+        per
         .select(
             "decile",
             "n_docs",
@@ -484,7 +509,10 @@ def token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV tok_total"
             ).alias("cum_share_fp"),
         )
-        .orderBy("decile")
+        # dimension-bounded (≤10-row) tail: single-partition sort, no
+        # range exchange / sampling job
+        .coalesce(1)
+        .sortWithinPartitions("decile")
     )
 
 

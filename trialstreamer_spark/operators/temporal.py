@@ -1491,13 +1491,16 @@ def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it would multiply census cardinality by the value domain).
 
     Floor accounting (r11 job-count profile): the two quantile scopes +
-    two-level global CDF + two broadcasts materialize as 9 AQE jobs, so
-    the sf1 wall is ~0.68 s of scheduler floor plus <0.2 s of work —
-    the sub-second DuckDB gap is the per-job round-trip, not a plan
-    defect (every exchange is census-bounded; the corpus is scanned
-    twice, once per quantile scope, both map-side-combined). The total
-    event count is derived from the 1024x-smaller BUCKET frame, not a
-    third pass over the counts rollup."""
+    two-level global CDF + broadcasts materialize as AQE jobs, so the
+    sf1 wall is mostly scheduler floor plus <0.2 s of work — the
+    sub-second DuckDB gap is the per-job round-trip, not a plan defect
+    (every exchange is census-bounded; the corpus is scanned once per
+    quantile scope, both map-side-combined — a grouping-sets single-
+    scan variant was tried in r11 and measured WORSE: the gid filter
+    pushes into the Expand, splitting the scan again while doubling
+    map-side rows). The total event count rides the bucket-offset
+    window frame (r11: the separate bucket-total agg + crossJoin
+    broadcast were two more scheduler jobs)."""
     e = load(spark, sf_dir, "events")
     vc = (
         e.select(
@@ -1542,16 +1545,21 @@ def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bkt = counts.withColumn("bkt", F.expr("v_c DIV 1024"))
         btot = bkt.groupBy("bkt").agg(F.sum("cnt").alias("bcnt"))
         w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+        # total event count rides the SAME single-partition bucket
+        # window as the offset (unbounded frame) — no separate agg of
+        # btot, no crossJoin broadcast (each was its own job and its
+        # own re-derivation of the bucket frame)
+        w_all = W.orderBy("bkt").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
         boff = btot.select(
             "bkt",
             F.coalesce(F.sum("bcnt").over(w_off), F.lit(0)).alias(
                 "below_b"
             ),
+            F.sum("bcnt").over(w_all).alias("n"),
         )
         w_in = W.partitionBy("bkt").orderBy("v_c")
-        # total event count off the BUCKET frame (1024x smaller than
-        # the value domain), not a third pass over the counts rollup
-        n_tot = btot.agg(F.sum("bcnt").alias("n"))
         cum = (
             bkt.join(F.broadcast(boff), "bkt")
             .select(
@@ -1559,8 +1567,8 @@ def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("below_b") + F.sum("cnt").over(w_in)).alias(
                     "cum_n"
                 ),
+                "n",
             )
-            .crossJoin(F.broadcast(n_tot))
         )
         return cum.agg(
             F.max("n").alias("n_events"),

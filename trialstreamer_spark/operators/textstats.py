@@ -1191,13 +1191,21 @@ def token_tv_distance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything operates on the (source, tok, c) rollup
     sidecar (source_token_counts — |vocab × sources| rows, never corpus
     rows). Matched terms are one tok-keyed self-join constrained
-    source_a < source_b; terms ABSENT from one side (the part a
-    matched-only join would silently drop) are recovered by expanding
-    each rollup row against the |sources|-row totals dim (broadcast)
-    and anti-probing the rollup — each one-sided term contributes
-    exactly once, from its present side's direction. The pair rollup
-    has |sources|² keys. At a 10¹²-token corpus the products need
-    DECIMAL(38) before int64 overflows; the shape is unchanged."""
+    source_a < source_b; terms ABSENT from one side need no anti-join —
+    with x+y−|x−y| = 2·min(x,y), the one-sided mass folds into the
+    matched sum algebraically:
+
+        tv_num = Σ_matched |ca·Nb − cb·Na| + Σ_onlyA ca·Nb + Σ_onlyB cb·Na
+               = 2·(Na·Nb − Σ_matched min(ca·Nb, cb·Na))
+
+    (Σ_onlyA ca = Na − Σ_matched ca and symmetrically for B; every term
+    is exact int64, so the folded form is bit-identical to the summed
+    form — r11 optimization: the whole |rollup|×|sources| expand +
+    anti-probe leg is gone, one tok-keyed self-join and one pair rollup
+    remain.) Pairs that share no term get tv = 1 from the |sources|²
+    pair universe (a bounded BNLJ over the totals aggregate). The pair
+    rollup has |sources|² keys. At a 10¹²-token corpus the products
+    need DECIMAL(38) before int64 overflows; the shape is unchanged."""
     c = source_token_counts(spark, sf_dir)
     n = c.groupBy("source").agg(F.sum("c").alias("n"))
     a = c.select(F.col("source").alias("sa"), "tok", F.col("c").alias("ca"))
@@ -1208,41 +1216,30 @@ def token_tv_distance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = F.broadcast(n.select(F.col("source").alias("sa"), F.col("n").alias("n_a")))
     nb = F.broadcast(n.select(F.col("source").alias("sb"), F.col("n").alias("n_b")))
-    matched = (
+    matched_min = (
         a.join(b, (F.col("tok") == F.col("tokb")) & (F.col("sa") < F.col("sb")))
         .join(na, "sa")
         .join(nb, "sb")
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.least(F.col("ca") * F.col("n_b"), F.col("cb") * F.col("n_a"))
+            ).alias("min_sum")
+        )
+    )
+    pairs = na.join(nb, F.col("sa") < F.col("sb"))
+    return (
+        pairs.join(matched_min, ["sa", "sb"], "left")
         .select(
             "sa",
             "sb",
-            F.abs(
-                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
-            ).alias("contrib"),
+            "n_a",
+            "n_b",
+            (
+                2 * (F.col("n_a") * F.col("n_b")
+                     - F.coalesce(F.col("min_sum"), F.lit(0)))
+            ).alias("tv_num"),
         )
-    )
-    other = F.broadcast(
-        n.select(F.col("source").alias("so"), F.col("n").alias("n_o"))
-    )
-    onesided = (
-        a.join(other, F.col("sa") != F.col("so"))
-        .join(
-            b,
-            (F.col("tok") == F.col("tokb")) & (F.col("so") == F.col("sb")),
-            "left",
-        )
-        .where(F.col("cb").isNull())
-        .select(
-            F.least("sa", "so").alias("sa"),
-            F.greatest("sa", "so").alias("sb"),
-            (F.col("ca") * F.col("n_o")).alias("contrib"),
-        )
-    )
-    return (
-        matched.unionByName(onesided)
-        .groupBy("sa", "sb")
-        .agg(F.sum("contrib").alias("tv_num"))
-        .join(na, "sa")
-        .join(nb, "sb")
         .select(
             F.col("sa").alias("source_a"),
             F.col("sb").alias("source_b"),
