@@ -2351,7 +2351,11 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (one grouped bit-agg pass, simhash_table) — and the pair
     table drives: two doc-keyed joins pull signatures onto ≤|pairs|
     rows, the XOR + popcount is JVM codegen, and the histogram
-    collapses to ≤17 rows map-side."""
+    collapses to ≤17 rows map-side. (r11: an explode-to-endpoints +
+    single-join + BIT_XOR-agg variant was tried and measured SLOWER —
+    the two signature references already collapse to one physical
+    build via exchange/broadcast reuse, so the variant only added a
+    pair-keyed exchange.)"""
     d = load(spark, sf_dir, "documents")
     pairs = minhash_candidates(d, cache_key=sf_dir)
     sim = simhash_table(d)
