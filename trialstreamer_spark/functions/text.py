@@ -175,6 +175,14 @@ DEFAULT_STOPWORDS = frozenset(
 )
 
 
+#: Lemma tables up to this many entries are inlined into the plan as a
+#: literal map (applied inside the token array — no explode, no shuffle);
+#: larger tables fall back to one broadcast token-level join. The table
+#: is in-memory-dict-sized by contract either way (the reference loads
+#: it into a Python dict); the cap only bounds the EXPRESSION size.
+LEMMA_INLINE_MAX = 4096
+
+
 def prepare_lexicon(
     lexicon: DataFrame, max_cuis: int = 15, min_term_chars: int = 3
 ) -> DataFrame:
@@ -186,9 +194,21 @@ def prepare_lexicon(
     lex = lexicon.select(
         normalize_concept_string(F.col("term")).alias("term"), "cui"
     )
-    counts = lex.groupBy("term").agg(F.countDistinct("cui").alias("n_cui"))
+    # The lexicon is dimension-bounded by contract (every consumer
+    # broadcasts it, mirroring the reference's in-memory dict), so the
+    # ambiguity count rides a window instead of the old groupBy +
+    # self-join (three exchanges and a sort-merge join inside every
+    # broadcast build). Callers pass the lexicon as a 1-partition JVM
+    # local relation (util.inline_rows) whose SinglePartition already
+    # satisfies the window's clustering requirement — exchange-free; an
+    # arbitrary-partitioned lexicon just gets one tiny hash exchange.
+    # (Do NOT coalesce(1) here: on a createDataFrame input that chains
+    # all defaultParallelism pickled partitions into ONE task that
+    # spins a Python worker per parent partition — measured 4.8 s for
+    # a 7-row lexicon.)
+    n_cui = F.size(F.collect_set("cui").over(W.partitionBy("term")))
     return (
-        lex.join(counts, "term")
+        lex.withColumn("n_cui", n_cui)
         .filter(
             (F.col("n_cui") <= max_cuis) & (F.length("term") >= min_term_chars)
         )
@@ -232,62 +252,119 @@ def match_concepts(
        break by cui (the reference keeps dict insertion order —
        declared deterministic divergence).
 
-    Returns (id, term, surface, start, end, cui). Token positions are
-    assembled once per document via a groupBy on the doc id; the greedy
-    stage reuses that partitioning (no extra shuffle); the lexicon,
-    lemma table, and ignore list are broadcast like the reference's
-    in-memory dicts.
+    Returns (id, term, surface, start, end, cui). Tokenization, lemma
+    lookup, and n-gram assembly all happen inside the per-document
+    token array (array lambdas — no per-token explode, no window), so
+    the only corpus-sized exchange in the plan is the id-repartition
+    feeding the greedy stage, and it carries lexicon-MATCHED candidates
+    only; the lexicon, lemma table, and ignore list are broadcast (or
+    plan-inlined) like the reference's in-memory dicts.
     """
     toks_arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    tok_rows = docs.select(
-        F.col(id_col).alias("id"), F.posexplode_outer(toks_arr).alias("pos", "tok")
-    ).where(F.col("tok").isNotNull())
-    if lemma_table is not None:
-        lt = F.broadcast(
-            lemma_table.select(
-                F.lower(F.col("token")).alias("tok"),
-                F.lower(F.col("lemma")).alias("lem0"),
-            )
-        )
-        tok_rows = tok_rows.join(lt, "tok", "left").withColumn(
-            "lem", F.coalesce("lem0", "tok")
-        )
-    else:
-        tok_rows = tok_rows.withColumn("lem", F.col("tok"))
+    base = docs.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
 
-    # n-gram windows via lead() over token order — whole-stage codegen,
-    # one shuffle on the doc id (whose hash partitioning then carries
-    # through the broadcast joins to the greedy stage below). A k-gram
-    # starting at pos exists iff lead(·, k-1) is non-null.
-    w = W.partitionBy("id").orderBy("pos")
-    lead_cols = [F.col("tok").alias("tok0"), F.col("lem").alias("lem0")]
-    for j in range(1, max_ngram):
-        lead_cols.append(F.lead("tok", j).over(w).alias(f"tok{j}"))
-        lead_cols.append(F.lead("lem", j).over(w).alias(f"lem{j}"))
-    leads = tok_rows.select("id", "pos", *lead_cols)
-    gram_structs = []
-    for k in range(1, max_ngram + 1):
-        term_k = F.concat_ws(" ", *[F.col(f"lem{j}") for j in range(k)])
-        surface_k = F.concat_ws(" ", *[F.col(f"tok{j}") for j in range(k)])
-        valid = F.col(f"tok{k - 1}").isNotNull() if k > 1 else F.lit(True)
-        gram_structs.append(
-            F.when(
-                valid,
-                F.struct(
-                    term_k.alias("term"),
-                    surface_k.alias("surface"),
-                    (F.col("pos") + 1).cast("int").alias("start"),
-                    (F.col("pos") + k).cast("int").alias("end"),
-                ),
+    # The n-gram assembly below is the CPU-heavy stage, and it rides
+    # whatever parallelism the docs scan has. When the input arrives in
+    # fewer splits than the session has cores (bench: documents.parquet
+    # is ONE row group → one task; measured 7.5 s vs 2 s serial-vs-
+    # parallel at sf0.1), hash-repartition at DOC granularity by id
+    # first — one exchange carrying each token array once (strictly
+    # fewer bytes than the pre-r11 token-level window shuffle), which
+    # the greedy stage then reuses, so the plan still has exactly one
+    # corpus-sized exchange. When the scan is already wide (the 100 TB
+    # layout — many files), skip it: the only exchange then carries
+    # lexicon-MATCHED candidates (guide §2.2: shuffle the fewest bytes
+    # the algorithm allows).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    prepartitioned = docs.rdd.getNumPartitions() >= max(2, n_parts // 2)
+    if not prepartitioned:
+        base = base.repartition(n_parts, "id")
+
+    # Lemmatization and n-gram assembly stay INSIDE the per-document
+    # token array (array lambdas, whole-stage codegen) — no per-token
+    # explode, no window, and therefore NO full-corpus token shuffle
+    # (r11; the old shape shuffled every (id, pos, tok, lem) row to
+    # feed a lead() window — the only exchange left below carries
+    # lexicon-MATCHED candidates, which is what survives the broadcast
+    # join). The lemma table is in-memory-dict-sized by contract (the
+    # reference holds it in a Python dict), so up to LEMMA_INLINE_MAX
+    # entries it rides the plan as a literal map; a larger table falls
+    # back to one token-level shuffle that re-assembles the lemma array
+    # per document. lemma_table must be a function (one lemma per
+    # token) — duplicate tokens keep the last row, matching a sane
+    # lookup-dict load.
+    if lemma_table is not None:
+        sample = lemma_table.select(
+            F.lower(F.col("token")), F.lower(F.col("lemma"))
+        ).limit(LEMMA_INLINE_MAX + 1).collect()
+        if len(sample) <= LEMMA_INLINE_MAX:
+            entries = dict((r[0], r[1]) for r in sample)
+            if entries:
+                lmap = F.create_map(
+                    *[F.lit(v) for kv in sorted(entries.items()) for v in kv]
+                )
+                base = base.withColumn(
+                    "lems",
+                    F.transform(
+                        "toks",
+                        lambda t: F.coalesce(F.element_at(lmap, t), t),
+                    ),
+                )
+            else:
+                base = base.withColumn("lems", F.col("toks"))
+        else:
+            lt = F.broadcast(
+                lemma_table.select(
+                    F.lower(F.col("token")).alias("tok"),
+                    F.lower(F.col("lemma")).alias("lem0"),
+                )
             )
+            ptl = (
+                base.select("id", F.posexplode("toks").alias("pos", "tok"))
+                .join(lt, "tok", "left")
+                .groupBy("id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                F.col("tok").alias("tok"),
+                                F.coalesce("lem0", "tok").alias("lem"),
+                            )
+                        )
+                    ).alias("ptl")
+                )
+            )
+            base = ptl.select(
+                "id",
+                F.col("ptl.tok").alias("toks"),
+                F.col("ptl.lem").alias("lems"),
+            )
+    else:
+        base = base.withColumn("lems", F.col("toks"))
+
+    def _gram(k: int):
+        # single-parameter lambda: a second parameter would be bound to
+        # the ARRAY INDEX by F.transform, not a Python default
+        return lambda i: F.struct(
+            F.array_join(F.slice("lems", i, k), " ").alias("term"),
+            F.array_join(F.slice("toks", i, k), " ").alias("surface"),
+            i.cast("int").alias("start"),
+            (i + F.lit(k - 1)).cast("int").alias("end"),
         )
-    cands = (
-        leads.select("id", F.explode(F.array(*gram_structs)).alias("g"))
-        .where(F.col("g").isNotNull())
-        .select("id", "g.term", "g.surface", "g.start", "g.end")
-    )
+
+    gram_arrays = []
+    for k in range(1, max_ngram + 1):
+        idx = F.when(
+            F.size("toks") >= k,
+            F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        gram_arrays.append(F.transform(idx, _gram(k)))
+    cands = base.select(
+        "id", F.explode(F.concat(*gram_arrays)).alias("g")
+    ).select("id", "g.term", "g.surface", "g.start", "g.end")
     if stopwords:
         cands = cands.filter(~F.col("surface").isin(*sorted(stopwords)))
     if ignore_terms is not None:
@@ -309,8 +386,15 @@ def match_concepts(
     # id-partitioned, (start, -end, cui)-sorted candidates — per-partition
     # Python, NOT per-group (5000 tiny FlatMapGroups calls measured ~20×
     # slower); the repartition reuses the window's id partitioning.
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    sorted_cands = cands.repartition(n_parts, "id").sortWithinPartitions(
+    if not prepartitioned:
+        # base was already hash-partitioned by id above and every op
+        # since (array lambdas, explode, broadcast joins, filters) is
+        # partitioning-preserving, so per-id contiguity holds — sort
+        # within partitions only, no second exchange.
+        sorted_cands = cands
+    else:
+        sorted_cands = cands.repartition(n_parts, "id")
+    sorted_cands = sorted_cands.sortWithinPartitions(
         "id", F.col("start"), F.col("end").desc(), "cui"
     )
 

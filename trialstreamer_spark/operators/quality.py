@@ -365,8 +365,16 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each stage is the already-scale-safe building block
     (column-expression signals; one 16-byte-key window for canonical;
-    md5-prefix sampling); the stage flags join back on doc_id so the
-    rollup is one exchange over (lang, 3 bits)."""
+    md5-prefix sampling). r11: the stage flags are computed in ONE pass
+    — the keep predicate is a boolean column, the canonical flag is a
+    conditional window (min(doc_id) over the fingerprint group AMONG
+    kept rows — min ignores the nulls the when() leaves for dropped
+    rows, and a kept row's own id guarantees the min is non-null when
+    it matters), and the sample flag rides a broadcast cutoff lookup.
+    The old shape re-joined three flag frames back on doc_id, each
+    re-deriving the whole filter chain (the canonical leg twice, the
+    sample leg three times); the window exchange now carries the
+    16-byte fingerprint instead of the document text."""
     from trialstreamer_spark.operators.dedup import normalized_fp
     from pyspark.sql import Window as W
 
@@ -376,7 +384,7 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id",
         "lang",
-        "text",
+        normalized_fp(F.col("text")).alias("fp"),
         n_toks.cast("long").alias("n_words"),
         F.when(
             n_toks > 0,
@@ -389,48 +397,44 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("top_n") * F.lit(1.0) / F.col("n_grams")).alias("top_bigram_frac"),
     )
-    kept = (
-        base.join(rep, "doc_id", "left")
-        .where(
-            (F.col("n_words") >= 30)
-            & (F.col("mean_word_len") >= 3.0)
-            & (F.col("mean_word_len") <= 5.0)
-            & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.1)
-        )
-        .select("doc_id", "lang", "text")
-    )
-    canon = (
-        kept.withColumn(
-            "canonical_id",
-            F.min("doc_id").over(
-                W.partitionBy(normalized_fp(F.col("text")))
-            ),
-        )
-        .where(F.col("doc_id") == F.col("canonical_id"))
-        .select("doc_id", "lang")
-    )
     from trialstreamer_spark.util import inline_rows
 
     cutoffs = inline_rows(
         spark, list(SAMPLE_CUTOFFS), [("lang", "string"), ("cutoff", "string")]
     )
-    sampled = (
-        canon.join(F.broadcast(cutoffs), "lang")
-        .where(sample_hash_col(F.col("doc_id")) <= F.col("cutoff"))
-        .select("doc_id")
+    k_col = (
+        (F.col("n_words") >= 30)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 5.0)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.1)
     )
-    flag = lambda df, name: df.withColumn(name, F.lit(1))  # noqa: E731
+    flagged = (
+        base.join(rep, "doc_id", "left")
+        .select("doc_id", "lang", "fp", k_col.alias("k"))
+        .withColumn(
+            "min_kept",
+            F.min(F.when(F.col("k"), F.col("doc_id"))).over(
+                W.partitionBy("fp")
+            ),
+        )
+        .withColumn("c", F.col("k") & (F.col("doc_id") == F.col("min_kept")))
+        .join(F.broadcast(cutoffs), "lang", "left")
+        .withColumn(
+            "s",
+            F.when(
+                F.col("c")
+                & (sample_hash_col(F.col("doc_id")) <= F.col("cutoff")),
+                True,
+            ).otherwise(False),
+        )
+    )
     return (
-        d.select("doc_id", "lang")
-        .join(flag(kept.select("doc_id"), "k"), "doc_id", "left")
-        .join(flag(canon.select("doc_id"), "c"), "doc_id", "left")
-        .join(flag(sampled, "s"), "doc_id", "left")
-        .groupBy("lang")
+        flagged.groupBy("lang")
         .agg(
             F.count("*").alias("n_input"),
-            F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("n_keep"),
-            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_canonical"),
-            F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("n_sampled"),
+            F.sum(F.when(F.col("k"), 1).otherwise(0)).alias("n_keep"),
+            F.sum(F.when(F.col("c"), 1).otherwise(0)).alias("n_canonical"),
+            F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("n_sampled"),
         )
         # dimension/calendar-bounded tail: single-partition sort,
         # no range exchange / sampling job (r10 registry-wide sweep)

@@ -575,9 +575,21 @@ def concept_match_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trialstreamer_spark.functions.text import match_concepts
 
     ship_package(spark)
+    from trialstreamer_spark.util import inline_rows
+
     d = load(spark, sf_dir, "documents")
-    lexicon = spark.createDataFrame(list(CONCEPT_LEXICON), "term string, cui string")
-    lemmas = spark.createDataFrame(list(CONCEPT_LEMMAS), "token string, lemma string")
+    # inline_rows, not createDataFrame: a handful of literal rows as a
+    # 1-partition JVM local relation — zero Python transfer, and its
+    # SinglePartition makes prepare_lexicon's ambiguity window
+    # exchange-free inside the broadcast build (r11; createDataFrame
+    # cost ~0.6 s/call here and parallelized 7 rows into 32 pickled
+    # partitions).
+    lexicon = inline_rows(
+        spark, list(CONCEPT_LEXICON), [("term", "string"), ("cui", "string")]
+    )
+    lemmas = inline_rows(
+        spark, list(CONCEPT_LEMMAS), [("token", "string"), ("lemma", "string")]
+    )
     return match_concepts(d, lexicon, lemma_table=lemmas, max_ngram=3).orderBy(
         "id", "start", "cui"
     )

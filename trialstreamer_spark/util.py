@@ -47,7 +47,13 @@ def inline_rows(
         for row in rows
     ]
     return (
-        spark.range(1)
+        # numPartitions=1: spark.range(1) otherwise parallelizes ONE row
+        # into defaultParallelism empty-mostly partitions — every
+        # consumer then schedules 32 tasks per reference, and windows
+        # over the dim need a hash exchange. A true SinglePartition
+        # satisfies any clustering requirement, so dim-local
+        # windows/aggregates become exchange-free (r11).
+        spark.range(0, 1, 1, 1)
         .select(F.explode(F.array(*structs)).alias("_r"))
         .select("_r.*")
     )
