@@ -167,12 +167,15 @@ def test_sf_dim_join_strategy_is_size_dependent(spark, sf_dir):
     customer leg of returned_item_topk broadcasts (tiny at test SF);
     with the threshold disabled — simulating a dim whose stats exceed
     it on a 100 TB corpus — the very same plan must fall back to a
-    shuffle join, while the hinted fixed-size nation dim keeps its
-    broadcast. A forced F.broadcast(customer) would keep BHJ in both
-    runs and fail the second assertion."""
+    shuffle join, while the SPEC-FIXED nation labeling stays join-free
+    (r11: nation⋈region is folded to a 25-entry literal map, so the
+    threshold cannot touch it). A forced F.broadcast(customer) would
+    keep BHJ in both runs and fail the shuffle-join assertion."""
     q = QUERIES["returned_item_topk"]
     p_default = plan_of(q(spark, sf_dir))
     assert "BroadcastHashJoin" in p_default
+    assert "element_at(map(" in p_default  # nation labels: literal map
+    assert "nation.parquet" not in p_default  # ... not a dim-leg join
     conf = spark.conf
     old = conf.get("spark.sql.autoBroadcastJoinThreshold")
     old_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -181,8 +184,8 @@ def test_sf_dim_join_strategy_is_size_dependent(spark, sf_dir):
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         p = plan_of(q(spark, sf_dir))
         assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
-        # the explicit hint on the fixed-size nation dim still wins
-        assert "BroadcastHashJoin" in p
+        # the fixed-size nation labeling is immune to the threshold
+        assert "element_at(map(" in p
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
@@ -259,11 +262,15 @@ def test_incremental_dedup_never_shuffles_corpus(spark, sf_dir):
 
 
 def test_q5_join_broadcasts_all_dims(spark, sf_dir):
-    """regional_revenue: the region->nation->customer dim chain must
-    broadcast into the orders/lineitem fact join (4 BroadcastHashJoins,
-    no SortMergeJoin) and the date filter must reach the orders scan."""
+    """regional_revenue: the SF-scaled customer/supplier dims must
+    broadcast into the orders/lineitem fact join (2 BroadcastHashJoins,
+    no SortMergeJoin), the SPEC-FIXED region->nation chain is folded to
+    a literal map (r11 — no dim-leg scans at all), and the date filter
+    must reach the orders scan."""
     p = plan_of(QUERIES["regional_revenue"](spark, sf_dir))
-    assert p.count("BroadcastHashJoin") == 4, p.count("BroadcastHashJoin")
+    assert p.count("BroadcastHashJoin") == 2, p.count("BroadcastHashJoin")
+    assert "element_at(map(" in p  # nation/region labels: literal map
+    assert "nation.parquet" not in p and "region.parquet" not in p
     assert "SortMergeJoin" not in p
     pushed = p.split("PushedFilters:")
     assert (len(pushed) > 1 and "o_orderdate" in pushed[1].splitlines()[0]) or (
@@ -386,12 +393,15 @@ def test_parity_second_call_reuses_completed_replay(spark, sf_dir, qname):
 
 
 def test_hhi_broadcasts_both_dims_single_fact_exchange(spark, sf_dir):
-    """supplier_revenue_hhi: the supplier and nation dims must
-    broadcast into the lineitem scan; the (nation, supplier) rollup is
-    the only fact-sized exchange (everything after runs on the
+    """supplier_revenue_hhi: the SF-scaled supplier dim must broadcast
+    into the lineitem scan (the SPEC-FIXED nation label is a literal
+    map since r11 — no nation dim leg); the (nation, supplier) rollup
+    is the only fact-sized exchange (everything after runs on the
     |suppliers| frame)."""
     p = plan_of(QUERIES["supplier_revenue_hhi"](spark, sf_dir))
-    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "element_at(map(" in p
+    assert "nation.parquet" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
 

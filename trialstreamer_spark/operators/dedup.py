@@ -2081,18 +2081,23 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("df").alias("n_postings"),
         )
     )
-    tot = per.agg(F.sum("n_postings").alias("total_postings"))
+    # total rides a single-partition window over the ≤64-bucket rollup
+    # instead of a separate agg leg + broadcast (r11, guide §2.4: the
+    # old shape re-derived `per` for the total and paid a broadcast
+    # build job; the frame is ≤64 rows, so one partition is free and
+    # the final sort is in-partition too).
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.coalesce(1)
         .select(
             "df_bucket",
             "n_shingles",
             "n_postings",
-            F.expr("(1000000 * n_postings) DIV total_postings").alias(
-                "postings_share_fp"
-            ),
+            F.expr(
+                "(1000000 * n_postings) DIV "
+                "SUM(n_postings) OVER ()"
+            ).alias("postings_share_fp"),
         )
-        .orderBy("df_bucket")
+        .sortWithinPartitions("df_bucket")
     )
 
 

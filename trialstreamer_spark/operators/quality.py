@@ -1260,12 +1260,16 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     quality_signals(spark, sf_dir)
     from trialstreamer_spark.operators.textstats import (
         bigram_census,
+        bigram_lm_table,
         lang_scores,
         source_distinctive_tokens,
         source_token_counts,
+        vocab_stats,
     )
 
     bigram_census(spark, sf_dir)
+    vocab_stats(spark, sf_dir)
+    bigram_lm_table(spark, sf_dir)
     lang_scores(spark, sf_dir)
     source_distinctive_tokens(spark, sf_dir)
     source_token_counts(spark, sf_dir)
@@ -1279,6 +1283,8 @@ def prepare_curation(spark: SparkSession, sf_dir: str) -> None:
     for name in (
         "quality_signals",
         "bigram_census",
+        "vocab_stats",
+        "bigram_lm_table",
         "lang_scores",
         "source_token_signatures",
         "winnow_doc_stats",

@@ -512,7 +512,11 @@ def postings_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = reduce(lambda a, b: a.unionByName(b), legs)
     hits = (
         tagged.groupBy("doc_id")
-        .agg(F.countDistinct("term_idx").alias("n_terms"))
+        # plain COUNT, not countDistinct: the postings sidecar is
+        # .distinct() over (doc_id, tok) at build time, so each term
+        # leg contributes at most one row per doc — countDistinct's
+        # second expand/aggregate exchange bought nothing (r11).
+        .agg(F.count("*").alias("n_terms"))
         .filter(F.col("n_terms") == len(POSTINGS_QUERY_TERMS))
         .select("doc_id")
     )

@@ -694,37 +694,56 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days| x |days| rows — driver-trivial. No range self-join, no
     per-day rescan, no state that grows with corpus size. The (user,
     day) dedupe serves from the shared user_day_pairs sidecar."""
+    # r11 (guide §2.2/§2.4): WAU via interval stabbing instead of the
+    # 7× row explode + distinct. Per user, consecutive active days
+    # d_i < d_{i+1} yield DISJOINT coverage intervals
+    # [d_i, min(d_i+6d, d_{i+1}-1d)] of window-ends the user counts
+    # toward, so WAU(w) = running sum of ±1 boundary deltas — no
+    # countDistinct (which cost a second exchange), no 7× expansion,
+    # no observed-days broadcast. The lead() window rides the sidecar's
+    # user_id clustering exchange-free; ONE tagged-union groupBy then
+    # rolls DAU counts and WAU deltas together (|days|-bounded), and
+    # the cumulative sum + observed-day filter (dau > 0 ⟺ the old
+    # inner join on observed days) run on the single-partition
+    # calendar-bounded tail.
+    DAY_US = 86400000000
     ud = user_day_pairs(spark, sf_dir)
-    dau = ud.groupBy(F.unix_micros("d").alias("day_us")).agg(
-        F.count("*").alias("dau")
+    day = F.unix_micros("d")
+    iv = ud.select(
+        day.alias("s"),
+        F.lead(day).over(W.partitionBy("user_id").orderBy("d")).alias("nxt"),
     )
-    contrib = ud.select(
-        "user_id",
-        F.unix_micros("d").alias("day_us"),
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
-    ).select(
-        "user_id",
-        (F.col("day_us") + F.col("o").cast("long") * 86400000000).alias(
-            "window_end_us"
-        ),
+    end_excl = F.least(F.col("s") + F.lit(7 * DAY_US), F.col("nxt"))
+    merged = (
+        iv.select(F.col("s").alias("day_us"), F.lit(0).alias("dau"), F.lit(1).alias("wd"))
+        .unionByName(
+            iv.select(end_excl.alias("day_us"), F.lit(0).alias("dau"), F.lit(-1).alias("wd"))
+        )
+        .unionByName(
+            ud.select(day.alias("day_us"), F.lit(1).alias("dau"), F.lit(0).alias("wd"))
+        )
     )
-    observed = ud.select(F.unix_micros("d").alias("window_end_us")).distinct()
-    wau = (
-        contrib.join(F.broadcast(observed), "window_end_us")
-        .groupBy("window_end_us")
-        .agg(F.countDistinct("user_id").alias("wau"))
+    rolled = (
+        merged.groupBy("day_us")
+        .agg(F.sum("dau").alias("dau"), F.sum("wd").alias("wd"))
+        # dimension/calendar-bounded tail: single partition, so the
+        # running sum and final sort are exchange-free (r10 sweep)
+        .coalesce(1)
     )
     return (
-        dau.join(wau, dau.day_us == wau.window_end_us)
+        rolled.withColumn(
+            "wau",
+            F.sum("wd").over(
+                W.orderBy("day_us").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .where(F.col("dau") > 0)
         .select(
             "day_us",
             "dau",
             "wau",
             F.expr("(1000000 * dau) DIV wau").alias("stickiness_fp"),
         )
-        # dimension/calendar-bounded tail: single-partition sort,
-        # no range exchange / sampling job (r10 registry-wide sweep)
-        .coalesce(1)
         .sortWithinPartitions("day_us")
     )
 

@@ -1693,6 +1693,53 @@ def bigram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics sidecar ``(tok, f, n)``: per-token corpus
+    occurrence count plus the corpus token total stamped on every row —
+    the ANALYZE-style table a deployed engine maintains next to its
+    inverted index. Derived from doc_tf_stats' tok window at build time
+    so query plans join ONE tiny vocab-keyed table instead of
+    re-aggregating the doc-keyed index per reference (r11: bigram lift
+    paid two unigram rollup exchanges + a separate corpus-total agg +
+    three broadcast builds per run)."""
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    def build() -> DataFrame:
+        from trialstreamer_spark.operators.retrieval import doc_tf_stats
+
+        c1 = (
+            doc_tf_stats(spark, sf_dir)
+            .groupBy("tok")
+            .agg(F.max("f").alias("f"))
+        )
+        tot = c1.agg(F.sum("f").alias("n"))
+        return c1.crossJoin(F.broadcast(tot))
+
+    return disk_cached_plan(
+        spark, sf_dir, "vocab_stats", build, source_tables=("documents",)
+    )
+
+
+def bigram_lm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM probability table ``(w1, w2, p_fp)`` — P(w2|w1) in
+    1e-6 fixed point over the census. The once-per-corpus LM-table
+    build the bigram_lm_score docstring already calls sidecar material:
+    promoting it moves the census scan + prefix-rollup exchange + join
+    out of every scoring run (r11)."""
+    from trialstreamer_spark.sidecars import disk_cached_plan
+
+    def build() -> DataFrame:
+        c12 = bigram_census(spark, sf_dir).withColumnRenamed("cnt", "c12")
+        c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        return c12.join(c1, "w1").select(
+            "w1", "w2", F.expr("(1000000 * c12) DIV c1").alias("p_fp")
+        )
+
+    return disk_cached_plan(
+        spark, sf_dir, "bigram_lm_table", build, source_tables=("documents",)
+    )
+
+
 @query(
     "bigram_lift_topk",
     oracle="""
@@ -1742,27 +1789,23 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to vocabulary size, far below corpus size), the 1-row
     total broadcasts, and the top-k is TakeOrderedAndProject with a
     fully-pinned tiebreak."""
-    # both count tables are corpus-version sidecars: the bigram census
-    # directly, and the unigram counts as the (tok, f) projection of
-    # retrieval's doc_tf_stats (same tokenizer, f = global occurrence
-    # count stamped at index-build time) — query-time work is the
-    # vocab-sized join + top-k only, no corpus re-tokenization
-    from trialstreamer_spark.operators.retrieval import doc_tf_stats
-
+    # all three count tables are corpus-version sidecars: the bigram
+    # census directly, and the unigram counts + corpus token total from
+    # the vocab_stats table (same tokenizer; f stamped at index-build
+    # time) — query-time work is the vocab-sized join + top-k only, no
+    # corpus re-tokenization and no per-run unigram rollups (r11:
+    # 7 jobs -> the two vocab joins' builds + the top-k).
     c12 = (
         bigram_census(spark, sf_dir)
         .where(F.col("cnt") >= 5)
         .select("w1", "w2", F.col("cnt").alias("n_pair"))
     )
-    s = doc_tf_stats(spark, sf_dir)
-    c1 = s.groupBy("tok").agg(F.max("f").alias("c"))
-    n = s.agg(F.sum("tf").alias("n"))
-    a = c1.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
-    b = c1.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    v = vocab_stats(spark, sf_dir)
+    a = v.select(F.col("tok").alias("w1"), F.col("f").alias("c_a"), "n")
+    b = v.select(F.col("tok").alias("w2"), F.col("f").alias("c_b"))
     return (
         c12.join(a, "w1")
         .join(b, "w2")
-        .crossJoin(F.broadcast(n))
         .select(
             "w1",
             "w2",
@@ -2139,13 +2182,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    # LM tables from the shared census sidecar (the per-doc bigram
-    # stream above is the irreducible query-time work)
-    c12 = bigram_census(spark, sf_dir).withColumnRenamed("cnt", "c12")
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    p = c12.join(c1, "w1").select(
-        "w1", "w2", F.expr("(1000000 * c12) DIV c1").alias("p_fp")
-    )
+    # LM table from its own sidecar (the per-doc bigram stream above is
+    # the irreducible query-time work; the census scan + prefix rollup
+    # + probability join moved to the bigram_lm_table build — r11)
+    p = bigram_lm_table(spark, sf_dir)
     ds = (
         bi.join(
             p,
