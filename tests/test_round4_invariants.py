@@ -83,11 +83,16 @@ def test_band_tuning_counts_consistent(spark, sf_dir):
 def test_band_tuning_is_lazy_and_plans_full_pipeline(spark, sf_dir):
     """The tuning query must stay LAZY: constructing it must not execute
     the dedup pipelines (the eager .head()+inline_rows regression), so
-    its plan must contain the real full-outer join of the candidate and
-    truth arms rather than a literal row."""
+    its plan must contain the real tagged UNION of the candidate and
+    truth arms (r11 — previously a full-outer join) feeding the per-pair
+    membership rollup, rather than a literal row."""
     df = QUERIES["minhash_band_tuning"](spark, sf_dir)
     p = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "FullOuter" in p or "full_outer" in p.lower()
+    assert "Union" in p
+    # both arms' real pipelines are in the plan (shingle featurization
+    # reaches the scan), not a pre-computed literal
+    assert "shingle" in p
+    assert p.count("Aggregate") >= 2  # per-pair membership + final totals
 
 
 def test_funnel_always_emits_three_stages(spark, sf_dir):

@@ -668,19 +668,31 @@ def kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size; iterations materialize nothing but the
     tiny centroid matrix."""
     e = load(spark, sf_dir, "embeddings")
-    a1 = assign_udf(seed_centroids(e, cache_key=sf_dir))
+    cent1 = seed_centroids(e, cache_key=sf_dir)
+    a1 = assign_udf(cent1)
     asn1 = e.select(
         "vec_id",
         "embedding",
         a1(F.col("embedding")).getField("cluster").alias("cluster"),
     )
+    # r11 (guide §2.4): the (cluster, idx) aggregate's k×dim rows are
+    # collected DIRECTLY and the centroid matrix assembled driver-side
+    # — the old second groupBy(cluster) + collect_list/array_sort pass
+    # cost one more aggregate exchange to re-shape 512 rows the driver
+    # was about to materialize anyway. (A wide one-level
+    # groupBy(cluster) with one sum column per dimension was measured
+    # 3× SLOWER at sf0.1 — 65 aggregate buffers fall out of whole-stage
+    # codegen — so the posexplode shape stays.) Per-component
+    # arithmetic is unchanged (exact int64 fixed-point sums, then the
+    # identical two-division sequence), so the centroids are
+    # bit-identical.
     sums = (
         asn1.select(
             "cluster", F.posexplode("embedding").alias("idx0", "val")
         )
         .select(
             "cluster",
-            (F.col("idx0") + 1).alias("idx"),
+            F.col("idx0").alias("idx"),
             F.floor(F.col("val").cast("double") * 1_000_000)
             .cast("long")
             .alias("v_fp"),
@@ -688,22 +700,10 @@ def kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster", "idx")
         .agg((F.sum("v_fp") / 1_000_000.0 / F.count("*")).alias("cv"))
     )
-    rows = (
-        sums.groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
-                lambda s: s.cv,
-            ).alias("cvec")
-        )
-        .collect()
-    )
-    cent2 = np.stack(
-        [
-            np.asarray(r["cvec"], dtype=np.float64)
-            for r in sorted(rows, key=lambda r: r["cluster"])
-        ]
-    )
+    dim = cent1.shape[1]
+    cent2 = np.zeros((K_CLUSTERS, dim), dtype=np.float64)
+    for r in sums.collect():
+        cent2[r["cluster"], r["idx"]] = r["cv"]
     # round-2 cluster ids = positions in the sorted centroid matrix; all
     # K_CLUSTERS clusters are non-empty (each seed sits in its own), so
     # position == round-1 cluster id

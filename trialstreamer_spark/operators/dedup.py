@@ -776,27 +776,37 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer aggregates of the two (already scale-safe) pair pipelines,
     and the final row is three counts + two divisions."""
     d = load(spark, sf_dir, "documents")
-    cand = minhash_candidates(d, cache_key=sf_dir).withColumn(
-        "in_cand", F.lit(1)
+    cand = minhash_candidates(d, cache_key=sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_cand"), F.lit(0).alias("in_true")
     )
-    truth = (
-        jaccard_pairs(d, threshold=0.2, cache_key=sf_dir)
-        .select("doc_a", "doc_b")
-        .withColumn("in_true", F.lit(1))
+    truth = jaccard_pairs(d, threshold=0.2, cache_key=sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("in_cand"), F.lit(1).alias("in_true")
     )
-    # ONE aggregation computes all three counts: a full-outer join of the
-    # two pair sets with membership markers — the (expensive)
-    # exact-Jaccard arm appears exactly once in the plan, and the whole
-    # query stays LAZY (plan-hygiene sweeps and analysis tripwires see
-    # the real pipeline, and nothing executes at construction time).
-    # Zero-count divisions are guarded (empty corpus → 0.0, not a
-    # divide-by-zero error under ANSI mode).
-    counts = cand.join(truth, ["doc_a", "doc_b"], "full_outer").agg(
-        F.count("in_cand").alias("n_candidates"),
-        F.count("in_true").alias("n_true"),
-        F.count(
-            F.when(F.col("in_cand").isNotNull() & F.col("in_true").isNotNull(), 1)
-        ).alias("n_hit"),
+    # ONE aggregation computes all three counts: a tagged UNION of the
+    # two pair sets rolled up per pair (r11, guide §2.4 — the old
+    # full-outer join paid one exchange + sort per side; both sets are
+    # distinct-by-construction, so max() per pair is exact membership),
+    # then a single-row total. The (expensive) exact-Jaccard arm still
+    # appears exactly once in the plan, and the whole query stays LAZY
+    # (plan-hygiene sweeps and analysis tripwires see the real
+    # pipeline, and nothing executes at construction time). Zero-count
+    # divisions are guarded (empty corpus → 0.0, not a divide-by-zero
+    # error under ANSI mode).
+    counts = (
+        cand.unionByName(truth)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("in_cand").alias("c"), F.max("in_true").alias("t"))
+        .agg(
+            # coalesce: SUM over zero rows is NULL where the old
+            # COUNT(in_cand) was 0 — keep the empty-corpus value
+            F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.sum("t"), F.lit(0).cast("long")).alias("n_true"),
+            F.count(
+                F.when((F.col("c") == 1) & (F.col("t") == 1), 1)
+            ).alias("n_hit"),
+        )
     )
     ratio = lambda num, den: F.when(  # noqa: E731
         F.col(den) > 0, F.col(num) * F.lit(1.0) / F.col(den)
@@ -1928,7 +1938,10 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"))
-        .orderBy("source_a", "source_b")
+        # ≤ n_sources² tail: single-partition sort, no range exchange /
+        # sampling job (r10 registry-wide sweep; util.ordered_small)
+        .coalesce(1)
+        .sortWithinPartitions("source_a", "source_b")
     )
 
 

@@ -534,29 +534,38 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact counts — the inclusion-exclusion denominator never goes
     through a float."""
     ut = user_type_pairs(spark, sf_dir)
-    # Both rollups are ≤|types|(²) rows: coalesce each to ONE partition
-    # so the two margin joins run as in-partition merges with NO
-    # broadcast builds (SinglePartition satisfies both sides' clustered
-    # requirement) — each broadcast was its own scheduler job (r9 #5).
-    n = (
-        ut.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .coalesce(1)
-    )
+    # r11 (guide §2.4): ONE tagged-union rollup replaces the two
+    # separate aggregate legs (margins + pairs, each its own exchange)
+    # and the two margin joins. The pair self-join still rides the
+    # sidecar's user_id clustering exchange-free; union its output with
+    # the diagonal (ta = tb) margin rows so a single groupBy counts
+    # both. Margins then attach via per-key windows on the coalesced
+    # ≤|types|² frame — SinglePartition satisfies both windows'
+    # clustering, so everything after the one exchange is in-partition.
+    # A pair (a,b) implies both diagonal rows exist, so the inner-join
+    # semantics of the old margin attach are preserved exactly.
     a = ut.select("user_id", F.col("event_type").alias("ta"))
     b = ut.select("user_id", F.col("event_type").alias("tb"))
     pair = (
         a.join(b, "user_id")
         .where(F.col("ta") < F.col("tb"))
+        .select("ta", "tb")
+    )
+    diag = ut.select(
+        F.col("event_type").alias("ta"), F.col("event_type").alias("tb")
+    )
+    m = (
+        pair.unionByName(diag)
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("nboth"))
         .coalesce(1)
     )
-    na = n.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
-    nb = n.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    is_diag = F.col("ta") == F.col("tb")
+    margin = F.sum(F.when(is_diag, F.col("nboth")))
     return (
-        pair.join(na, "ta")
-        .join(nb, "tb")
+        m.withColumn("n_a", margin.over(W.partitionBy("ta")))
+        .withColumn("n_b", margin.over(W.partitionBy("tb")))
+        .where(F.col("ta") < F.col("tb"))
         .select(
             F.col("ta").alias("type_a"),
             F.col("tb").alias("type_b"),

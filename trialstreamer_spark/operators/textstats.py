@@ -387,6 +387,9 @@ def cms_heavy_hitter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("row_id", "bucket")
         .agg(F.sum("exact_n").alias("c"))
+        # ≤ 4×256 cells: one partition, so the probe join below is an
+        # in-partition merge with NO broadcast build job (r11, §2.4)
+        .coalesce(1)
     )
     top = vocab.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(20)
     probes = top.select(
@@ -398,10 +401,14 @@ def cms_heavy_hitter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        probes.join(F.broadcast(cells), ["row_id", "bucket"])
+        probes.hint("merge")
+        .join(cells, ["row_id", "bucket"])
         .groupBy("tok", "exact_n")
         .agg(F.min("c").alias("cms_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        # 20-row tail: single-partition sort, no range exchange /
+        # sampling job (r10 registry-wide sweep)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("exact_n").desc(), "tok")
     )
 
 
@@ -1974,10 +1981,14 @@ def hapax_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle.
 
     Scale shape: ONE explode feeds the (source, token) rollup; the
-    global vocabulary is a second rollup OF that (vocab-sized, not
-    corpus-sized); the join back is token-keyed between two vocab-scale
-    frames and the final rollup is |sources| rows. Nothing after the
-    first aggregation touches corpus-sized data."""
+    global per-token total is a WINDOW over that rollup keyed on tok
+    (vocab-sized, not corpus-sized — r11, guide §2.4: the old separate
+    vocabulary aggregate + token-keyed join back cost one more exchange
+    and a sort-merge join for the same per-row `c`); the final rollup
+    is |sources| rows. Nothing after the first aggregation touches
+    corpus-sized data."""
+    from pyspark.sql import Window as W
+
     d = load(spark, sf_dir, "documents")
     st = (
         d.select(
@@ -1986,17 +1997,20 @@ def hapax_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count("*").alias("n_st"))
     )
-    vocab = st.groupBy("tok").agg(F.sum("n_st").alias("c"))
+    c = F.sum("n_st").over(W.partitionBy("tok"))
     rare = F.col("c") <= 2
     return (
-        st.join(vocab, "tok")
+        st.withColumn("c", c)
         .groupBy("source")
         .agg(
             F.sum("n_st").alias("n_tokens"),
             F.sum(F.when(rare, F.col("n_st")).otherwise(0)).alias(
                 "hapax_mass"
             ),
-            F.countDistinct(F.when(rare, F.col("tok"))).alias(
+            # (source, tok) is unique in the rollup, so every non-null
+            # rare token is distinct within its source: plain COUNT —
+            # countDistinct's expand/second-agg bought nothing (r11)
+            F.count(F.when(rare, F.col("tok"))).alias(
                 "n_hapax_types"
             ),
         )
