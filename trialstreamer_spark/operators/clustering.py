@@ -764,17 +764,22 @@ def kmeans_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     float crosses the oracle boundary.
 
     Scale shape: one Arrow assignment pass (centroids in the closure) →
-    per-cluster rollup partial-aggregated map-side to k rows → a 1-row
-    broadcast total. Nothing shuffles but (cluster, partial) rows."""
+    per-cluster rollup partial-aggregated map-side to k rows; the
+    corpus total is Σ n_vecs, riding a single-partition window over
+    those k rows (r11, guide §2.4 — the old separate COUNT(*) leg was
+    a SECOND full assignment pass plus a broadcast build, two more
+    scheduler jobs for a value the rollup already holds). Nothing
+    shuffles but (cluster, partial) rows."""
     asn = kmeans_assign(spark, sf_dir)
-    tot = asn.agg(F.count("*").alias("n_total"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
         asn.groupBy("cluster")
         .agg(
             F.count("*").alias("n_vecs"),
             F.max("dist_fp").alias("max_dist_fp"),
         )
-        .crossJoin(F.broadcast(tot))
+        .coalesce(1)
+        .withColumn("n_total", F.sum("n_vecs").over(w_all))
         .select(
             "cluster",
             "n_vecs",

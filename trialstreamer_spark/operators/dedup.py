@@ -2304,8 +2304,29 @@ def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(degree) DIV 2").alias("n_edges"),
         )
     )
+    # r11 (guide §2.4): the two 1-row legs merge through a tagged UNION
+    # + max() aggregate instead of a crossJoin — the broadcast build of
+    # the tri row was its own scheduler job. max() over one non-null
+    # value per column reproduces the crossJoin row exactly (including
+    # the NULL n_wedges/n_edges of an empty graph).
+    null_l = F.lit(None).cast("long")
+    merged = (
+        wed.select("n_wedges", "n_edges", null_l.alias("n_triangles"))
+        .unionByName(
+            tri.select(
+                null_l.alias("n_wedges"),
+                null_l.alias("n_edges"),
+                "n_triangles",
+            )
+        )
+        .agg(
+            F.max("n_wedges").alias("n_wedges"),
+            F.max("n_edges").alias("n_edges"),
+            F.max("n_triangles").alias("n_triangles"),
+        )
+    )
     return (
-        wed.crossJoin(F.broadcast(tri))
+        merged
         .select(
             "n_edges",
             "n_triangles",
@@ -3221,17 +3242,36 @@ def dedup_cross_shard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_fp_shard = base.groupBy("fingerprint", "shard").agg(
         F.count("*").alias("c")
     )
-    per_fp = per_fp_shard.groupBy("fingerprint").agg(
-        F.sum("c").alias("n")
+    # r11 (guide §2.4): BOTH granularities come off the one
+    # (fingerprint, shard) rollup in a single downstream pass — a
+    # fingerprint-keyed window attaches the group size n and marks one
+    # row per fingerprint, so ONE global aggregate yields the total,
+    # the dup-group census and the within-shard term together. The old
+    # shape ran the fingerprint re-rollup and the within leg as
+    # separate 1-row aggregates and paid a broadcast-build job to
+    # cross-join them.
+    from pyspark.sql import Window as W
+
+    wf = W.partitionBy("fingerprint").orderBy("shard")
+    marked = per_fp_shard.select(
+        "c",
+        F.sum("c").over(
+            W.partitionBy("fingerprint").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+        (F.row_number().over(wf) == 1).alias("is_first"),
     )
-    tot = per_fp.agg(
-        F.sum(F.expr("n * (n - 1) DIV 2")).alias("total_pairs"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    tot = marked.agg(
+        F.sum(F.when(F.col("is_first"), F.expr("n * (n - 1) DIV 2"))).alias(
+            "total_pairs"
+        ),
+        F.count(
+            F.when(F.col("is_first") & (F.col("n") > 1), 1)
+        ).alias("n_dup_groups"),
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("within_pairs"),
     )
-    within = per_fp_shard.agg(
-        F.sum(F.expr("c * (c - 1) DIV 2")).alias("within_pairs")
-    )
-    return tot.crossJoin(F.broadcast(within)).select(
+    return tot.select(
         "n_dup_groups",
         "total_pairs",
         "within_pairs",

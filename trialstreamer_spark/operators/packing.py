@@ -277,12 +277,16 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("n_tokens"),
         )
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("total_tokens"),
-        F.count("*").alias("n_shards"),
+    # corpus totals ride a single-partition window over the
+    # N_OUT_SHARDS-row rollup instead of a separate agg leg + broadcast
+    # build (r11, guide §2.4 — same treatment as shingle_df_histogram)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.coalesce(1)
+        .withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+        .withColumn("n_shards", F.count("*").over(w_all))
         .select(
             "shard",
             "n_docs",

@@ -1854,12 +1854,17 @@ def erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     doomed = F.col("doc_id") % ERASE_MOD == 0
 
-    def leg(df: DataFrame, artifact: str) -> DataFrame:
+    def leg(df: DataFrame, artifact: str, unique_doc: bool = False) -> DataFrame:
+        # unique_doc: doc_id is a key of this artifact, so
+        # countDistinct's expand/second-agg pass is a plain COUNT (r11)
+        n_docs = (
+            F.count("doc_id") if unique_doc else F.countDistinct("doc_id")
+        )
         return (
             df.where(doomed)
             .agg(
                 F.count("*").alias("n_rows"),
-                F.countDistinct("doc_id").alias("n_docs"),
+                n_docs.alias("n_docs"),
             )
             .select(
                 F.lit(artifact).alias("artifact"),
@@ -1875,7 +1880,7 @@ def erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_hashes(spark, sf_dir)
     legs = [
         leg(chunks, "chunks"),
-        leg(d, "documents"),
+        leg(d, "documents", unique_doc=True),
         leg(
             shingle_postings(d, cache_key=sf_dir).select("doc_id", "shingle"),
             "shingle_postings",
@@ -1884,7 +1889,9 @@ def erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = legs[0]
     for other in legs[1:]:
         out = out.unionByName(other)
-    return out.orderBy("artifact")
+    # 3-row tail: single-partition sort, no range exchange / sampling
+    # job (r10 registry-wide sweep)
+    return out.coalesce(1).sortWithinPartitions("artifact")
 
 
 @query(

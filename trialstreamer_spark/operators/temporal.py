@@ -461,10 +461,6 @@ def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("x").alias("n_events"),
         )
     )
-    g = d.agg(
-        F.sum("day_cents").alias("total_cents"),
-        F.sum("n_events").alias("n_total"),
-    )
     drift = (
         F.when(
             2 * F.col("day_cents") * F.col("n_total")
@@ -478,8 +474,15 @@ def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("normal")
     )
+    # corpus totals ride a single-partition window over the
+    # calendar-bounded day rollup instead of a separate agg leg +
+    # broadcast build (r11, guide §2.4 — the coalesce(1) the tail sort
+    # already needed makes the window exchange-free)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
-        d.crossJoin(F.broadcast(g))
+        d.coalesce(1)
+        .withColumn("total_cents", F.sum("day_cents").over(w_all))
+        .withColumn("n_total", F.sum("n_events").over(w_all))
         .select(
             "day_us",
             "day_cents",
@@ -488,7 +491,6 @@ def daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # dimension/calendar-bounded tail: single-partition sort,
         # no range exchange / sampling job (r10 registry-wide sweep)
-        .coalesce(1)
         .sortWithinPartitions("day_us")
     )
 
