@@ -94,6 +94,32 @@ def test_restart_serves_minhash_lsh_from_disk(spark, sidecar_dir, monkeypatch):
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
 
 
+def test_simhash_table_is_disk_backed(spark, sidecar_dir):
+    """r11: the SimHash signature table joins the minhash twin as a
+    per-corpus-version sidecar — a fresh session with cold in-memory
+    caches must serve dedup_simhash from the committed parquet (no
+    corpus re-tokenization: the plan reads the sidecar scan, not an
+    Aggregate over exploded tokens), with identical rows."""
+    from trialstreamer_spark import util
+    from trialstreamer_spark.operators import dedup
+
+    first = QUERIES["dedup_simhash"](spark, SF).collect()
+    sdir = sidecars.sidecar_path(SF, "simhash_doc_id_text_16")
+    assert os.path.exists(os.path.join(sdir, "_current"))
+    s2 = spark.newSession()
+    util.evict_caches(SF)
+    assert not [k for k in dedup._SIMHASH_CACHE if SF in str(k)]
+    df = QUERIES["dedup_simhash"](s2, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # served from the committed (doc_id, simhash) scan: no tokenize
+    # explode (Generate) and no bit-sum Aggregate anywhere in the plan
+    assert "Aggregate" not in plan
+    assert "Generate" not in plan
+    assert "struct<doc_id:bigint,simhash:bigint>" in plan
+    second = df.collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
 def test_cc_labels_and_phash_bands_are_disk_backed(spark, sidecar_dir):
     from trialstreamer_spark.operators.dedup import cc_labels
 

@@ -64,10 +64,24 @@ _SIG_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 # disk-backed like the signatures.
 _PAIR_CACHE: dict[tuple, DataFrame] = {}
 
+# (session JVM id, catalog, cache_key, id_col, text_col, bits) →
+# persisted SimHash signature table (one (doc_id, simhash) row per
+# document). Same once-per-corpus-version contract as the minhash
+# signatures: both simhash consumers (the signature query itself and
+# the hamming cross-validation histogram) re-tokenized the corpus per
+# run before r11. Built by prepare_dedup().
+_SIMHASH_CACHE: dict[tuple, DataFrame] = {}
+
 util.register_cache_evictor(
     lambda token: [
         util.evict_dict_cache(c, token)
-        for c in (_POSTINGS_CACHE, _SIG_CACHE, _BLOOM_CACHE, _PAIR_CACHE)
+        for c in (
+            _POSTINGS_CACHE,
+            _SIG_CACHE,
+            _BLOOM_CACHE,
+            _PAIR_CACHE,
+            _SIMHASH_CACHE,
+        )
     ]
 )
 
@@ -218,6 +232,7 @@ def prepare_dedup(spark: SparkSession, sf_dir: str) -> None:
 
     shingle_postings(load(spark, sf_dir, "documents"), cache_key=sf_dir)
     minhash_signatures(load(spark, sf_dir, "documents"), cache_key=sf_dir)
+    simhash_table(load(spark, sf_dir, "documents"), cache_key=sf_dir)
     # stage 3: the cluster-label mapping (iterative union-find) — the
     # most expensive dedup artifact, shared by the CC view, the size
     # histogram, and canonical application
@@ -547,7 +562,11 @@ def capped_doc_lists(
 
 
 def simhash_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Per-document SimHash via explode + ONE grouped aggregation.
 
@@ -562,27 +581,68 @@ def simhash_table(
 
     explode_outer keeps zero-token documents (null token → contribution
     0 → all bit-sums 0 → simhash 0, matching aggregate-over-empty-list
-    semantics in the SQL oracle)."""
-    from trialstreamer_spark.operators.textstats import tokens_col as _tokens
+    semantics in the SQL oracle).
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(_tokens(F.col(text_col))).alias("tok"),
-    ).select("doc_id", F.md5("tok").alias("m"))
-    aggs = [
-        F.sum(
-            F.when(F.col("m").isNull(), 0)
-            .when(F.substring(F.col("m"), i + 1, 1).isin(*"89abcdef"), 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    g = toks.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return g.select("doc_id", sim.cast("long").alias("simhash"))
+    With ``cache_key``, the table is a per-corpus-version sidecar like
+    the minhash signatures (disk-backed, session-persisted, built by
+    prepare_dedup — r11): before that, both simhash consumers paid the
+    corpus tokenize + 16-sum aggregate on every run."""
+    key = (
+        (
+            id(docs.sparkSession._jsparkSession),
+            ("catalog", _catalog_base()),
+            cache_key,
+            id_col,
+            text_col,
+            bits,
+        )
+        if cache_key is not None
+        else None
+    )
+    if key is not None:
+        hit = _SIMHASH_CACHE.get(key)
+        if hit is not None:
+            return hit
+
+    def build() -> DataFrame:
+        from trialstreamer_spark.operators.textstats import (
+            tokens_col as _tokens,
+        )
+
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(_tokens(F.col(text_col))).alias("tok"),
+        ).select("doc_id", F.md5("tok").alias("m"))
+        aggs = [
+            F.sum(
+                F.when(F.col("m").isNull(), 0)
+                .when(F.substring(F.col("m"), i + 1, 1).isin(*"89abcdef"), 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+        g = toks.groupBy("doc_id").agg(*aggs)
+        sim = None
+        for i in range(bits):
+            term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(
+                F.lit(0)
+            )
+            sim = term if sim is None else sim + term
+        return g.select("doc_id", sim.cast("long").alias("simhash"))
+
+    if key is None:
+        return build()
+    from trialstreamer_spark.sidecars import disk_sidecar
+
+    out = disk_sidecar(
+        docs.sparkSession,
+        cache_key,
+        f"simhash_{id_col}_{text_col}_{bits}",
+        build,
+    ).persist()
+    out.count()
+    _SIMHASH_CACHE[key] = out
+    return out
 
 
 def simhash_col(text: Column, bits: int = 16) -> Column:
@@ -1140,9 +1200,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 16-bit SimHash signatures (near-dup = small hamming
     distance between signatures; the signature pass is the linear-cost
     piece that must scale). One explode + one grouped aggregation, fully
-    codegen (see simhash_table)."""
+    codegen (see simhash_table); served from the per-corpus-version
+    signature sidecar like the minhash twin (r11 — prepare_dedup builds
+    it once, both simhash consumers read it)."""
     d = load(spark, sf_dir, "documents")
-    return simhash_table(d).orderBy("doc_id")
+    return simhash_table(d, cache_key=sf_dir).orderBy("doc_id")
 
 
 def _local_union_find_labels(edges: DataFrame) -> DataFrame:
@@ -2397,7 +2459,7 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-keyed exchange.)"""
     d = load(spark, sf_dir, "documents")
     pairs = minhash_candidates(d, cache_key=sf_dir)
-    sim = simhash_table(d)
+    sim = simhash_table(d, cache_key=sf_dir)
     sa = sim.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
     )
