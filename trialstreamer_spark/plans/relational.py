@@ -191,18 +191,30 @@ def _nation_region_rows(
     nation whose regionkey misses region carries r_name=None, so
     callers can reproduce inner-join drops exactly with an
     is-not-null guard)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     key = (id(spark._jsparkSession), sf_dir)
     rows = _NATION_REGION_ROWS.get(key)
     if rows is None:
         n = load(spark, sf_dir, "nation")
-        r = load(spark, sf_dir, "region")
+        try:
+            r = load(spark, sf_dir, "region")
+            sel = n.join(
+                r, F.col("n_regionkey") == F.col("r_regionkey"), "left"
+            ).select("n_nationkey", "n_name", "r_name")
+        except AnalysisException:
+            # A corpus without region.parquet (or whose nation carries no
+            # n_regionkey) still serves nation-only consumers: the LEFT
+            # join against nothing is r_name=NULL for every nation, which
+            # is exactly what the is-not-null guards expect.
+            sel = n.select(
+                "n_nationkey",
+                "n_name",
+                F.lit(None).cast("string").alias("r_name"),
+            )
         rows = [
             (x["n_nationkey"], x["n_name"], x["r_name"])
-            for x in n.join(
-                r, F.col("n_regionkey") == F.col("r_regionkey"), "left"
-            )
-            .select("n_nationkey", "n_name", "r_name")
-            .collect()
+            for x in sel.collect()
         ]
         _NATION_REGION_ROWS[key] = rows
     return rows
