@@ -1352,7 +1352,12 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs ONCE per corpus version; every consumer (per-doc view, size
     histogram, canonical apply) reads the labels. Disk-backed
     (sidecars.disk_sidecar): the most expensive dedup artifact survives
-    a session restart as committed parquet."""
+    a session restart as committed parquet. (r11 measured-and-rejected:
+    pinning HashPartitioning(doc_id) on the session copy — the
+    chunk_hashes treatment — buys nothing here, because every bench-
+    scale consumer join broadcasts the labels and the window exchanges
+    key on component, not doc_id; the post-repartition only added a
+    prep-time exchange.)"""
     from trialstreamer_spark.sidecars import disk_sidecar
     from trialstreamer_spark.util import cached_plan
 
@@ -1843,7 +1848,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (same discipline as dedup_incremental, asserted for that
     operator in test_plan_hygiene). The rollup then shuffles only
     candidate pairs — bounded by batch size × band fan-out, not corpus
-    size."""
+    size. r11 (guide §2.4): ONE batch_doc-keyed exchange serves both
+    the pair dedupe and the per-doc rollup — HashPartitioning(batch_doc)
+    satisfies the (batch_doc, corpus_doc) clustering the distinct
+    needs, so the old shape's second exchange (distinct on the pair
+    key, then regroup on batch_doc) never enters the plan."""
     d = load(spark, sf_dir, "documents")
     banded = banded_keys(minhash_signatures(d, cache_key=sf_dir))
     is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
@@ -1856,6 +1865,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus_b.join(F.broadcast(batch_b), ["band_id", "band_key"])
         .select("batch_doc", "corpus_doc")
+        .repartition(F.col("batch_doc"))
         .distinct()
         .groupBy(F.col("batch_doc").alias("doc_id"))
         .agg(
@@ -2231,36 +2241,64 @@ def dup_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: rides the SAME cached candidate-pair set the whole dedup
     family shares (no re-banding); degrees are one rollup over the
-    symmetrized endpoint list keyed on doc_id; the left join brings
-    isolated docs in at degree 0; the histogram collapses to ≤64 rows
-    map-side. Bit-length bucketing is integer-exact on both engines."""
+    symmetrized endpoint list keyed on doc_id, collapsed to a ≤64-row
+    histogram map-side. Isolated documents never enter a join: every
+    doc absent from the pair list has degree 0, so bucket 0 is
+    n_docs_total − Σ nonzero-bucket docs — the corpus contributes ONE
+    count(*) instead of a corpus-sized LEFT JOIN against the degree
+    table (r11, guide §2.4/§3; emitted only when positive, matching
+    the oracle's GROUP BY which has no bucket-0 row in a fully
+    connected corpus). Bit-length bucketing is integer-exact on both
+    engines."""
+    from pyspark.sql import Window as W
+
     d = load(spark, sf_dir, "documents")
     pairs = minhash_candidates(d, cache_key=sf_dir)
     ends = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
-    deg = (
-        d.select("doc_id")
-        .join(ends.groupBy("doc_id").agg(F.count("*").alias("degree")),
-              "doc_id", "left")
-        .select(F.coalesce(F.col("degree"), F.lit(0).cast("long")).alias("degree"))
-    )
-    return (
-        deg.select(
-            F.when(F.col("degree") == 0, F.lit(0))
-            .otherwise(F.length(F.bin(F.col("degree"))))
-            .cast("int")
-            .alias("degree_bucket"),
-            "degree",
+    hist = (
+        ends.groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+        .groupBy(
+            F.length(F.bin(F.col("degree"))).cast("int").alias("degree_bucket")
         )
-        .groupBy("degree_bucket")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("degree").alias("n_endpoints"),
         )
+    )
+    tot = d.agg(F.count("*").alias("n_docs")).select(
+        F.lit(None).cast("int").alias("degree_bucket"),
+        "n_docs",
+        F.lit(0).cast("long").alias("n_endpoints"),
+    )
+    # Tagged union on the ≤65-row tail: the NULL-bucket row carries the
+    # corpus total; one whole-partition window (sanctioned post-
+    # coalesce(1) bounded-frame pattern) turns it into the bucket-0 row.
+    whole = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    n_iso = F.max(
+        F.when(F.col("degree_bucket").isNull(), F.col("n_docs"))
+    ).over(whole) - F.coalesce(
+        F.sum(
+            F.when(F.col("degree_bucket").isNotNull(), F.col("n_docs"))
+        ).over(whole),
+        F.lit(0),
+    )
+    return (
+        hist.unionByName(tot)
+        .coalesce(1)
+        .withColumn("n_iso", n_iso)
+        .where(F.col("degree_bucket").isNotNull() | (F.col("n_iso") > 0))
+        .select(
+            F.coalesce(F.col("degree_bucket"), F.lit(0)).alias("degree_bucket"),
+            F.when(F.col("degree_bucket").isNull(), F.col("n_iso"))
+            .otherwise(F.col("n_docs"))
+            .alias("n_docs"),
+            "n_endpoints",
+        )
         # dimension/calendar-bounded tail: single-partition sort,
         # no range exchange / sampling job (r10 registry-wide sweep)
-        .coalesce(1)
         .sortWithinPartitions("degree_bucket")
     )
 
@@ -3190,38 +3228,39 @@ def dedup_novelty_by_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rides the exact_fp_census sidecar (the corpus is
     hashed once per corpus version, shared with the whole exact-dup
-    family); both legs collapse to ARRIVAL_DECILES-key map-combinable
-    aggregates, joined at 10 rows; max(doc_id) is a 1-row broadcast.
-    The tail is decile-bounded → single-partition sort, no range
-    exchange."""
+    family); a doc is novel iff doc_id == canonical_id, and the
+    novel-leg decile is the decile of that SAME doc_id, so both legs
+    collapse into ONE ARRIVAL_DECILES-key map-combinable aggregate
+    (count + conditional count — r11: the oracle's per_decile/
+    novel_decile LEFT JOIN was two separate corpus passes over the
+    census for two counts the same groupBy produces; guide §2.4).
+    max(doc_id) is a 1-row broadcast. The tail is decile-bounded →
+    single-partition sort, no range exchange."""
     census = exact_fp_census(spark, sf_dir)
     mx = census.agg(F.max("doc_id").alias("mxid"))
     dec = F.least(
         F.lit(ARRIVAL_DECILES - 1),
         F.expr(f"({ARRIVAL_DECILES} * doc_id) DIV (mxid + 1)"),
     )
-    per_decile = (
-        census.select("doc_id")
-        .crossJoin(F.broadcast(mx))
-        .groupBy(dec.alias("decile"))
-        .agg(F.count("*").alias("n_docs"))
-    )
-    novel_decile = (
-        census.where(F.col("doc_id") == F.col("canonical_id"))
-        .select("doc_id")
-        .crossJoin(F.broadcast(mx))
-        .groupBy(dec.alias("decile"))
-        .agg(F.count("*").alias("n_novel"))
-    )
+    # A decile with zero novel docs keeps n_novel = 0 (the sum of an
+    # empty when() set), exactly the old LEFT JOIN + COALESCE(0).
     return (
-        per_decile.join(novel_decile, "decile", "left")
+        census.select("doc_id", "canonical_id")
+        .crossJoin(F.broadcast(mx))
+        .groupBy(dec.alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("canonical_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
         .select(
             "decile",
             "n_docs",
-            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
-            F.expr(
-                "(1000000 * (n_docs - COALESCE(n_novel, 0))) DIV n_docs"
-            ).alias("dup_rate_fp"),
+            "n_novel",
+            F.expr("(1000000 * (n_docs - n_novel)) DIV n_docs").alias(
+                "dup_rate_fp"
+            ),
         )
         # decile-bounded tail: single-partition sort, no range exchange
         .coalesce(1)

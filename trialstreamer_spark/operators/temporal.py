@@ -365,38 +365,26 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     update-run dashboards count per-day article arrivals the same way,
     pipeline.observe()).
 
-    Scale shape: sliding-window COUNT(DISTINCT) does NOT need a
-    range self-join (quadratic) or a per-day re-scan: dedupe to
-    (user, day) first — bounding everything after at |users × days| —
-    then each pair contributes to exactly 7 window-ends via a bounded
-    explode(sequence(0..6)), and one distinct-aggregate per window-end
-    finishes. The observed-days semi-join keeps phantom trailing windows
-    out and broadcasts (|days| rows). Expansion factor is a constant 7,
-    independent of corpus size; day arithmetic is exact epoch-micros
-    integers. The (user, day) dedupe itself serves from the shared
-    user_day_pairs sidecar (once per corpus version) — every day with
-    an event has a user, so the observed-day set derives from the
-    sidecar too."""
-    ud = user_day_pairs(spark, sf_dir)
-    days = ud.select(F.col("d").alias("wend")).distinct()
-    contrib = ud.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
-        F.col("d"),
-    ).select(
-        "user_id",
-        (F.unix_micros("d") + F.col("o").cast("long") * 86400000000).alias(
-            "window_end_us"
-        ),
-    )
-    observed = days.select(F.unix_micros("wend").alias("window_end_us"))
+    Scale shape: sliding-window COUNT(DISTINCT) needs neither a range
+    self-join (quadratic) nor the 7× explode + distinct-aggregate of
+    the pre-r11 shape: the query rides _wau_daily_series' interval
+    stabbing (shared with dau_wau_stickiness — see its docstring for
+    the coverage-interval argument), so the whole plan after the
+    user_day_pairs sidecar is one lead() window, one |days|-bounded
+    tagged-union rollup and a single-partition running sum. The
+    dau > 0 filter keeps exactly the observed window-ends the old
+    broadcast semi-join kept (r11, guide §2.2/§2.4: dropped the 7×
+    row expansion, the countDistinct expand-exchange and the
+    observed-days broadcast build)."""
     return (
-        contrib.join(F.broadcast(observed), "window_end_us")
-        .groupBy("window_end_us")
-        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+        _wau_daily_series(spark, sf_dir)
+        .where(F.col("dau") > 0)
+        .select(
+            F.col("day_us").alias("window_end_us"),
+            F.col("wau").alias("n_active_7d"),
+        )
         # dimension/calendar-bounded tail: single-partition sort,
         # no range exchange / sampling job (r10 registry-wide sweep)
-        .coalesce(1)
         .sortWithinPartitions("window_end_us")
     )
 
@@ -663,6 +651,50 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wau_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day_us, dau, wau) per boundary day via interval stabbing — the
+    shared engine of dau_wau_stickiness AND rolling_active_users (r11,
+    guide §2.2/§2.4): per user, consecutive active days d_i < d_{i+1}
+    yield DISJOINT coverage intervals [d_i, min(d_i+6d, d_{i+1}-1d)] of
+    window-ends the user counts toward, so WAU(w) = running sum of ±1
+    boundary deltas — no countDistinct (a second exchange), no 7× row
+    expansion, no observed-days broadcast. The lead() window rides the
+    user_day_pairs sidecar; ONE tagged-union groupBy rolls DAU counts
+    and WAU deltas together (|days|-bounded), and the cumulative sum
+    runs on the single-partition calendar-bounded tail. Callers filter
+    dau > 0 to reproduce the observed-days inner join."""
+    DAY_US = 86400000000
+    ud = user_day_pairs(spark, sf_dir)
+    day = F.unix_micros("d")
+    iv = ud.select(
+        day.alias("s"),
+        F.lead(day).over(W.partitionBy("user_id").orderBy("d")).alias("nxt"),
+    )
+    end_excl = F.least(F.col("s") + F.lit(7 * DAY_US), F.col("nxt"))
+    merged = (
+        iv.select(F.col("s").alias("day_us"), F.lit(0).alias("dau"), F.lit(1).alias("wd"))
+        .unionByName(
+            iv.select(end_excl.alias("day_us"), F.lit(0).alias("dau"), F.lit(-1).alias("wd"))
+        )
+        .unionByName(
+            ud.select(day.alias("day_us"), F.lit(1).alias("dau"), F.lit(0).alias("wd"))
+        )
+    )
+    rolled = (
+        merged.groupBy("day_us")
+        .agg(F.sum("dau").alias("dau"), F.sum("wd").alias("wd"))
+        # dimension/calendar-bounded tail: single partition, so the
+        # running sum and final sort are exchange-free (r10 sweep)
+        .coalesce(1)
+    )
+    return rolled.withColumn(
+        "wau",
+        F.sum("wd").over(
+            W.orderBy("day_us").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+
+
 @query(
     "dau_wau_stickiness",
     oracle="""
@@ -705,49 +737,8 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days| x |days| rows — driver-trivial. No range self-join, no
     per-day rescan, no state that grows with corpus size. The (user,
     day) dedupe serves from the shared user_day_pairs sidecar."""
-    # r11 (guide §2.2/§2.4): WAU via interval stabbing instead of the
-    # 7× row explode + distinct. Per user, consecutive active days
-    # d_i < d_{i+1} yield DISJOINT coverage intervals
-    # [d_i, min(d_i+6d, d_{i+1}-1d)] of window-ends the user counts
-    # toward, so WAU(w) = running sum of ±1 boundary deltas — no
-    # countDistinct (which cost a second exchange), no 7× expansion,
-    # no observed-days broadcast. The lead() window rides the sidecar's
-    # user_id clustering exchange-free; ONE tagged-union groupBy then
-    # rolls DAU counts and WAU deltas together (|days|-bounded), and
-    # the cumulative sum + observed-day filter (dau > 0 ⟺ the old
-    # inner join on observed days) run on the single-partition
-    # calendar-bounded tail.
-    DAY_US = 86400000000
-    ud = user_day_pairs(spark, sf_dir)
-    day = F.unix_micros("d")
-    iv = ud.select(
-        day.alias("s"),
-        F.lead(day).over(W.partitionBy("user_id").orderBy("d")).alias("nxt"),
-    )
-    end_excl = F.least(F.col("s") + F.lit(7 * DAY_US), F.col("nxt"))
-    merged = (
-        iv.select(F.col("s").alias("day_us"), F.lit(0).alias("dau"), F.lit(1).alias("wd"))
-        .unionByName(
-            iv.select(end_excl.alias("day_us"), F.lit(0).alias("dau"), F.lit(-1).alias("wd"))
-        )
-        .unionByName(
-            ud.select(day.alias("day_us"), F.lit(1).alias("dau"), F.lit(0).alias("wd"))
-        )
-    )
-    rolled = (
-        merged.groupBy("day_us")
-        .agg(F.sum("dau").alias("dau"), F.sum("wd").alias("wd"))
-        # dimension/calendar-bounded tail: single partition, so the
-        # running sum and final sort are exchange-free (r10 sweep)
-        .coalesce(1)
-    )
     return (
-        rolled.withColumn(
-            "wau",
-            F.sum("wd").over(
-                W.orderBy("day_us").rowsBetween(W.unboundedPreceding, 0)
-            ),
-        )
+        _wau_daily_series(spark, sf_dir)
         .where(F.col("dau") > 0)
         .select(
             "day_us",

@@ -2072,9 +2072,16 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by source in ONE pass.
 
     Scale shape: every per-doc signal (md5, token count, char counts)
-    is computed scan-side in the same projection; the dup census is a
-    16-byte-key rollup joined back doc-keyed; the final rollup is
-    |sources| rows. One corpus scan, two dimension-bounded exchanges."""
+    is computed scan-side in the same projection; ONE fp-keyed
+    repartition then serves the whole chain — the (fp, source) rollup
+    and the fp-partitioned copy-count window both ride it (identical
+    text ⟹ identical per-doc stats, so min() recovers them per group)
+    — and the final rollup is |sources| rows. r11 (guide §2.4): the
+    old shape aggregated a census AND shuffled the corpus again to
+    join it back on fp; same bytes now cross one exchange instead of
+    two, and the corpus-sized join is gone."""
+    from pyspark.sql import Window as W
+
     d = load(spark, sf_dir, "documents")
     base = d.select(
         "source",
@@ -2090,18 +2097,29 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_nonascii"),
     )
-    dup = base.groupBy("fp").agg(F.count("*").alias("n_copies"))
-    return (
-        base.join(dup, "fp")
-        .groupBy("source")
+    per_sf = (
+        base.repartition(F.col("fp"))
+        .groupBy("fp", "source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_words").alias("sum_words"),
-            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
-                "n_dup_docs"
-            ),
-            F.sum("n_chars").alias("sum_chars"),
-            F.sum("n_nonascii").alias("sum_nonascii"),
+            F.count("*").alias("n_sf"),
+            F.min("n_words").alias("w"),
+            F.min("n_chars").alias("c"),
+            F.min("n_nonascii").alias("na"),
+        )
+        .withColumn(
+            "n_copies", F.sum("n_sf").over(W.partitionBy("fp"))
+        )
+    )
+    return (
+        per_sf.groupBy("source")
+        .agg(
+            F.sum("n_sf").alias("n_docs"),
+            F.sum(F.col("n_sf") * F.col("w")).alias("sum_words"),
+            F.sum(
+                F.when(F.col("n_copies") > 1, F.col("n_sf")).otherwise(0)
+            ).alias("n_dup_docs"),
+            F.sum(F.col("n_sf") * F.col("c")).alias("sum_chars"),
+            F.sum(F.col("n_sf") * F.col("na")).alias("sum_nonascii"),
         )
         .select(
             "source",
