@@ -158,7 +158,13 @@ def test_no_cartesian_anywhere():
         assert not unbounded, (name, unbounded)
         single = _unbounded_single_partition_exchanges(p)
         assert not single, (name, single)
-        assert not re.search(r"hashpartitioning\(pmod\([^,]+, 1\)", p), name
+        # pmod(x, 1) is constant 0 — its ONLY use is smuggling a global
+        # window past the SinglePartition check. Ban it anywhere in the
+        # plan, not just inline in a hashpartitioning: Catalyst aliases
+        # the expression into a Project (`pmod(k, 1) AS _w0`) and then
+        # partitions on the alias, which the old inline-only regex
+        # missed (found live in top_supplier_revenue, r11).
+        assert not re.search(r"pmod\([^,]+, 1\)", p), name
 
 
 def test_sf_dim_join_strategy_is_size_dependent(spark, sf_dir):

@@ -2860,24 +2860,43 @@ def doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both fingerprints are scan-side md5 of a bounded
     substr — the shuffle carries 16-byte keys (the dedup_exact
-    discipline); the prefix-group census joins back doc-keyed (a
-    broadcast of the collided groups at realistic collision rates),
-    then a |sources|-key rollup."""
+    discipline). ONE prefix-keyed exchange serves everything (r11,
+    guide §2.2/§2.4): per-prefix windows compute the group census
+    in-place — n_docs is a plain partition count, n_full is
+    max(dense_rank ordered by full_fp), the standard window spelling of
+    COUNT(DISTINCT) — so the old plan's second corpus pass and its
+    census join-back (a prefix-census-sized build side that is
+    corpus-derived, NOT dimension-bounded, at 100 TB) are gone. The
+    isNotNull guard reproduces the old inner join exactly: a NULL text
+    yields a NULL prefix_fp, which the join dropped."""
+    from pyspark.sql import Window as W
+
     d = load(spark, sf_dir, "documents")
     fp = d.select(
         "source",
         F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_fp"),
         F.md5(F.col("text")).alias("full_fp"),
-    )
-    grp = fp.groupBy("prefix_fp").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("full_fp").alias("n_full"),
-    )
-    marked = fp.join(grp, "prefix_fp").select(
-        "source",
-        F.when((F.col("n_docs") > 1) & (F.col("n_full") > 1), 1)
-        .otherwise(0)
-        .alias("is_head_dup"),
+    ).where(F.col("prefix_fp").isNotNull())
+    w = W.partitionBy("prefix_fp")
+    marked = (
+        fp.repartition("prefix_fp")
+        .select(
+            "source",
+            "prefix_fp",
+            F.count("*").over(w).alias("n_docs"),
+            F.dense_rank().over(w.orderBy("full_fp")).alias("full_rank"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.max("full_rank").over(w).alias("n_full"),
+        )
+        .select(
+            "source",
+            F.when((F.col("n_docs") > 1) & (F.col("n_full") > 1), 1)
+            .otherwise(0)
+            .alias("is_head_dup"),
+        )
     )
     return (
         marked.groupBy("source")
@@ -3123,7 +3142,15 @@ def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (no second pass). Containment over the PRUNED feature space
     is deliberate: at 100 TB the ubiquitous shingles carry no
     containment signal and would alone quadratically dominate the
-    join, exactly as for capped Jaccard."""
+    join, exactly as for capped Jaccard.
+
+    The two directions emit from ONE consumption of the pair frame
+    (r11, guide §2.4): each pair row explodes into the 0-2 direction
+    rows whose threshold it clears, via a null-filtered literal array —
+    the old fwd/rev UNION consumed `pairs` twice, and since exchange
+    reuse does not span differing parent projections, the ENTIRE
+    explode + grouped-count subtree (the expensive part) planned and
+    ran twice."""
     lists = capped_doc_lists(
         load(spark, sf_dir, "documents"), df_cap=5, cache_key=sf_dir
     )
@@ -3137,28 +3164,36 @@ def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_common"))
     )
-    fwd = pairs.where(
-        F.lit(CONTAINMENT_T_DEN) * F.col("n_common")
-        >= F.lit(CONTAINMENT_T_NUM) * F.col("n_a")
-    ).select(
-        F.col("doc_a").alias("inner_doc"),
-        F.col("doc_b").alias("outer_doc"),
-        F.col("n_a").alias("n_inner"),
-        F.col("n_b").alias("n_outer"),
-        "n_common",
+    thr = F.lit(CONTAINMENT_T_DEN) * F.col("n_common")
+    fwd_row = F.when(
+        thr >= F.lit(CONTAINMENT_T_NUM) * F.col("n_a"),
+        F.struct(
+            F.col("doc_a").alias("inner_doc"),
+            F.col("doc_b").alias("outer_doc"),
+            F.col("n_a").alias("n_inner"),
+            F.col("n_b").alias("n_outer"),
+            F.col("n_common"),
+        ),
     )
-    rev = pairs.where(
-        F.lit(CONTAINMENT_T_DEN) * F.col("n_common")
-        >= F.lit(CONTAINMENT_T_NUM) * F.col("n_b")
-    ).select(
-        F.col("doc_b").alias("inner_doc"),
-        F.col("doc_a").alias("outer_doc"),
-        F.col("n_b").alias("n_inner"),
-        F.col("n_a").alias("n_outer"),
-        "n_common",
+    rev_row = F.when(
+        thr >= F.lit(CONTAINMENT_T_NUM) * F.col("n_b"),
+        F.struct(
+            F.col("doc_b").alias("inner_doc"),
+            F.col("doc_a").alias("outer_doc"),
+            F.col("n_b").alias("n_inner"),
+            F.col("n_a").alias("n_outer"),
+            F.col("n_common"),
+        ),
     )
     return (
-        fwd.unionByName(rev)
+        pairs.select(
+            F.explode(
+                F.filter(
+                    F.array(fwd_row, rev_row), lambda x: x.isNotNull()
+                )
+            ).alias("r")
+        )
+        .select("r.*")
         .select(
             "inner_doc",
             "outer_doc",

@@ -697,37 +697,40 @@ def linear_probe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — same discipline as cms_heavy_hitter_estimate).
 
     The exact distinct count is computed alongside ONLY to measure the
-    sketch (it is what the sketch replaces): the sketch path's shuffle
-    is bounded by langs × m buckets regardless of token volume —
-    map-side partial distinct reduces each partition to at most m rows
-    per group before the exchange — while the exact path shuffles the
-    full distinct token set. Spark's own approx_count_distinct (HLL++)
-    is the production alternative; linear counting is used here because
-    its md5-bucket state is engine-portable and oracle-checkable."""
+    sketch (it is what the sketch replaces). Both counts derive from ONE
+    distinct (lang, tok) pass: n_distinct(lang) = Σ_bucket |tokens in
+    bucket| and n_occupied(lang) = |non-empty buckets|, so a single
+    (lang, bucket) rollup over the distinct token set serves both — the
+    r11 rewrite of the old two-leg plan, which tokenized the corpus
+    TWICE and paid two corpus-sized distinct exchanges for legs that
+    are projections of the same set (guide §2.4). After the (lang, tok)
+    distinct, every downstream exchange is bounded by langs × m rows
+    per partition (map-side partial aggregation). Spark's own
+    approx_count_distinct (HLL++) is the production alternative; linear
+    counting is used here because its md5-bucket state is
+    engine-portable and oracle-checkable."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "lang",
         F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
     )
-    exact = (
+    per_bucket = (
         toks.distinct()
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_distinct"))
-    )
-    occ = (
-        toks.select(
+        .groupBy(
             "lang",
             (
                 F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
                 % LC_M
             ).alias("bucket"),
         )
-        .distinct()
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_occupied"))
+        .agg(F.count("*").alias("n_toks"))
     )
     return (
-        exact.join(occ, "lang")
+        per_bucket.groupBy("lang")
+        .agg(
+            F.sum("n_toks").alias("n_distinct"),
+            F.count("*").alias("n_occupied"),
+        )
         .select(
             "lang",
             "n_distinct",
@@ -1546,7 +1549,13 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shuffle every unigram statistic pays, NOT a per-prefix
     distinct, which would rescan the corpus once per checkpoint); the
     bit-length bucketing and the cumulative window then run on ≤64
-    rows. doc_id+1 keeps bucket arithmetic exact at doc_id 0."""
+    rows. doc_id+1 keeps bucket arithmetic exact at doc_id 0. The ≤64-row
+    bucket rollup coalesces to one partition BEFORE the cumulative
+    window (Coalesce(1) outputs SinglePartition, satisfying the
+    empty-partition window's distribution), so the window costs no
+    exchange and the bounded tail sorts in-partition — r11, guide §2.4;
+    the old shape paid a separate SinglePartition exchange plus a range
+    sort with its sampling job."""
     d = load(spark, sf_dir, "documents")
     first = (
         d.where(F.col("text").isNotNull())
@@ -1566,14 +1575,18 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_bucket")
         .agg(F.count("*").alias("n_new_types"))
     )
-    return per.select(
-        "doc_bucket",
-        "n_new_types",
-        F.expr(
-            "SUM(n_new_types) OVER (ORDER BY doc_bucket"
-            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-        ).alias("vocab_size"),
-    ).orderBy("doc_bucket")
+    return (
+        per.coalesce(1)
+        .select(
+            "doc_bucket",
+            "n_new_types",
+            F.expr(
+                "SUM(n_new_types) OVER (ORDER BY doc_bucket"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ).alias("vocab_size"),
+        )
+        .sortWithinPartitions("doc_bucket")
+    )
 
 
 def _profile_sql(words: tuple[str, ...]) -> str:

@@ -2251,11 +2251,26 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept by equality semantics (same as the spec).
 
     Scale shape: the revenue view partial-aggregates map-side to one
-    row per supplier; the maximum is a 1-row broadcast crossJoin over
-    that |suppliers|-sized frame (the dormant_rich_customers threshold
-    pattern — NOT a global sort, NOT a driver collect); the supplier dim
-    broadcasts for the name lookup. Ties need no second pass because the
-    1-row max joins back by value."""
+    row per supplier; "equals the maximum" is spelled rank() == 1 over
+    total_rev_c DESC, which Spark executes as a WindowGroupLimit — each
+    rollup partition forwards only its top-1 (ties kept) and ONLY those
+    ≤ n_partitions winners cross the final single-partition exchange, a
+    bounded funnel however large |suppliers| grows. The r10 pmod(key, 1)
+    constant-key window this replaces funneled the ENTIRE supplier
+    rollup through one window partition — supplier is SF-scaled, so
+    that single task holds ~100M rows at 100 TB, exactly the shape
+    test_plan_hygiene bans (it slipped past the regex because Catalyst
+    aliased the pmod into a Project before the exchange). A separate
+    max agg + 1-row broadcast crossJoin (the dormant_rich_customers
+    pattern) was measured and rejected: it consumes `rev` twice, and
+    over the warm-cache InMemoryRelation AQE does NOT reuse the
+    identical rollup exchange (verified: canonically equal legs, zero
+    ReusedExchange, 6 jobs vs 4) — the rank spelling consumes it once.
+    The isNotNull guard makes rank-1 ≡ equals-max even on a corpus
+    where every revenue in a partition is NULL (sum of all-NULL cents):
+    the oracle's `total = max` comparison drops such rows, and DESC
+    puts NULLs last otherwise. Ties need no second pass: rank() keeps
+    every row equal to the maximum."""
     l = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
@@ -2265,21 +2280,13 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     rev = l.groupBy("l_suppkey").agg(F.sum(cents).alias("total_rev_c"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    # The scalar max rides a global window over the |suppliers|-row
-    # rollup instead of a separate agg + crossJoin consumption of `rev`
-    # (which re-ran the fact scan absent runtime exchange reuse). The
-    # single-partition window frame is dimension-sized by construction.
     return (
-        rev.withColumn(
-            "max_rev_c",
-            # pmod(key, 1) is a constant 0 that is NOT foldable-literal,
-            # so the planner routes all |suppliers| rows to one window
-            # partition without WindowExec's no-partition warning.
-            F.max("total_rev_c").over(
-                W.partitionBy(F.expr("pmod(l_suppkey, 1)"))
-            ),
+        rev.where(F.col("total_rev_c").isNotNull())
+        .withColumn(
+            "rk",
+            F.rank().over(W.orderBy(F.col("total_rev_c").desc())),
         )
-        .where(F.col("total_rev_c") == F.col("max_rev_c"))
+        .where(F.col("rk") == 1)
         .join(_sf_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
@@ -3223,7 +3230,12 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("supplier_cnt"),
             F.countDistinct("l_partkey").alias("part_cnt"),
         )
-        .orderBy(F.col("supplier_cnt").desc(), "brand", "ptype")
+        # dimension-bounded tail (|brands × types| is SPEC-FIXED — both
+        # domains are generator constants, not SF-scaled): single-
+        # partition sort, no range exchange / sampling job (r11, the
+        # r10 registry-wide sweep pattern)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("supplier_cnt").desc(), "brand", "ptype")
     )
 
 
