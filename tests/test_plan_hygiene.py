@@ -434,16 +434,17 @@ def test_lorenz_has_no_global_window_over_docs(spark, sf_dir):
 
 
 def test_first_touch_single_user_shuffle(spark, sf_dir):
-    """first_touch_attribution: the rank-1-per-user window must be fed
-    by ONE user_id exchange reused by the converter-set join (AQE
-    co-partitioning) — a min-ts self-join formulation would show a
-    second fact-sized exchange and a join of the events scan against
-    itself."""
+    """first_touch_attribution: the rank-1-per-user window and the
+    converted flag ride ONE user_id exchange over ONE events scan
+    (r11: the converter set is a whole-partition max on the same
+    window frame) — a min-ts or distinct-converters formulation would
+    show a second fact scan and a join."""
     p = plan_of(QUERIES["first_touch_attribution"](spark, sf_dir))
     assert "WindowGroupLimit" in p or "Window" in p
     assert "CartesianProduct" not in p
-    # both sides of the attribution join hash-partition on user_id
-    assert p.count("hashpartitioning(user_id") >= 2
+    assert p.count("hashpartitioning(user_id") == 1
+    assert " Join" not in p
+    assert p.count("Scan parquet") + p.count("InMemoryTableScan") <= 2
 
 
 def test_rank_shift_prunes_year_at_scan(spark, sf_dir):

@@ -607,11 +607,14 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one window shuffle keyed on user_id finds each user's first
     event (rank-1 row, no self-join against a min-ts aggregate — that
-    formulation joins the fact to itself and breaks ties wrong); the
-    converter set is a map-side distinct on the SAME user_id
-    partitioning, so AQE plans the attribution join shuffle-free; the
-    final rollup is |event_types| groups. Conversion rate is one
-    integer floor-division."""
+    formulation joins the fact to itself and breaks ties wrong), and
+    the converted flag rides the SAME window frame as an unordered
+    max(when(purchase)) — r11 (guide §2.4): the old shape ran a second
+    events scan + distinct for the converter set and joined it back,
+    one corpus pass and one exchange more than needed; a whole-
+    partition max over the identical partitioning is the same fact,
+    computed in place. The final rollup is |event_types| groups.
+    Conversion rate is one integer floor-division."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     first = (
@@ -619,19 +622,17 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.row_number().over(w).alias("rn"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1)
+            )
+            .over(W.partitionBy("user_id"))
+            .alias("converted"),
         )
         .where(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("first_type"))
-    )
-    conv = (
-        e.where(F.col("event_type") == "purchase")
-        .select("user_id")
-        .distinct()
-        .withColumn("converted", F.lit(1))
+        .select(F.col("event_type").alias("first_type"), "converted")
     )
     return (
-        first.join(conv, "user_id", "left")
-        .groupBy("first_type")
+        first.groupBy("first_type")
         .agg(
             F.count("*").alias("n_users"),
             F.count("converted").alias("n_converted"),

@@ -1165,44 +1165,78 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering, the product-analytics staple). Each stage is a per-user
     conditional MIN chained on the previous stage's timestamp.
 
-    Scale shape: three groupBys on user_id — after the first, Catalyst
-    reuses the hashpartitioning(user_id) for the stage joins and later
-    aggregations (co-partitioned joins, no re-exchange); per-stage state
-    is one timestamp per surviving user. The final 3-row summary
-    aggregates driver-light single-row counts."""
-    e = load(spark, sf_dir, "events")
-    s1 = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts1"))
+    Scale shape (r11, guide §2.4): ONE scan of the three funnel types
+    and ONE user_id exchange serve the whole chain. The old shape built
+    each stage as filter → join(previous) → groupBy, and because every
+    stage's plan NESTS the previous stage's subtree, the executed plan
+    scanned events SIX times and recomputed stage 1 three times and
+    stage 2 twice (warm-cache AQE hides this at bench — 1 job — but at
+    100 TB it is six parquet scans and three shuffles for a one-scan
+    computation). Now three chained window MINs on the same
+    HashPartitioning(user_id) compute ts1/ts2/ts3 in place — each is a
+    per-user constant, so the per-user reduction afterwards rides the
+    same exchange — and each user explodes into the stage indices it
+    reached (the containment_pairs_capped direction-array device).
+    Per-stage state is one timestamp per user, exactly as before."""
+    from pyspark.sql import Window as W_
+
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    s2 = (
-        e.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("ts") > F.col("ts1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts2"))
+    wu = W_.partitionBy("user_id")
+    staged = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn(
+            "ts1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(
+                wu
+            ),
+        )
+        .withColumn(
+            "ts2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("ts1")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "ts3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("ts2")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
-    s3 = (
-        e.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("ts") > F.col("ts2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts3"))
+    per_user = staged.groupBy("user_id").agg(
+        F.min("ts1").alias("ts1"),
+        F.min("ts2").alias("ts2"),
+        F.min("ts3").alias("ts3"),
     )
-    # one action: union the three stage populations under literal stage
-    # tags, count per tag, then left-join onto the static stage dim so an
-    # EMPTY stage still emits its row with n_users=0 (the oracle's scalar
-    # subqueries always produce 3 rows — a funnel where nobody converts
-    # must not drop the stage)
+    # an EMPTY stage still emits its row with n_users=0 (the oracle's
+    # scalar subqueries always produce 3 rows — a funnel where nobody
+    # converts must not drop the stage), hence the left join onto the
+    # static stage dim
     from trialstreamer_spark.util import inline_rows
 
-    tagged = (
-        s1.select(F.lit(1).alias("stage_idx"))
-        .unionAll(s2.select(F.lit(2).alias("stage_idx")))
-        .unionAll(s3.select(F.lit(3).alias("stage_idx")))
+    reached = F.filter(
+        F.array(
+            F.when(F.col("ts1").isNotNull(), F.lit(1)),
+            F.when(F.col("ts2").isNotNull(), F.lit(2)),
+            F.when(F.col("ts3").isNotNull(), F.lit(3)),
+        ),
+        lambda x: x.isNotNull(),
     )
-    counts = tagged.groupBy("stage_idx").agg(F.count("*").alias("n"))
+    counts = (
+        per_user.select(F.explode(reached).alias("stage_idx"))
+        .groupBy("stage_idx")
+        .agg(F.count("*").alias("n"))
+    )
     stages = inline_rows(
         spark,
         [(1, "view"), (2, "click"), (3, "purchase")],
