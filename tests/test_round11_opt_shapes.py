@@ -30,7 +30,7 @@ from trialstreamer_spark.util import evict_caches
 SF = "/root/testdata/sf0.001"
 
 
-def _write_docs(tmp: str, rows: list[tuple[int, str, str]]) -> None:
+def _write_docs(tmp: str, rows: list[tuple[int, str | None, str]]) -> None:
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(
         pa.table(
@@ -39,7 +39,10 @@ def _write_docs(tmp: str, rows: list[tuple[int, str, str]]) -> None:
                 "text": [r[1] for r in rows],
                 "lang": ["en"] * len(rows),
                 "source": [r[2] for r in rows],
-                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+                "n_chars": pa.array(
+                    [len(r[1]) if r[1] is not None else None for r in rows],
+                    pa.int64(),
+                ),
             }
         ),
         os.path.join(tmp, "documents.parquet"),
@@ -126,3 +129,27 @@ def test_source_scorecard_counts_cross_source_dups(spark):
     assert rows["s1"].mean_words == 3  # (3 + 4) // 2 ... see below
     # "shared text body" = 3 words, "only in s one" = 4 words -> 7 DIV 2 = 3
     assert rows["s2"].mean_words == 3
+
+
+def test_source_scorecard_drops_null_text(spark):
+    """NULL-text docs are OUT of the scorecard entirely: the oracle's
+    inner self-join on fp = md5(text) never matches a NULL fp, so the
+    one-pass rewrite must not count them toward n_docs, the mean_words
+    denominator, or (with two NULLs) the dup share (r11 ADVICE — the
+    fp window otherwise keeps NULL as a regular group)."""
+    tmp = "/tmp/scorecard_nulltext_fixture"
+    _write_docs(
+        tmp,
+        [
+            (1, "real body here", "s1"),
+            (2, None, "s1"),
+            (3, None, "s1"),
+            (4, None, "s2"),
+        ],
+    )
+    evict_caches(tmp)
+    rows = {r.source: r for r in QUERIES["source_scorecard"](spark, tmp).collect()}
+    assert "s2" not in rows  # its only doc is NULL text
+    assert rows["s1"].n_docs == 1
+    assert rows["s1"].dup_doc_share_fp == 0  # two NULLs are not a dup pair
+    assert rows["s1"].mean_words == 3  # "real body here"

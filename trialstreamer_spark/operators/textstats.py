@@ -2092,11 +2092,14 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and the final rollup is |sources| rows. r11 (guide §2.4): the
     old shape aggregated a census AND shuffled the corpus again to
     join it back on fp; same bytes now cross one exchange instead of
-    two, and the corpus-sized join is gone."""
+    two, and the corpus-sized join is gone. The fp is-not-null guard
+    reproduces the oracle's inner self-join on fp: md5(NULL text) is
+    NULL and never equi-matches, so NULL-text docs are out of the
+    scorecard entirely (r11 ADVICE)."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
-    base = d.select(
+    base = d.where(F.col("text").isNotNull()).select(
         "source",
         F.md5(F.col("text")).alias("fp"),
         F.size(tokens_col(F.lower(F.col("text")))).cast("long").alias(

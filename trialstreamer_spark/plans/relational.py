@@ -202,11 +202,25 @@ def _nation_region_rows(
             sel = n.join(
                 r, F.col("n_regionkey") == F.col("r_regionkey"), "left"
             ).select("n_nationkey", "n_name", "r_name")
-        except AnalysisException:
+        except AnalysisException as exc:
             # A corpus without region.parquet (or whose nation carries no
             # n_regionkey) still serves nation-only consumers: the LEFT
             # join against nothing is r_name=NULL for every nation, which
-            # is exactly what the is-not-null guards expect.
+            # is exactly what the is-not-null guards expect. Only those
+            # two absence shapes are masked — a corrupted or mis-schemed
+            # region table must fail loudly, not read as empty regions
+            # (r11 ADVICE).
+            cond = ""
+            for getter in ("getCondition", "getErrorClass"):
+                try:
+                    cond = getattr(exc, getter)() or ""
+                    break
+                except Exception:  # noqa: BLE001 — older exception shape
+                    continue
+            if not cond.startswith(
+                ("PATH_NOT_FOUND", "UNRESOLVED_COLUMN", "FIELD_NOT_FOUND")
+            ):
+                raise
             sel = n.select(
                 "n_nationkey",
                 "n_name",
