@@ -745,11 +745,12 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus scan serves both arms — queries ride the
     task closure, per-(query, vector) cosines are one Arrow pass
-    (_multi_query_scores), and both ranks come out of a single sorted
-    window pass (brute = row_number, IVF = running count of rows in the
-    probed cells, a tiny literal IN-list from the centroid sidecar). No
-    second scan, no top-k-vs-top-k join; the rollup aggregates
-    n_queries x k rows."""
+    (_multi_query_scores), and one rank serves both arms: brute =
+    row_number ≤ k (WindowGroupLimit — per-task top-k before the
+    exchange), IVF membership = a tiny literal IN-list from the
+    centroid sidecar (an in-cell row of the global top-k is always in
+    the IVF top-k — see the in-plan comment). No second scan, no
+    top-k-vs-top-k join; the rollup aggregates n_queries x k rows."""
     from pyspark.sql import Window as W
 
     n_q, k, nprobe = 5, 10, 2
@@ -779,6 +780,17 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long") * F.lit(1_000_000)
         + F.col("label").cast("long")
     ).isin([q * 1_000_000 + c for q, c in sorted(cell_set)])
+    # r12 (guide §2.4): the IVF arm needs NO running-count window. For a
+    # row in the brute top-k that lies in a probed cell, its rank among
+    # in-cell rows over the SAME (cosine DESC, neighbor_id) order can
+    # never exceed its global rank (the in-cell subset is a subsequence
+    # of the global order), so in_cell ∧ ivf_rn ≤ k ⇔ in_cell once
+    # brute_rn ≤ k — the classic recall@k identity. Dropping the
+    # unbounded running sum leaves a pure row_number ≤ k window, which
+    # Catalyst rewrites to WindowGroupLimit: each map task pre-limits to
+    # k rows per query BEFORE the exchange, so the shuffle carries
+    # O(k × tasks) rows and no task ever sorts a full partition — the
+    # 100 TB-safe shape for a constant-size panel.
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -786,18 +798,13 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         F.row_number().over(w).alias("brute_rn"),
-        F.sum(in_cell.cast("int"))
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("ivf_rn"),
         in_cell.alias("in_cell"),
     )
     return (
         ranked.filter(F.col("brute_rn") <= k)
         .groupBy("query_id")
         .agg(
-            F.sum(
-                (F.col("in_cell") & (F.col("ivf_rn") <= k)).cast("int")
-            )
+            F.sum(F.col("in_cell").cast("int"))
             .cast("long")
             .alias("n_overlap")
         )
@@ -1542,11 +1549,12 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fused one-pass design of ann_recall_at_k extended
     to a CURVE for free — probe cells are nested (cells(1) ⊆ cells(2) ⊆
-    cells(3)), so the same single sorted window pass carries one
-    running in-cell count PER nprobe (three integer sums over the
-    identical frame, no extra scan, no extra shuffle); the per-nprobe
-    rollup then unpivots driver-free with stack(). The oracle spells
-    the same semantics as three materialized IVF arms."""
+    cells(3)), so the single top-k window pass carries one in-cell
+    membership flag PER nprobe (three booleans over the identical
+    frame, no extra scan, no extra shuffle, WindowGroupLimit pre-limits
+    per task); the per-nprobe rollup then unpivots driver-free with
+    stack(). The oracle spells the same semantics as three materialized
+    IVF arms."""
     from pyspark.sql import Window as W
 
     n_q, k, max_probe = 5, 10, 3
@@ -1571,32 +1579,30 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in range(1, max_probe + 1)
     }
+    # r12 (guide §2.4): no running in-cell counts — an in-cell row of
+    # the brute top-k has in-cell rank ≤ its global rank ≤ k over the
+    # identical (cosine DESC, neighbor_id) order, so overlap@k per
+    # nprobe is just the in-cell membership count within the global
+    # top-k (same identity as ann_recall_at_k). The window then carries
+    # ONLY row_number ≤ k, which Catalyst rewrites to WindowGroupLimit:
+    # per-task top-k before the exchange instead of a full sort of the
+    # corpus funneled into |panel| partitions — the piece that made this
+    # the slowest bench row, and a real 100 TB hazard (5 sort tasks over
+    # the whole corpus).
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     ranked = scored.select(
         "query_id",
         F.row_number().over(w).alias("brute_rn"),
-        *[
-            c
-            for p in in_p
-            for c in (
-                F.sum(in_p[p].cast("int")).over(run).alias(f"ivf_rn_{p}"),
-                in_p[p].alias(f"in_cell_{p}"),
-            )
-        ],
+        *[in_p[p].alias(f"in_cell_{p}") for p in in_p],
     )
     agg = (
         ranked.filter(F.col("brute_rn") <= k)
         .groupBy("query_id")
         .agg(
             *[
-                F.sum(
-                    (
-                        F.col(f"in_cell_{p}") & (F.col(f"ivf_rn_{p}") <= k)
-                    ).cast("int")
-                )
+                F.sum(F.col(f"in_cell_{p}").cast("int"))
                 .cast("long")
                 .alias(f"o_{p}")
                 for p in in_p

@@ -1599,12 +1599,15 @@ def weekly_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     wk = cdf_quantiles(vc, ["week_idx"])
-    g = (
-        cdf_quantiles(
-            vc.groupBy("v_c").agg(F.sum("cnt").alias("cnt")), []
-        )
-        .select(F.col("p50_c").alias("gp50_c"))
-    )
+    # r12 (guide §2.4): the global leg consumes vc DIRECTLY — no
+    # pre-merge groupBy("v_c") exchange. The within-bucket cumulative
+    # window uses the default RANGE frame (orderBy with no explicit
+    # frame ⇒ unboundedPreceding..currentRow over the ORDER key, ties
+    # inclusive), so every row of value v already cumulates ALL (week,
+    # v) rows ≤ v — bit-identical CDF, one exchange fewer, and rank()'s
+    # min-over-when is indifferent to the duplicate v_c rows (equal
+    # cum_n on ties).
+    g = cdf_quantiles(vc, []).select(F.col("p50_c").alias("gp50_c"))
     return (
         wk.crossJoin(F.broadcast(g))
         .select(
