@@ -2442,46 +2442,85 @@ def xling_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: every step after the (bucketed, never corpus×corpus)
     candidate join is bounded by the PAIR frame: the two directed
     views are a union of projections, the per-(vector, other-lang)
-    top-k is a window on (id, olang), and the final scoring joins key
-    on pair-frame columns. The shared pair subtree is persisted once
-    per corpus version (util.cached_plan) because three branches
-    reference it; top-k finishes as TakeOrderedAndProject."""
+    top-k mean rides the SAME (id, olang) window exchange as the rank
+    (a conditional unbounded-frame sum — constant per group), and the
+    directions fold back to pairs with one (vec_a, vec_b) groupBy — no
+    knn rollup materialization and no double join-back (r12). The
+    shared pair subtree is persisted once per corpus version; top-k
+    finishes as TakeOrderedAndProject."""
     from pyspark.sql import Window as W
 
     p = _xling_pairs_fp(spark, sf_dir)
+    # r12 (guide §2.4): NO knn join-backs. The directed view keeps the
+    # full pair identity; the per-(id, olang) k-NN mean is attached to
+    # EVERY directed row by a second window over the SAME partitioning
+    # (conditional sum/count over the unbounded frame — constant within
+    # the group, so each row reads its side's knn̄ in place), and the two
+    # directions fold back into pairs with ONE (vec_a, vec_b) groupBy.
+    # The old shape materialized the knn rollup and joined it onto the
+    # pair frame twice (two more exchanges/broadcast builds and a second
+    # planning of the knn subtree). Same integer arithmetic, same ties.
     d = p.select(
+        "vec_a",
+        "vec_b",
+        "lang_a",
+        "lang_b",
+        "cos_fp",
         F.col("vec_a").alias("id"),
         F.col("lang_b").alias("olang"),
-        "cos_fp",
         F.col("vec_b").alias("nb"),
     ).unionAll(
         p.select(
+            "vec_a",
+            "vec_b",
+            "lang_a",
+            "lang_b",
+            "cos_fp",
             F.col("vec_b").alias("id"),
             F.col("lang_a").alias("olang"),
-            "cos_fp",
             F.col("vec_a").alias("nb"),
         )
     )
     w = W.partitionBy("id", "olang").orderBy(F.col("cos_fp").desc(), "nb")
-    knn = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= XLING_MARGIN_K)
-        .groupBy("id", "olang")
-        .agg(F.expr("SUM(cos_fp) DIV COUNT(*)").alias("knn_fp"))
+    w_all = W.partitionBy("id", "olang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    ka = knn.select(
-        F.col("id").alias("vec_a"),
-        F.col("olang").alias("lang_b"),
-        F.col("knn_fp").alias("knn_a_fp"),
-    )
-    kb = knn.select(
-        F.col("id").alias("vec_b"),
-        F.col("olang").alias("lang_a"),
-        F.col("knn_fp").alias("knn_b_fp"),
+    in_k = F.row_number().over(w) <= XLING_MARGIN_K
+    top_sum = F.sum(F.when(in_k, F.col("cos_fp"))).over(w_all)
+    top_cnt = F.sum(in_k.cast("long")).over(w_all)
+    scored = d.select(
+        "vec_a",
+        "vec_b",
+        "lang_a",
+        "lang_b",
+        "cos_fp",
+        "id",
+        # same integer truncating division as the old SUM DIV COUNT
+        # rollup — no double ever enters the mean
+        top_sum.cast("long").alias("_ts"),
+        top_cnt.alias("_tc"),
+    ).select(
+        "vec_a",
+        "vec_b",
+        "lang_a",
+        "lang_b",
+        "cos_fp",
+        "id",
+        F.expr("_ts DIV _tc").alias("knn_fp"),
     )
     return (
-        p.join(ka, ["vec_a", "lang_b"])
-        .join(kb, ["vec_b", "lang_a"])
+        scored.groupBy("vec_a", "vec_b")
+        .agg(
+            F.max("lang_a").alias("lang_a"),
+            F.max("lang_b").alias("lang_b"),
+            F.max("cos_fp").alias("cos_fp"),
+            F.max(
+                F.when(F.col("id") == F.col("vec_a"), F.col("knn_fp"))
+            ).alias("knn_a_fp"),
+            F.max(
+                F.when(F.col("id") == F.col("vec_b"), F.col("knn_fp"))
+            ).alias("knn_b_fp"),
+        )
         .select(
             "vec_a",
             "vec_b",
